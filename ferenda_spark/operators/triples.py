@@ -1,0 +1,113 @@
+"""Triple assembly + SPO/POS materialization (SURVEY §2.1 S7, §4.3).
+
+Reference analog: the render/relate steps serialize per-doc RDF and push it
+to an external SPARQL store ([ref: ferenda/documentrepository.py :: relate],
+[ref: ferenda/triplestore.py :: TripleStore.add_serialized]). Here the graph
+IS a pair of partitioned Parquet tables sharing one schema:
+
+- SPO layout: partitioned by ``part_key`` = pmod(xxhash64(domain(subj)), P),
+  sorted within partitions by (subj, pred) — subject-centric access
+  (per-doc annotations, dependency fans) prunes to one partition per domain
+  and reads clustered rows.
+- POS layout: partitioned by ``pred`` (predicate cardinality is vocabulary-
+  sized, so partition-per-predicate is safe at any corpus scale), sorted by
+  (obj, subj) — pattern filters ``?s <pred> <obj>`` prune to one partition
+  and min/max-skip on obj. This is the layout that makes SPARQL-ish
+  triple-pattern queries cheap (SURVEY P4, J2).
+
+Iceberg note (SURVEY §7.1): no Iceberg jars in-sandbox; the layout is
+Iceberg-style partitioned Parquet behind ``sources.catalog`` so swapping in
+``writeTo(...).partitionedBy(...)`` is a config change, not a redesign.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ferenda_spark.functions.uris import part_key_col
+from ferenda_spark.schemas import P_ISSUED, P_REFERENCES, P_TITLE
+
+
+def assemble_triples(docs: DataFrame, links: DataFrame) -> DataFrame:
+    """parsed doc rows + resolved entity links → canonical triples (TRIPLES
+    schema). Distinct on (subj,pred,obj): set semantics, matching the
+    reference's graph-isomorphism compare (assertEqualGraphs)."""
+    grammar = docs.select(
+        "url", "part_key", "lang", F.explode("triples").alias("t")
+    ).select(
+        F.col("t.subj").alias("subj"),
+        F.col("t.pred").alias("pred"),
+        F.col("t.obj").alias("obj"),
+        F.col("t.obj_is_uri").alias("obj_is_uri"),
+        F.when(
+            ~F.col("t.obj_is_uri") & (F.col("t.pred") == P_TITLE), F.col("lang")
+        ).alias("obj_lang"),
+        F.when(F.col("t.pred") == P_ISSUED, F.lit("xsd:date")).alias("obj_dtype"),
+        F.col("url").alias("src_url"),
+        F.col("part_key"),
+    )
+    entity = links.select(
+        F.concat(F.col("url"), F.lit("#S"), F.col("section_ordinal")).alias("subj"),
+        F.lit(P_REFERENCES).alias("pred"),
+        F.col("canonical_uri").alias("obj"),
+        F.lit(True).alias("obj_is_uri"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_dtype"),
+        F.col("url").alias("src_url"),
+        F.col("part_key"),
+    )
+    return grammar.unionByName(entity).dropDuplicates(["subj", "pred", "obj"])
+
+
+def write_spo(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
+    (
+        triples.repartition("part_key")
+        .sortWithinPartitions("subj", "pred")
+        .write.mode(mode)
+        .partitionBy("part_key")
+        .parquet(path)
+    )
+
+
+def write_pos(triples: DataFrame, path: str, n_parts: int = 16,
+              mode: str = "overwrite") -> None:
+    # obj-hash subpartition keeps per-file sizes bounded for mega-predicates
+    # (dcterms:references dominates); pred dir + minmax(obj) gives pruning.
+    (
+        triples.withColumn("obj_bucket", F.pmod(F.xxhash64("obj"), F.lit(n_parts)).cast("int"))
+        .repartition("pred", "obj_bucket")
+        .sortWithinPartitions("obj", "subj")
+        .write.mode(mode)
+        .partitionBy("pred", "obj_bucket")
+        .parquet(path)
+    )
+
+
+def docmeta_from_triples(triples: DataFrame) -> DataFrame:
+    """SPO triples → wide per-document metadata frame — the Spark form of
+    the reference's toc SPARQL SELECT ([ref: documentrepository.py ::
+    toc_query]): pivot by conditional aggregation (never DataFrame.pivot —
+    predicate set is static, so the plan stays a single HashAggregate)."""
+    from ferenda_spark.schemas import P_LANGUAGE, P_TYPE, T_DOCUMENT
+
+    return (
+        triples.filter(
+            F.col("pred").isin(P_TITLE, P_ISSUED, P_LANGUAGE, P_TYPE)
+        )
+        .groupBy(F.col("subj").alias("uri"), F.col("part_key"))
+        .agg(
+            F.max(F.when(F.col("pred") == P_TITLE, F.col("obj"))).alias("title"),
+            F.max(F.when(F.col("pred") == P_ISSUED, F.col("obj"))).alias("issued"),
+            F.max(F.when(F.col("pred") == P_LANGUAGE, F.col("obj"))).alias("lang"),
+            F.max(
+                F.when(F.col("pred") == P_TYPE, F.col("obj") == T_DOCUMENT)
+            ).alias("is_document"),
+        )
+        .filter(F.col("is_document"))
+        .drop("is_document")
+    )
+
+
+def part_key_for(url_col, n_parts: int):
+    return part_key_col(url_col, n_parts)

@@ -1,0 +1,78 @@
+"""FSM structure recovery — micro-grammar unit tests in the style of the
+reference's testFSMParser (chunk lists → expected tree), plus golden-struct
+comparison for the webpage grammar (FIXTURES §2)."""
+
+import json
+import re
+
+from ferenda_spark.operators.fsm import FSMParser, parse_structure
+from ferenda_spark.sources.corpus import gen_doc
+
+
+def test_micro_grammar():
+    """A tiny two-state grammar, exercising recognizer order + transitions."""
+    num = re.compile(r"^\d+$")
+
+    def h_num(ctx, chunk, m):
+        ctx.setdefault("nums", []).append(int(chunk))
+
+    def h_word(ctx, chunk, m):
+        ctx.setdefault("words", []).append(chunk)
+
+    p = FSMParser(initial_state="s")
+    p.set_recognizers(("num", lambda c: num.match(c)), ("any", lambda c: True))
+    p.set_transitions(
+        {
+            ("s", "num"): (h_num, "after_num"),
+            ("s", "any"): (h_word, None),
+            ("after_num", "num"): (h_num, None),
+            ("after_num", "any"): (h_word, "s"),
+        }
+    )
+    ctx = p.parse(["a", "1", "2", "b", "c", "3"])
+    assert ctx == {"words": ["a", "b", "c"], "nums": [1, 2, 3]}
+
+
+def test_webpage_grammar_shapes():
+    text = "Doc Title\n\nSection 1. Alpha\n\npara one\n\npara two\n\nSection 2. Beta\n\nlast"
+    ctx = parse_structure(text)
+    assert ctx["title"] == "Doc Title"
+    assert [s["ordinal"] for s in ctx["sections"]] == [1, 2]
+    assert ctx["sections"][0]["title"] == "Alpha"
+    assert [p["text"] for p in ctx["sections"][0]["paras"]] == ["para one", "para two"]
+    assert ctx["sections"][1]["paras"][0]["idx"] == 0
+
+
+def test_para_before_section_gets_implicit_section():
+    ctx = parse_structure("Title\n\norphan para\n\nSection 1. S\n\np")
+    assert ctx["sections"][0]["ordinal"] == 0
+    assert ctx["sections"][0]["paras"][0]["text"] == "orphan para"
+
+
+def test_state_never_leaks_between_parses():
+    a = parse_structure("T\n\nSection 1. A\n\np1")
+    b = parse_structure("U\n\nq1")
+    assert len(b["sections"]) == 1 and b["sections"][0]["ordinal"] == 0
+    assert a["sections"][0]["ordinal"] == 1
+
+
+def test_golden_struct():
+    """FSM output over extracted text must equal the generator's planted
+    structure — an independent-path check (generator never runs the FSM)."""
+    with open("fixtures/golden_struct.jsonl") as f:
+        goldens = [json.loads(line) for line in f]
+    assert len(goldens) == 25
+    for g in goldens:
+        doc_id = int(g["url"].rsplit("/", 1)[1].split(".")[0])
+        d = gen_doc(doc_id, 500)
+        ctx = parse_structure(d["text"])
+        assert ctx["title"] == g["title"]
+        got = [
+            {
+                "ordinal": s["ordinal"],
+                "title": s["title"],
+                "paras": [{"idx": p["idx"], "text": p["text"]} for p in s["paras"]],
+            }
+            for s in ctx["sections"]
+        ]
+        assert got == g["sections"], g["url"]

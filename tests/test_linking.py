@@ -1,0 +1,79 @@
+"""Entity-linking tiers (SURVEY §5.2(5)): exact broadcast, salted-shuffle
+equivalence, MinHash-LSH must-link / must-not-link."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferenda_spark.operators.linking import link_mentions, _exact_broadcast, _exact_salted
+from ferenda_spark.sources.corpus import build_dictionary, canonical_uri_of, _entity_name
+from ferenda_spark.schemas import URI_DICTIONARY
+
+
+@pytest.fixture(scope="module")
+def dict_df(spark):
+    return spark.createDataFrame(build_dictionary(), schema=URI_DICTIONARY).cache()
+
+
+def _mentions_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            {
+                "url": f"https://d00.example.com/x/{i}.html",
+                "part_key": 0,
+                "section_ordinal": 1,
+                "mention": m,
+                "alias_key": m.lower(),
+            }
+            for i, m in enumerate(rows)
+        ]
+    )
+
+
+def test_exact_tier(spark, dict_df):
+    name0, _ = _entity_name(0)
+    m = _mentions_df(spark, [name0, "ZZZ No Such E9999x"])
+    out = _exact_broadcast(m, dict_df).collect()
+    assert len(out) == 1
+    assert out[0]["canonical_uri"] == canonical_uri_of(0)
+
+
+def test_salted_equals_broadcast(spark, dict_df):
+    names = [_entity_name(i)[0] for i in range(30)]
+    m = _mentions_df(spark, names)
+    b = {(r["mention"], r["canonical_uri"]) for r in _exact_broadcast(m, dict_df).collect()}
+    s = {(r["mention"], r["canonical_uri"]) for r in _exact_salted(m, dict_df, salt=4).collect()}
+    assert b == s and len(b) == 30
+
+
+def test_lsh_must_link_typos(spark, dict_df):
+    # fresh corruptions (not in dictionary): drop/duplicate a letter
+    name5, _ = _entity_name(5)
+    words = name5.split()
+    typo1 = words[0][:2] + words[0][3:] + " " + " ".join(words[1:])  # drop a char
+    typo2 = words[0] + " " + words[1] + words[1][-1] + " " + " ".join(words[2:])
+    m = _mentions_df(spark, [typo1, typo2])
+    out = link_mentions(m, dict_df)
+    got = {r["mention"]: r["canonical_uri"] for r in out.collect()}
+    assert got.get(typo1) == canonical_uri_of(5)
+    assert got.get(typo2) == canonical_uri_of(5)
+    assert all(r["tier"] == "lsh" for r in out.collect())
+
+
+def test_lsh_must_not_link_garbage(spark, dict_df):
+    m = _mentions_df(spark, ["Qqqq Wwww Xxxx E8888"])
+    # E8888 tail may weakly overlap; threshold must reject unrelated names
+    out = link_mentions(m, dict_df, lsh_threshold=0.35).collect()
+    assert out == []
+
+
+def test_full_cascade_tiers(spark, dict_df):
+    name1, _ = _entity_name(1)
+    words = name1.split()
+    abbrev = "".join(w[0] for w in words[:-1]).upper() + " " + words[-1]
+    typo = words[0][:2] + words[0][3:] + " " + " ".join(words[1:])
+    m = _mentions_df(spark, [name1, abbrev, typo])
+    out = link_mentions(m, dict_df)
+    rows = {r["mention"]: (r["canonical_uri"], r["tier"]) for r in out.collect()}
+    assert rows[name1] == (canonical_uri_of(1), "exact")
+    assert rows[abbrev] == (canonical_uri_of(1), "exact")
+    assert rows[typo][0] == canonical_uri_of(1) and rows[typo][1] == "lsh"
