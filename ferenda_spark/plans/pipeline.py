@@ -1,0 +1,166 @@
+"""The full KG-construction DAG with checkpoint-resume (SURVEY §3 E1–E3).
+
+Spark restatement of `./ferenda-build.py <repo> parse|relate|toc|news --all`
+([ref: ferenda/manager.py :: run]) as three resumable stages over partitioned
+stage tables:
+
+  parse:   corpus ──mapInPandas──▶ docs table (+ lineage)          [E1]
+  triples: docs ──link+assemble──▶ triples_spo + triples_pos       [E2]
+  rollup:  triples ──docmeta──▶ toc + feeds + feed_main + stats    [E3]
+
+Resume contract (north_rule): each stage anti-joins its input against the
+ledger and recomputes ONLY part_keys not yet recorded ok; stage writes are
+dynamic partition overwrites keyed on part_key, so re-runs are idempotent
+and a killed run restarts at the last completed partition. `parse` and
+`triples` resume at partition granularity; `rollup` outputs are facet-sized
+(O(groups) rows) so it reruns whole — recomputing a 10^2-row table is
+cheaper than checkpointing it.
+
+At 100 TB: every stage boundary is a partitioned Parquet table (the
+Iceberg-style layout, SURVEY §7.1), so executors stream batch-at-a-time and
+nothing is ever collected to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ferenda_spark.functions.uris import part_key_col
+from ferenda_spark.operators.ledger import Ledger, write_stage_partitioned
+from ferenda_spark.operators.linking import link_mentions
+from ferenda_spark.operators.parse import parse_stage, split_parsed
+from ferenda_spark.operators.rollups import (
+    feed_main,
+    feeds_topk,
+    toc_rollup,
+    triple_stats,
+)
+from ferenda_spark.operators.triples import (
+    assemble_triples,
+    docmeta_from_triples,
+    write_pos,
+    write_spo,
+)
+
+
+def _p(out_dir: str, name: str) -> str:
+    return os.path.join(out_dir, name)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    corpus: DataFrame,
+    dictionary: DataFrame,
+    out_dir: str,
+    n_parts: int = 64,
+    run_id: str = "run",
+    exact_strategy: str = "broadcast",
+    with_lsh: bool = True,
+) -> dict[str, str]:
+    """Run (or resume) the full DAG; returns stage-table paths."""
+    ledger = Ledger(spark, _p(out_dir, "ledger"))
+    paths = {
+        "docs": _p(out_dir, "docs"),
+        "lineage": _p(out_dir, "lineage"),
+        "triples_spo": _p(out_dir, "triples_spo"),
+        "triples_pos": _p(out_dir, "triples_pos"),
+        "docmeta": _p(out_dir, "docmeta"),
+        "toc": _p(out_dir, "toc"),
+        "feeds": _p(out_dir, "feeds"),
+        "feed_main": _p(out_dir, "feed_main"),
+        "triple_stats": _p(out_dir, "triple_stats"),
+        "ledger": _p(out_dir, "ledger"),
+    }
+
+    # ---------------------------------------------------------------- parse
+    keyed = corpus.withColumn("part_key", part_key_col(F.col("url"), n_parts))
+    todo = ledger.pending(keyed, "parse")
+    if todo.limit(1).count() > 0:
+        parsed = parse_stage(todo.drop("part_key"), n_parts=n_parts)
+        docs, lineage = split_parsed(parsed)
+        write_stage_partitioned(docs, paths["docs"])
+        # lineage rows for THIS run's partitions only; append keeps history.
+        lin = spark.read.parquet(paths["docs"]).join(
+            ledger.ok_parts("parse"), "part_key", "left_anti"
+        )
+        lin_rows = (
+            lin.groupBy("part_key")
+            .agg(
+                F.count(F.lit(1)).alias("n_in"),
+                F.sum(F.size("triples")).alias("n_out"),
+                F.lit(None).cast("long").alias("bytes_in"),
+                F.lit(None).cast("long").alias("wall_ms"),
+            )
+            .select(
+                F.lit("parse").alias("stage"),
+                "part_key",
+                F.lit(None).cast("int").alias("partition_id"),
+                "n_in", "n_out", "bytes_in", "wall_ms",
+                F.lit(run_id).alias("run_id"),
+            )
+        )
+        lin_rows.write.mode("append").parquet(paths["lineage"])
+        ledger.mark("parse", lin_rows, run_id=run_id)
+
+    # -------------------------------------------------------------- triples
+    docs_tbl = spark.read.parquet(paths["docs"])
+    todo_docs = ledger.pending(docs_tbl, "triples")
+    if todo_docs.limit(1).count() > 0:
+        mentions = todo_docs.select(
+            "url", "part_key", F.explode("mentions").alias("m")
+        ).select(
+            "url", "part_key",
+            F.col("m.section_ordinal").alias("section_ordinal"),
+            F.col("m.mention").alias("mention"),
+            F.col("m.alias_key").alias("alias_key"),
+        )
+        links = link_mentions(
+            mentions, dictionary, exact_strategy=exact_strategy
+        ) if with_lsh else None
+        if links is None:  # exact tier only (cheap path for micro-tests)
+            from ferenda_spark.operators.linking import _exact_broadcast
+            links = _exact_broadcast(mentions, dictionary)
+        triples = assemble_triples(todo_docs, links)
+        write_spo(triples, paths["triples_spo"])
+        # POS is partitioned by (pred, obj_bucket), not part_key, so a
+        # partial re-run cannot overwrite it incrementally without losing
+        # rows from untouched part_keys — rebuild it from the (now complete)
+        # SPO table. With Iceberg this becomes a MERGE/replace-partition
+        # commit of only affected obj_buckets; plain Parquet rebuilds.
+        write_pos(spark.read.parquet(paths["triples_spo"]), paths["triples_pos"])
+        done = spark.read.parquet(paths["triples_spo"]).join(
+            ledger.ok_parts("triples"), "part_key", "left_anti"
+        )
+        lin_rows = (
+            done.groupBy("part_key")
+            .agg(F.count(F.lit(1)).alias("n_out"))
+            .select(
+                F.lit("triples").alias("stage"),
+                "part_key",
+                F.lit(None).cast("int").alias("partition_id"),
+                F.lit(None).cast("long").alias("n_in"),
+                "n_out",
+                F.lit(None).cast("long").alias("bytes_in"),
+                F.lit(None).cast("long").alias("wall_ms"),
+                F.lit(run_id).alias("run_id"),
+            )
+        )
+        lin_rows.write.mode("append").parquet(paths["lineage"])
+        ledger.mark("triples", lin_rows, run_id=run_id)
+
+    # --------------------------------------------------------------- rollup
+    triples_tbl = spark.read.parquet(paths["triples_spo"])
+    docmeta = docmeta_from_triples(triples_tbl)
+    write_stage_partitioned(docmeta, paths["docmeta"])
+    dm = spark.read.parquet(paths["docmeta"])
+    toc_rollup(dm).write.mode("overwrite").parquet(paths["toc"])
+    feeds_topk(dm).write.mode("overwrite").parquet(paths["feeds"])
+    feed_main(dm).write.mode("overwrite").parquet(paths["feed_main"])
+    triple_stats(triples_tbl).write.mode("overwrite").parquet(
+        paths["triple_stats"]
+    )
+    ledger.mark_parts("rollup", [-1], run_id=run_id)
+    return paths

@@ -1,0 +1,131 @@
+"""Checkpoint-resume (north_rule; SURVEY §5.2(7), FIXTURES §5).
+
+Port of the reference's incremental-rebuild semantics
+([ref: ferenda/decorators.py :: parseifneeded] — skip work whose output is
+current) at partition granularity: truncate the ledger after partition k
+(simulating a kill), re-run, assert (a) only partitions >k recompute and
+(b) the final tables are value-identical to an uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferenda_spark.operators.ledger import Ledger
+from ferenda_spark.plans.pipeline import run_pipeline
+from ferenda_spark.sources.corpus import dictionary_df, generate_corpus
+
+N_DOCS = 80
+N_PARTS = 8
+
+
+def _triples_set(spark, path):
+    return {
+        (r["subj"], r["pred"], r["obj"])
+        for r in spark.read.parquet(path).select("subj", "pred", "obj").collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def full_run(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("full"))
+    corpus = generate_corpus(spark, N_DOCS)
+    d = dictionary_df(spark)
+    paths = run_pipeline(
+        spark, corpus, d, out, n_parts=N_PARTS, with_lsh=False, run_id="full"
+    )
+    return paths
+
+
+def test_resume_recomputes_only_pending(spark, tmp_path_factory, full_run):
+    out = str(tmp_path_factory.mktemp("resume"))
+    corpus = generate_corpus(spark, N_DOCS)
+    d = dictionary_df(spark)
+    paths = run_pipeline(
+        spark, corpus, d, out, n_parts=N_PARTS, with_lsh=False, run_id="r1"
+    )
+
+    # simulate a kill mid-parse: keep only parse records for part_key <= 3
+    # and drop everything downstream.
+    led = Ledger(spark, paths["ledger"])
+    kept = led.read().filter(
+        (F.col("stage") == "parse") & (F.col("part_key") <= 3)
+    )
+    tmp = paths["ledger"] + ".tmp"
+    kept.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(paths["ledger"])
+
+    run_pipeline(
+        spark, corpus, d, out, n_parts=N_PARTS, with_lsh=False, run_id="r2"
+    )
+
+    # r2 must have parsed ONLY the partitions the truncated ledger lost.
+    led2 = Ledger(spark, paths["ledger"]).read()
+    r2_parse = {
+        r["part_key"]
+        for r in led2.filter(
+            (F.col("run_id") == "r2") & (F.col("stage") == "parse")
+        ).collect()
+    }
+    assert r2_parse, "resume run recorded no parse work"
+    assert all(pk > 3 for pk in r2_parse)
+
+    # full coverage restored
+    ok = {
+        r["part_key"]
+        for r in led2.filter(
+            (F.col("stage") == "parse") & (F.col("status") == "ok")
+        ).collect()
+    }
+    full_ok = {
+        r["part_key"]
+        for r in spark.read.parquet(full_run["docs"]).select("part_key").distinct().collect()
+    }
+    assert ok == full_ok
+
+
+def test_resumed_output_matches_uninterrupted(spark, tmp_path_factory, full_run):
+    out = str(tmp_path_factory.mktemp("resume2"))
+    corpus = generate_corpus(spark, N_DOCS)
+    d = dictionary_df(spark)
+    paths = run_pipeline(
+        spark, corpus, d, out, n_parts=N_PARTS, with_lsh=False, run_id="r1"
+    )
+    led = Ledger(spark, paths["ledger"])
+    led.truncate_after("parse", 2)
+    # also forget the triples stage for the "lost" partitions
+    kept = led.read().filter(F.col("stage") != "triples")
+    tmp = paths["ledger"] + ".tmp2"
+    kept.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(paths["ledger"])
+
+    run_pipeline(
+        spark, corpus, d, out, n_parts=N_PARTS, with_lsh=False, run_id="r2"
+    )
+    assert _triples_set(spark, paths["triples_spo"]) == _triples_set(
+        spark, full_run["triples_spo"]
+    )
+    # docs table row-stable too
+    assert (
+        spark.read.parquet(paths["docs"]).count()
+        == spark.read.parquet(full_run["docs"]).count()
+    )
+
+
+def test_rerun_is_noop(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("noop"))
+    corpus = generate_corpus(spark, 40)
+    d = dictionary_df(spark)
+    paths = run_pipeline(spark, corpus, d, out, n_parts=4, with_lsh=False, run_id="a")
+    n1 = spark.read.parquet(paths["triples_spo"]).count()
+    led_before = Ledger(spark, paths["ledger"]).read().filter(
+        F.col("stage").isin("parse", "triples")
+    ).count()
+    run_pipeline(spark, corpus, d, out, n_parts=4, with_lsh=False, run_id="b")
+    n2 = spark.read.parquet(paths["triples_spo"]).count()
+    led_after = Ledger(spark, paths["ledger"]).read().filter(
+        F.col("stage").isin("parse", "triples")
+    ).count()
+    assert n1 == n2
+    assert led_before == led_after  # no new parse/triples ledger rows
