@@ -1,0 +1,311 @@
+"""Deduplication operators for web-scale corpora: exact, MinHash-LSH,
+SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+No reference analog (ferenda documents are keyed by basefile and assumed
+unique); these are the corpus-curation operators a training-data pipeline
+runs before/alongside KG construction. Design targets 100 TB:
+
+- exact:   one map-side hash + one groupBy on a 64-bit key — shuffle volume
+  is O(docs × 8B), not O(text bytes).
+- minhash: `pyspark.ml.feature.MinHashLSH` self-join — candidate pairs only
+  (band-bucket shuffle), never the cross product.
+- simhash: 64-bit signature computed as a pure column expression; candidate
+  generation by 4×16-bit band equality (pigeonhole: hamming ≤3 ⇒ ≥1 band
+  equal), verification by bit_count(xor). Join key is a 16-bit band value →
+  bounded fan-out, no cross product.
+- n-gram Jaccard: inverted-index self-join on shingle hashes with a
+  document-frequency cap dropping boilerplate shingles (the classic
+  anti-skew guard: a shingle shared by 10^6 docs would otherwise create
+  10^12 candidate pairs).
+- embedding: sign-LSH bucketing + within-bucket cosine, exact per bucket.
+
+All pair emitters return (id_a, id_b, score) with id_a < id_b.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import HashingTF, MinHashLSH
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ferenda_spark.functions.textstats import doc_fingerprint, shingle_fingerprints
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of byte-equal (modulo whitespace/case normalization) docs:
+    (fingerprint, n_dups, keep_id, dup_ids). keep_id = min id (stable)."""
+    keyed = df.select(
+        F.col(id_col).alias("id"), doc_fingerprint(F.col(text_col)).alias("fp")
+    )
+    return (
+        keyed.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("id").alias("keep_id"),
+            F.sort_array(F.collect_list("id")).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per fingerprint. Window over fp —
+    the fp key is 64-bit-uniform so the shuffle is skew-free by construction."""
+    w = Window.partitionBy(doc_fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    threshold: float = 0.8,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard over word-k-gram sets via inverted-index self-join.
+
+    |A∩B| comes from counting co-occurring shingle hashes; |A∪B| =
+    |A|+|B|−|A∩B|. `max_shingle_df` drops shingles appearing in more docs
+    (boilerplate) from the index — this bounds per-shingle fan-out and is
+    the standard trade: such shingles contribute little discriminative mass.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_fingerprints(F.col(text_col), k)).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    rare = (
+        sh.withColumn("df_", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+        .filter(F.col("df_") <= max_shingle_df)
+        .drop("df_")
+    )
+    a = rare.withColumnRenamed("id", "id_a")
+    b = rare.withColumnRenamed("id", "id_b")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ----------------------------------------------------------------- MinHash
+
+
+def minhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    threshold: float = 0.3,
+    num_hash_tables: int = 8,
+    dim: int = 1 << 18,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs: shingle → HashingTF → MinHash
+    band buckets → approxSimilarityJoin (distance = 1 − estimated Jaccard).
+    Returns (id_a, id_b, jaccard_dist < threshold). Seed fixed."""
+    feat = df.select(
+        F.col(id_col).alias("id"),
+        shingle_fingerprints(F.col(text_col), k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=dim)
+    v = tf.transform(feat)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=num_hash_tables, seed=42,
+    )
+    model = mh.fit(v)
+    pairs = model.approxSimilarityJoin(v, v, threshold, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.col("jaccard_dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+def simhash_col(text_col: str, k_tokens: int = 1) -> F.Column:
+    """64-bit SimHash as a pure SQL expression (no UDF): per-token xxhash64,
+    each bit votes ±1, signature bit = sign of the vote sum.
+
+    Built with aggregate/transform higher-order functions so the whole thing
+    stays inside whole-stage codegen. Bits are recombined into one BIGINT.
+    """
+    return F.expr(
+        f"""
+        aggregate(
+          transform(
+            aggregate(
+              filter(split(trim({text_col}), '\\\\s+'), t -> t != ''),
+              array_repeat(0L, 64),
+              (acc, t) -> zip_with(
+                acc,
+                transform(sequence(0, 63),
+                          i -> CASE WHEN (shiftrightunsigned(xxhash64(t), i) & 1L) = 1L
+                               THEN 1L ELSE -1L END),
+                (a, b) -> a + b)
+            ),
+            v -> CASE WHEN v > 0L THEN 1L ELSE 0L END
+          ),
+          named_struct('acc', 0L, 'i', 0),
+          (s, bit) -> named_struct(
+              'acc', s.acc | shiftleft(bit, s.i),
+              'i', s.i + 1),
+          s -> s.acc
+        )
+        """
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: split the 64-bit signature into 4
+    16-bit bands; hamming ≤ 3 guarantees at least one equal band
+    (pigeonhole), so the candidate join is 4 equi-joins on 16-bit keys.
+    Verification = bit_count(xor) on the full signature."""
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash_col(text_col).alias("sig")
+    )
+    bands = sig.select(
+        "id", "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bval"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bval"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bval"
+    )
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------- embeddings
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def embedding_signature(vec_col: str, n_planes: int = 16) -> F.Column:
+    """Sign-LSH bucket id: sign bits of dot products against `n_planes`
+    deterministic pseudo-random hyperplanes. The planes are derived JVM-side
+    from xxhash64(plane, dim-index) → uniform in [-1,1] — no Python, no
+    stored model, identical on every executor and cluster size."""
+    vec = F.col(vec_col)
+    dims = F.sequence(F.lit(1), F.size(vec))
+    bits = []
+    for p in range(n_planes):
+        plane = F.transform(
+            dims,
+            lambda i: (
+                F.pmod(F.xxhash64(F.lit(p), i), F.lit(2_000_001)).cast("double")
+                / F.lit(1_000_000.0)
+            )
+            - F.lit(1.0),
+        )
+        d = _dot(vec, plane)
+        bits.append(F.when(d > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+) -> DataFrame:
+    """Embedding-cosine near-dups: sign-LSH bucket (blocking) + exact cosine
+    within buckets. Near-identical vectors share all sign bits with
+    probability (1−θ/π)^planes, so recall at cos≥0.95 stays high while the
+    join never leaves its bucket. For guaranteed recall, union over a few
+    rotated plane sets (callers can vary `n_planes`)."""
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        embedding_signature(vec_col, n_planes).alias("bucket"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = sig.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"), "bucket",
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"), "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,104 @@
+"""Similarity search (brute-force + IVF) and multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferenda_spark.operators import multimodal, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def query_vec(emb):
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+
+
+def test_brute_force_topk_self_first(emb, query_vec):
+    top = similarity.brute_force_topk(emb, "embedding", "vec_id", query_vec, k=5).collect()
+    assert top[0]["id"] == 0 and top[0]["cosine"] == pytest.approx(1.0)
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_recall_vs_brute_force(emb, query_vec):
+    exact = [r["id"] for r in similarity.brute_force_topk(emb, "embedding", "vec_id", query_vec, k=10).collect()]
+    indexed, cents = similarity.build_ivf_index(emb, "embedding", "vec_id", n_cells=8)
+    approx = [
+        r["id"]
+        for r in similarity.ivf_topk(
+            indexed, cents, "embedding", "vec_id", query_vec, k=10, n_probe=4
+        ).collect()
+    ]
+    # probing half the cells must recover most of the exact top-10
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5
+    # probing ALL cells must equal brute force exactly
+    full = [
+        r["id"]
+        for r in similarity.ivf_topk(
+            indexed, cents, "embedding", "vec_id", query_vec, k=10, n_probe=len(cents)
+        ).collect()
+    ]
+    assert full == exact
+
+
+def test_ivf_cells_cover_all_vectors(emb):
+    indexed, cents = similarity.build_ivf_index(emb, "embedding", "vec_id", n_cells=8)
+    assert indexed.filter(F.col("cell").isNull()).count() == 0
+    assert indexed.count() == emb.count()
+    n_cells_used = indexed.select("cell").distinct().count()
+    assert 2 <= n_cells_used <= 8
+
+
+def test_media_features_deterministic(spark):
+    media = multimodal.synthetic_media(spark, 30)
+    f1 = multimodal.extract_media_features(media).orderBy("media_id").collect()
+    f2 = (
+        multimodal.extract_media_features(media.repartition(5))
+        .orderBy("media_id")
+        .collect()
+    )
+    assert [r["payload_sha256"] for r in f1] == [r["payload_sha256"] for r in f2]
+    assert [r["features"] for r in f1] == [r["features"] for r in f2]
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in f1)
+    img = [r for r in f1 if r["kind"] == "image"]
+    assert img and all(r["width"] and r["height"] for r in img)
+    aud = [r for r in f1 if r["kind"] == "audio"]
+    assert aud and all(r["width"] is None for r in aud)
+
+
+def test_media_real_mode_raises(spark):
+    media = multimodal.synthetic_media(spark, 3)
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+
+    with _pt.raises(Exception) as exc:
+        multimodal.extract_media_features(media, mode="real").collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_frame_sampling(spark):
+    media = multimodal.synthetic_media(spark, 30)
+    frames = multimodal.frame_sample(media, every_n=5)
+    got = frames.collect()
+    assert got and all(r["frame_idx"] % 5 == 0 for r in got)
+    vids = {r["media_id"] for r in media.filter(F.col("kind") == "video").collect()}
+    assert {r["media_id"] for r in got} == vids
+
+
+def test_media_features_feed_similarity(spark):
+    """Features from the multimodal stage plug into the ANN operator."""
+    media = multimodal.synthetic_media(spark, 24)
+    feats = multimodal.extract_media_features(media)
+    q = feats.filter(F.col("media_id") == 0).collect()[0]["features"]
+    top = similarity.brute_force_topk(feats, "features", "media_id", list(q), k=3).collect()
+    assert top[0]["id"] == 0
