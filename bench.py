@@ -1,0 +1,133 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: the KG-construction pipeline (parse → link → triples — the
+north_star workload, measured in docs/sec + triples/sec) plus the heaviest
+oracle-backed relational/curation queries from __spark_entry__.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from ferenda_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "4000"))
+
+BENCH_QUERIES = [
+    "tpch_q1ish",
+    "tpch_q3ish",
+    "toc_rollup_docs",
+    "feed_topk_events",
+    "precedence_latest",
+    "annotations_agg",
+    "dedup_exact_stats",
+    "dedup_jaccard_pairs",
+    "dedup_simhash",
+    "embedding_topk",
+    "text_quality",
+    "lang_id_counts",
+    "token_count_bpe",
+]
+
+
+def _time(fn) -> tuple[float, int]:
+    t0 = time.monotonic()
+    n = fn()
+    return time.monotonic() - t0, n
+
+
+def materialize_corpus(spark, n_docs: int) -> str:
+    """Write the synthetic web corpus to parquet once (NOT timed) — the
+    benchmarked pipeline reads a table, per input_hint, not a generator."""
+    import tempfile
+
+    from ferenda_spark.sources.corpus import generate_corpus
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"ferenda_bench_corpus_{n_docs}.parquet"
+    )
+    if not os.path.isdir(path):
+        generate_corpus(spark, n_docs).write.mode("overwrite").parquet(path)
+    return path
+
+
+def kg_pipeline(spark, corpus_path: str) -> int:
+    """The north_star workload: corpus table → parse (mapInPandas) →
+    exact+LSH entity linking → triple assembly. Returns triple count."""
+    from ferenda_spark.operators.linking import link_mentions
+    from ferenda_spark.operators.parse import parse_stage, split_parsed
+    from ferenda_spark.operators.triples import assemble_triples
+    from ferenda_spark.sources.corpus import dictionary_df
+
+    corpus = spark.read.parquet(corpus_path)
+    docs, _ = split_parsed(parse_stage(corpus, n_parts=max(CPUS * 2, 16)))
+    docs = docs.cache()
+    mentions = docs.select(
+        "url", "part_key", F.explode("mentions").alias("m")
+    ).select("url", "part_key", F.col("m.*"))
+    links = link_mentions(mentions, dictionary_df(spark))
+    n = assemble_triples(docs, links).count()
+    docs.unpersist()
+    return n
+
+
+def main() -> None:
+    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else 0.001)
+    spark = get_spark(
+        app_name="ferenda_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qtimes: dict[str, float] = {}
+    qs = entrymod.queries()
+
+    # warm the JVM/Arrow path once (not timed)
+    qs["tpch_q1ish"](spark, SF_DIR).count()
+
+    total = 0.0
+    for name in BENCH_QUERIES:
+        secs, _ = _time(lambda: qs[name](spark, SF_DIR).count())
+        qtimes[name] = round(secs, 3)
+        total += secs
+
+    corpus_path = materialize_corpus(spark, KG_DOCS)
+    kg_secs, n_triples = _time(lambda: kg_pipeline(spark, corpus_path))
+    qtimes["kg_pipeline"] = round(kg_secs, 3)
+    total += kg_secs
+
+    print(
+        json.dumps(
+            {
+                "metric": "kg_construct+relational bench wall time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf,
+                "kg_docs": KG_DOCS,
+                "kg_triples": n_triples,
+                "kg_docs_per_sec": round(KG_DOCS / kg_secs, 1),
+                "kg_triples_per_sec": round(n_triples / kg_secs, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
