@@ -78,9 +78,12 @@ def kg_pipeline(spark, corpus_path: str) -> int:
     mentions = docs.select(
         "url", "part_key", F.explode("mentions").alias("m")
     ).select("url", "part_key", F.col("m.*"))
-    links = link_mentions(mentions, dictionary_df(spark))
+    # links is tiny (O(mentions)) and feeds two join branches in
+    # assemble_triples — cache it or the whole linking DAG re-executes.
+    links = link_mentions(mentions, dictionary_df(spark)).cache()
     n = assemble_triples(docs, links).count()
     docs.unpersist()
+    links.unpersist()
     return n
 
 

@@ -17,11 +17,21 @@ tier 2 — salted:  the same equi-join as a *shuffle* join with explicit key
                   SALT reducers by exploding the dictionary side ×SALT.
                   (AQE skew-join can split sort-merge stragglers at runtime,
                   but north_rule demands explicit handling — this is it.)
-tier 3 — MinHash-LSH: unresolved mentions (typo'd surface forms) are
-                  blocked against the dictionary by MinHash over character
-                  3-gram sets and resolved to the best (lowest Jaccard
-                  distance) candidate. This is the reference-free fuzzy path
-                  the north_star adds on top of Ferenda's exact grammars.
+tier 3 — fuzzy:   unresolved mentions (typo'd surface forms) resolve to the
+                  best dictionary candidate by character-3-gram Jaccard.
+                  Two physical strategies, same semantics:
+                  * ``ngram`` — EXACT Jaccard against the broadcast
+                    dictionary (JVM-side array_intersect with a length-ratio
+                    prune; no ML stage, no extra shuffles). Right whenever
+                    the dictionary fits broadcast — which is also exactly
+                    when tier 1 chose broadcast.
+                  * ``lsh`` — `MinHashLSH` blocking over hashed 3-gram
+                    features + approxSimilarityJoin. The scale path for
+                    dictionaries too large to broadcast: candidate pairs
+                    only, never the cross product. (north_star's
+                    "MinHash-LSH blocking for alias resolution".)
+                  ``auto`` picks ngram below _NGRAM_DICT_MAX dictionary
+                  rows, lsh above.
 """
 
 from __future__ import annotations
@@ -31,6 +41,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MENTION_KEYS = ["url", "part_key", "section_ordinal", "mention", "alias_key"]
+
+# Above this many dictionary rows, `auto` switches the fuzzy tier from the
+# exact broadcast-ngram join to MinHash-LSH blocking. 200k rows of
+# (alias_key, uri, grams) is ~50 MB broadcast — inside the 64 MB threshold
+# the session pins.
+_NGRAM_DICT_MAX = 200_000
 
 
 def _exact_broadcast(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
@@ -63,6 +79,115 @@ def _exact_salted(mentions: DataFrame, dictionary: DataFrame, salt: int) -> Data
         .join(d, ["alias_key", "salt"], "inner")
         .select(*MENTION_KEYS, "canonical_uri")
         .withColumn("tier", F.lit("salted"))
+    )
+
+
+def _char_grams(col) -> F.Column:
+    """Distinct character 3-grams of a string column, JVM-side, hashed to
+    64-bit ints (xxhash64): long-array set ops and long join keys are far
+    cheaper than string ones, and a 64-bit hash collision over ~10^5 grams
+    is negligible (~10^-9). Strings shorter than 3 chars use the whole
+    string as their single gram."""
+    k = F.col(col) if isinstance(col, str) else col
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(k) - F.lit(2)),
+            lambda i: F.xxhash64(k.substr(i, F.lit(3))),
+        )
+    )
+    return F.when(F.length(k) >= 3, grams).otherwise(
+        F.array(F.xxhash64(k))
+    )
+
+
+def _ngram_tier(
+    unresolved: DataFrame, dictionary: DataFrame, threshold: float
+) -> DataFrame:
+    """EXACT char-3-gram Jaccard against the broadcast dictionary via
+    AllPairs-style prefix filtering.
+
+    A naive inverted-index join on ALL grams explodes on "stop-grams":
+    dictionary names share template words, so hot grams fan out to
+    thousands of entries (measured: one gram in 3.5k of 6.9k entries →
+    ~10^8 joined rows for ~4k probe keys). Prefix filtering bounds this:
+    order the gram universe by dictionary document-frequency (rarest
+    first); J(A,B) ≥ s requires |A∩B| ≥ ⌈s·|A|⌉ and ≥ ⌈s·|B|⌉, so the
+    rarest |X|−⌈s·|X|⌉+1 grams of each side must share an element
+    (AllPairs/ppjoin prefix theorem, Bayardo et al., WWW'07). Candidates =
+    equi-join of the two prefixes only — the hot template grams sort last
+    and never enter a prefix — then exact-Jaccard verify on the candidate
+    pairs via array_intersect of the full gram sets.
+
+    Distinct-keys-first keeps the probe side at vocabulary size, not
+    mention count; the df table and dictionary side are broadcast. The
+    per-set windows partition by alias key (vocabulary-sized, skew-free).
+    """
+    s_min = 1.0 - threshold  # minimum Jaccard similarity
+    keys = (
+        unresolved.select("alias_key").distinct()
+        .withColumn("_ka", _char_grams("alias_key"))
+        .withColumn("_na", F.size("_ka"))
+    )
+    d = (
+        dictionary.select(
+            F.col("alias_key").alias("_dict_key"), "canonical_uri"
+        )
+        .withColumn("_kb", _char_grams("_dict_key"))
+        .withColumn("_nb", F.size("_kb"))
+    )
+    d_grams = d.select("_dict_key", "_nb", F.explode("_kb").alias("_g"))
+    gram_df = d_grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+
+    def _prefix(grams: DataFrame, id_col: str, size_col: str) -> DataFrame:
+        ranked = grams.join(F.broadcast(gram_df), "_g", "left").na.fill(
+            {"_df": 0}  # grams absent from the dictionary sort first (rarest)
+        )
+        w = Window.partitionBy(id_col).orderBy("_df", "_g")
+        plen = F.col(size_col) - F.ceil(F.col(size_col) * F.lit(s_min)) + 1
+        return (
+            ranked.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= plen)
+            .select(id_col, "_g")
+        )
+
+    k_grams = keys.select("alias_key", "_na", F.explode("_ka").alias("_g"))
+    k_pref = _prefix(k_grams, "alias_key", "_na")
+    d_pref = _prefix(d_grams, "_dict_key", "_nb")
+    cand_ids = k_pref.join(F.broadcast(d_pref), "_g").select(
+        "alias_key", "_dict_key"
+    ).distinct()
+    # verify: exact Jaccard on the full gram sets of the candidate pairs.
+    # Length-ratio prune first (J≥s ⇒ min(|A|,|B|) ≥ s·max(|A|,|B|)), and
+    # materialize the intersection size once — an expression that names
+    # `inter` twice would evaluate array_intersect twice per pair.
+    cand = (
+        cand_ids.join(keys, "alias_key")
+        .join(F.broadcast(d), "_dict_key")
+        .filter(
+            F.least("_na", "_nb")
+            >= F.ceil(F.greatest("_na", "_nb") * F.lit(s_min))
+        )
+        .withColumn("_c", F.size(F.array_intersect("_ka", "_kb")))
+        .withColumn(
+            "jaccard",
+            F.lit(1.0)
+            - F.col("_c").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_c")),
+        )
+        .filter(F.col("jaccard") <= threshold)
+    )
+    best = Window.partitionBy("alias_key").orderBy(
+        F.col("jaccard").asc(), F.col("canonical_uri").asc()
+    )
+    resolved_keys = (
+        cand.withColumn("_rn", F.row_number().over(best))
+        .filter(F.col("_rn") == 1)
+        .select("alias_key", "canonical_uri")
+    )
+    return (
+        unresolved.join(F.broadcast(resolved_keys), "alias_key", "inner")
+        .select(*MENTION_KEYS, "canonical_uri")
+        .withColumn("tier", F.lit("ngram"))
     )
 
 
@@ -130,10 +255,15 @@ def link_mentions(
     exact_strategy: str = "broadcast",
     salt: int = 8,
     lsh_threshold: float = 0.5,
+    fuzzy_strategy: str = "auto",
 ) -> DataFrame:
     """mentions(url, part_key, section_ordinal, mention, alias_key) →
     links(..., canonical_uri, tier). Unlinkable mentions are dropped
-    (reference behavior: unrecognized refs emit nothing)."""
+    (reference behavior: unrecognized refs emit nothing).
+
+    ``fuzzy_strategy``: 'ngram' (exact Jaccard vs broadcast dictionary),
+    'lsh' (MinHash-LSH blocking — the >_NGRAM_DICT_MAX-row path), or
+    'auto' (pick by dictionary size)."""
     exact = (
         _exact_broadcast(mentions, dictionary)
         if exact_strategy == "broadcast"
@@ -142,5 +272,13 @@ def link_mentions(
     # tier 2/3 input: mentions whose key has no exact-dictionary row.
     exact_keys = dictionary.filter(F.col("is_exact")).select("alias_key").distinct()
     unresolved = mentions.join(F.broadcast(exact_keys), "alias_key", "left_anti")
-    fuzzy = _lsh_tier(unresolved, dictionary, threshold=lsh_threshold)
+    if fuzzy_strategy == "auto":
+        fuzzy_strategy = (
+            "ngram" if dictionary.count() <= _NGRAM_DICT_MAX else "lsh"
+        )
+    fuzzy = (
+        _ngram_tier(unresolved, dictionary, threshold=lsh_threshold)
+        if fuzzy_strategy == "ngram"
+        else _lsh_tier(unresolved, dictionary, threshold=lsh_threshold)
+    )
     return exact.unionByName(fuzzy)

@@ -52,11 +52,25 @@ def test_lsh_must_link_typos(spark, dict_df):
     typo1 = words[0][:2] + words[0][3:] + " " + " ".join(words[1:])  # drop a char
     typo2 = words[0] + " " + words[1] + words[1][-1] + " " + " ".join(words[2:])
     m = _mentions_df(spark, [typo1, typo2])
-    out = link_mentions(m, dict_df)
+    out = link_mentions(m, dict_df, fuzzy_strategy="lsh")
     got = {r["mention"]: r["canonical_uri"] for r in out.collect()}
     assert got.get(typo1) == canonical_uri_of(5)
     assert got.get(typo2) == canonical_uri_of(5)
     assert all(r["tier"] == "lsh" for r in out.collect())
+
+
+def test_ngram_tier_matches_lsh_on_typos(spark, dict_df):
+    """The exact-Jaccard broadcast fuzzy tier resolves the same typos to the
+    same canonical URIs as the MinHash-LSH scale path."""
+    names = [_entity_name(i)[0] for i in range(8)]
+    typos = [n.split()[0][:2] + n.split()[0][3:] + " " + " ".join(n.split()[1:])
+             for n in names]
+    m = _mentions_df(spark, typos)
+    ng = {r["mention"]: r["canonical_uri"]
+          for r in link_mentions(m, dict_df, fuzzy_strategy="ngram").collect()}
+    ls = {r["mention"]: r["canonical_uri"]
+          for r in link_mentions(m, dict_df, fuzzy_strategy="lsh").collect()}
+    assert ng == ls and len(ng) == len(typos)
 
 
 def test_lsh_must_not_link_garbage(spark, dict_df):
@@ -76,4 +90,5 @@ def test_full_cascade_tiers(spark, dict_df):
     rows = {r["mention"]: (r["canonical_uri"], r["tier"]) for r in out.collect()}
     assert rows[name1] == (canonical_uri_of(1), "exact")
     assert rows[abbrev] == (canonical_uri_of(1), "exact")
-    assert rows[typo][0] == canonical_uri_of(1) and rows[typo][1] == "lsh"
+    # auto strategy: small dictionary → exact-ngram fuzzy tier
+    assert rows[typo][0] == canonical_uri_of(1) and rows[typo][1] == "ngram"
