@@ -1,0 +1,5 @@
+from ferenda_spark.streaming.ingest import (  # noqa: F401
+    run_streaming_ingest,
+    stream_corpus,
+    streaming_feed_counts,
+)

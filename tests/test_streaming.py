@@ -1,0 +1,99 @@
+"""Structured-Streaming ingest (SURVEY §2.9 idiomatic upgrade): the
+AvailableNow drain must produce the same docs/triples as the batch
+operators, and re-invocation after new files land must process ONLY the
+new files (file-source checkpoint = incremental semantics)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferenda_spark.sources.corpus import dictionary_df, generate_corpus
+from ferenda_spark.streaming import (
+    run_streaming_ingest,
+    stream_corpus,
+    streaming_feed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_dirs(spark, tmp_path_factory):
+    """Two incremental corpus drops: docs 0–59 then 60–99, written as
+    separate parquet files into one stream-input directory."""
+    root = tmp_path_factory.mktemp("stream")
+    input_dir = str(root / "input")
+    full = generate_corpus(spark, 100).cache()
+    full.filter(F.col("url").isin(
+        [r["url"] for r in full.limit(60).collect()]
+    )).coalesce(2).write.mode("append").parquet(input_dir)
+    first_urls = {r["url"] for r in spark.read.parquet(input_dir).collect()}
+    rest = full.filter(~F.col("url").isin(list(first_urls)))
+    return input_dir, full, rest, str(root / "out")
+
+
+def test_available_now_drain_then_incremental(spark, corpus_dirs):
+    input_dir, full, rest, out_dir = corpus_dirs
+    d = dictionary_df(spark)
+
+    paths = run_streaming_ingest(spark, input_dir, d, out_dir, n_parts=8)
+    n_docs_1 = spark.read.parquet(paths["docs"]).count()
+    n_tr_1 = spark.read.parquet(paths["triples"]).count()
+    assert n_docs_1 == 60
+    assert n_tr_1 > 0
+
+    # drop the remaining files, re-drain: only the 40 new docs are parsed
+    rest.coalesce(1).write.mode("append").parquet(input_dir)
+    paths = run_streaming_ingest(spark, input_dir, d, out_dir, n_parts=8)
+    docs = spark.read.parquet(paths["docs"])
+    assert docs.count() == 100
+    # no duplicates: each url parsed exactly once across both drains
+    assert docs.select("url").distinct().count() == 100
+
+    # streamed triples == batch-operator triples over the same corpus
+    from ferenda_spark.operators.linking import link_mentions
+    from ferenda_spark.operators.parse import parse_stage, split_parsed
+    from ferenda_spark.operators.triples import assemble_triples
+
+    bdocs, _ = split_parsed(parse_stage(spark.read.parquet(input_dir), n_parts=8))
+    bdocs = bdocs.cache()
+    mentions = bdocs.select(
+        "url", "part_key", F.explode("mentions").alias("m")
+    ).select("url", "part_key", F.col("m.*"))
+    batch = assemble_triples(bdocs, link_mentions(mentions, d)).select(
+        "subj", "pred", "obj"
+    )
+    streamed = spark.read.parquet(paths["triples"]).select("subj", "pred", "obj")
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+    # lineage carries per-epoch metrics rows
+    lin = spark.read.parquet(paths["lineage"])
+    assert lin.filter(F.col("n_in").isNotNull()).count() >= 2
+
+
+def test_streaming_feed_counts_matches_batch(spark, corpus_dirs, tmp_path):
+    input_dir, full, _rest, _out = corpus_dirs
+    agg = streaming_feed_counts(stream_corpus(spark, input_dir))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("feed_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["lang"]): r["n_docs"]
+        for r in spark.sql("SELECT * FROM feed_counts").collect()
+    }
+    expect = {
+        (r["ws"], r["lang"]): r["n"]
+        for r in spark.read.parquet(input_dir)
+        .groupBy(
+            F.date_trunc("hour", F.col("warc_ts")).alias("ws"), F.col("lang")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
