@@ -290,6 +290,134 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_region_nation_leftjoin(spark, sf_dir):
+    """J8-shaped LEFT OUTER broadcast join with coalesce default."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_regionkey") <= 2)
+    return n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_outer"
+    ).select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+        F.coalesce(F.col("r_name"), F.lit("UNKNOWN")).alias("region"),
+    )
+
+
+def _q_rollup_customer_geo(spark, sf_dir):
+    """A1 hierarchical ROLLUP: customer counts by region → nation."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    geo = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        geo.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_g"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_g"),
+            "n_cust",
+            "sum_bal",
+        )
+    )
+
+
+def _q_events_running_total(spark, sf_dir):
+    """Window frame (ROWS UNBOUNDED PRECEDING): running DECIMAL sum per
+    event_type in (ts, event_id) order, on a deterministic subset."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 50 == 0)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_type",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+def _q_events_lag_delta(spark, sf_dir):
+    """lag(): per-user inter-event value delta in (ts, event_id) order."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag(F.col("value").cast("decimal(18,2)")).over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") - prev)
+        .cast("double")
+        .alias("value_delta"),
+    )
+
+
+def _q_natural_sort_priorities(spark, sf_dir):
+    """W2 natural-sort keys (split_numalpha): numeric + alpha parts of
+    o_orderpriority ('1-URGENT') as a sortable (int, str) pair."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderpriority")
+        .distinct()
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.regexp_extract("o_orderpriority", r"^(\d+)", 1)
+            .cast("bigint")
+            .alias("num_part"),
+            F.regexp_extract("o_orderpriority", r"([A-Za-z]+)", 1).alias(
+                "alpha_part"
+            ),
+        )
+    )
+
+
+def _q_toc_page_lists(spark, sf_dir):
+    """A1 toc page lists: per (source, lang) the ordered member list as a
+    join-stable string (sort_array(collect_list) ≡ ORDER BY string_agg)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("members"),
+    )
+
+
+def _q_orders_monthly(spark, sf_dir):
+    """T11 date surface: month bucketing via date_format + year/month."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+def _q_doc_point_lookup(spark, sf_dir):
+    """P2 single-key selection: one doc_id, projection pushdown."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") == 42).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
 # --------------------------------------------------- curation: dedup / text
 
 
@@ -465,6 +593,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3ish": _q_tpch_q3ish,
         "filter_pushdown_part": _q_filter_pushdown_part,
         "events_hourly": _q_events_hourly,
+        "region_nation_leftjoin": _q_region_nation_leftjoin,
+        "rollup_customer_geo": _q_rollup_customer_geo,
+        "events_running_total": _q_events_running_total,
+        "events_lag_delta": _q_events_lag_delta,
+        "natural_sort_priorities": _q_natural_sort_priorities,
+        "toc_page_lists": _q_toc_page_lists,
+        "orders_monthly": _q_orders_monthly,
+        "doc_point_lookup": _q_doc_point_lookup,
         "dedup_exact_stats": _q_dedup_exact_stats,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "embedding_topk": _q_embedding_topk,
@@ -602,6 +738,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY date_trunc('hour', ts)
+        """,
+        "region_nation_leftjoin": """
+            SELECT n.n_nationkey AS nationkey,
+                   n.n_name AS nation,
+                   coalesce(r.r_name, 'UNKNOWN') AS region
+            FROM nation n
+            LEFT OUTER JOIN (SELECT * FROM region WHERE r_regionkey <= 2) r
+              ON n.n_regionkey = r.r_regionkey
+        """,
+        "rollup_customer_geo": """
+            SELECT coalesce(r_name, 'ALL') AS region_g,
+                   coalesce(n_name, 'ALL') AS nation_g,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "events_running_total": """
+            SELECT event_type, event_id,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+                        PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS running_value
+            FROM events WHERE event_id % 50 = 0
+        """,
+        "events_lag_delta": """
+            SELECT user_id, event_id,
+                   CAST(CAST(value AS DECIMAL(18,2))
+                        - lag(CAST(value AS DECIMAL(18,2))) OVER (
+                              PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ) AS DOUBLE) AS value_delta
+            FROM events WHERE user_id < 40
+        """,
+        "natural_sort_priorities": """
+            SELECT o_orderpriority AS priority,
+                   CAST(regexp_extract(o_orderpriority, '^(\\d+)', 1) AS BIGINT) AS num_part,
+                   regexp_extract(o_orderpriority, '([A-Za-z]+)', 1) AS alpha_part
+            FROM (SELECT DISTINCT o_orderpriority FROM orders)
+        """,
+        "toc_page_lists": """
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+            FROM documents GROUP BY source, lang
+        """,
+        "orders_monthly": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+        """,
+        "doc_point_lookup": """
+            SELECT doc_id, source, lang, n_chars
+            FROM documents WHERE doc_id = 42
         """,
         "dedup_exact_stats": """
             SELECT source,

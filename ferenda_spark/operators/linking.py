@@ -100,89 +100,148 @@ def _char_grams(col) -> F.Column:
     )
 
 
+def _py_grams(s: str) -> frozenset:
+    """Python twin of ``_char_grams`` gram *sets* (unhashed: in-process sets
+    need no 64-bit packing)."""
+    return (
+        frozenset(s[i : i + 3] for i in range(len(s) - 2))
+        if len(s) >= 3
+        else frozenset((s,))
+    )
+
+
+class _GramIndex:
+    """Prefix-filtered inverted index over a dictionary's char-3-gram sets
+    (AllPairs/ppjoin family, Bayardo et al. WWW'07; Xiao et al. WWW'08).
+
+    Grams are globally ordered by dictionary document-frequency (rarest
+    first; ties by gram) — the vocabulary id IS that order. Each entry is
+    indexed ONLY under its |B|−⌈s·|B|⌉+1 rarest grams, with the gram's
+    position q in the entry's ordered set on the posting — hot template
+    grams sort last and never enter the index, so posting lists stay
+    short. Probing applies the ppjoin positional filter before exact
+    set-Jaccard verification: a candidate met via gram positions (p, q)
+    can overlap by at most 1 + min(na−p−1, nb−q−1), and J ≥ s needs
+    overlap ≥ ⌈s/(1+s)·(na+nb)⌉, so most frequency-band collisions are
+    dropped without touching their gram sets. Grams absent from the
+    dictionary can't match; they count toward |A| and consume prefix
+    slots (they sort before every seen gram, having df=0).
+    """
+
+    def __init__(self, entries: list[tuple[str, str]], s_min: float):
+        import math
+
+        gsets = [_py_grams(k) for k, _ in entries]
+        df: dict[str, int] = {}
+        for gs in gsets:
+            for g in gs:
+                df[g] = df.get(g, 0) + 1
+        vocab_sorted = sorted(df, key=lambda g: (df[g], g))
+        self.vocab = {g: i for i, g in enumerate(vocab_sorted)}
+        self.gsets = gsets
+        self.sizes = [len(gs) for gs in gsets]
+        self.uris = [u for _, u in entries]
+        # postings: vocab id -> [(entry id, gram position in entry)]
+        postings: dict[int, list[tuple[int, int]]] = {}
+        for i, gs in enumerate(gsets):
+            ids = sorted(self.vocab[g] for g in gs)
+            plen = len(gs) - math.ceil(s_min * len(gs)) + 1
+            for q, v in enumerate(ids[:plen]):
+                postings.setdefault(v, []).append((i, q))
+        self.postings = postings
+        self.s_min = s_min
+
+    def probe(self, key: str, threshold: float):
+        """Best (jaccard ≤ threshold) entry for `key`, ties broken on
+        (jaccard, canonical_uri); None if nothing qualifies."""
+        import math
+
+        ka = _py_grams(key)
+        na = len(ka)
+        kv = sorted(self.vocab[g] for g in ka if g in self.vocab)
+        plen = na - math.ceil(self.s_min * na) + 1
+        n_probe = plen - (na - len(kv))  # unseen grams consume slots only
+        if n_probe <= 0:
+            return None
+        s = self.s_min
+        postings, sizes = self.postings, self.sizes
+        best = None
+        seen: set[int] = set()
+        for p in range(min(n_probe, len(kv))):
+            plist = postings.get(kv[p])
+            if plist is None:
+                continue
+            for i, q in plist:
+                if i in seen:
+                    continue
+                seen.add(i)
+                nb = sizes[i]
+                if min(na, nb) < s * max(na, nb):
+                    continue
+                # ppjoin positional filter
+                alpha = math.ceil(s / (1.0 + s) * (na + nb))
+                if 1 + min(na - p - 1, nb - q - 1) < alpha:
+                    continue
+                kb = self.gsets[i]
+                c = len(ka & kb)
+                jac = 1.0 - c / (na + nb - c)
+                if jac <= threshold and (
+                    best is None or (jac, self.uris[i]) < best
+                ):
+                    best = (jac, self.uris[i])
+        return best[1] if best is not None else None
+
+
 def _ngram_tier(
     unresolved: DataFrame, dictionary: DataFrame, threshold: float
 ) -> DataFrame:
-    """EXACT char-3-gram Jaccard against the broadcast dictionary via
-    AllPairs-style prefix filtering.
+    """EXACT char-3-gram Jaccard against a broadcast in-process gram index —
+    ONE shuffle-free mapInPandas stage over the distinct unresolved keys.
 
-    A naive inverted-index join on ALL grams explodes on "stop-grams":
-    dictionary names share template words, so hot grams fan out to
-    thousands of entries (measured: one gram in 3.5k of 6.9k entries →
-    ~10^8 joined rows for ~4k probe keys). Prefix filtering bounds this:
-    order the gram universe by dictionary document-frequency (rarest
-    first); J(A,B) ≥ s requires |A∩B| ≥ ⌈s·|A|⌉ and ≥ ⌈s·|B|⌉, so the
-    rarest |X|−⌈s·|X|⌉+1 grams of each side must share an element
-    (AllPairs/ppjoin prefix theorem, Bayardo et al., WWW'07). Candidates =
-    equi-join of the two prefixes only — the hot template grams sort last
-    and never enter a prefix — then exact-Jaccard verify on the candidate
-    pairs via array_intersect of the full gram sets.
-
-    Distinct-keys-first keeps the probe side at vocabulary size, not
-    mention count; the df table and dictionary side are broadcast. The
-    per-set windows partition by alias key (vocabulary-sized, skew-free).
+    Why not DataFrame joins: the match is vocabulary-sized (distinct
+    surface forms × dictionary), but expressing prefix-filtered set-
+    similarity relationally costs ~20 tiny shuffle stages (gram explode,
+    df table, two ranking windows, candidate join, verify join, best-match
+    window) whose fixed per-job cost dominates and *worsens* with core
+    count (measured: 25s at local[8] → 64s at local[32] for an 11k-key ×
+    6.9k-entry match). Here the dictionary — broadcast-sized BY CONTRACT
+    in this tier (`auto` routes bigger dictionaries to `_lsh_tier`) — ships
+    once per executor as a Spark broadcast; each worker builds the
+    prefix-filtered inverted index once, probes its keys through the
+    index (candidate generation via the key's own prefix under the same
+    global gram order — the AllPairs guarantee), and verifies candidates
+    with exact set Jaccard. Zero shuffles, embarrassingly parallel,
+    deterministic (ties break on (jaccard, canonical_uri)).
     """
+    from typing import Iterator
+
+    import pandas as pd
+
     s_min = 1.0 - threshold  # minimum Jaccard similarity
-    keys = (
-        unresolved.select("alias_key").distinct()
-        .withColumn("_ka", _char_grams("alias_key"))
-        .withColumn("_na", F.size("_ka"))
-    )
-    d = (
-        dictionary.select(
-            F.col("alias_key").alias("_dict_key"), "canonical_uri"
-        )
-        .withColumn("_kb", _char_grams("_dict_key"))
-        .withColumn("_nb", F.size("_kb"))
-    )
-    d_grams = d.select("_dict_key", "_nb", F.explode("_kb").alias("_g"))
-    gram_df = d_grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    spark = unresolved.sparkSession
+    entries = [
+        (r["alias_key"], r["canonical_uri"])
+        for r in dictionary.select("alias_key", "canonical_uri").collect()
+    ]
+    bc = spark.sparkContext.broadcast(entries)
 
-    def _prefix(grams: DataFrame, id_col: str, size_col: str) -> DataFrame:
-        ranked = grams.join(F.broadcast(gram_df), "_g", "left").na.fill(
-            {"_df": 0}  # grams absent from the dictionary sort first (rarest)
-        )
-        w = Window.partitionBy(id_col).orderBy("_df", "_g")
-        plen = F.col(size_col) - F.ceil(F.col(size_col) * F.lit(s_min)) + 1
-        return (
-            ranked.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= plen)
-            .select(id_col, "_g")
-        )
+    def _match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index = _GramIndex(bc.value, s_min)
+        for pdf in batches:
+            out_k, out_u = [], []
+            for key in pdf["alias_key"]:
+                uri = index.probe(key, threshold)
+                if uri is not None:
+                    out_k.append(key)
+                    out_u.append(uri)
+            yield pd.DataFrame(
+                {"alias_key": out_k, "canonical_uri": out_u}
+            )
 
-    k_grams = keys.select("alias_key", "_na", F.explode("_ka").alias("_g"))
-    k_pref = _prefix(k_grams, "alias_key", "_na")
-    d_pref = _prefix(d_grams, "_dict_key", "_nb")
-    cand_ids = k_pref.join(F.broadcast(d_pref), "_g").select(
-        "alias_key", "_dict_key"
-    ).distinct()
-    # verify: exact Jaccard on the full gram sets of the candidate pairs.
-    # Length-ratio prune first (J≥s ⇒ min(|A|,|B|) ≥ s·max(|A|,|B|)), and
-    # materialize the intersection size once — an expression that names
-    # `inter` twice would evaluate array_intersect twice per pair.
-    cand = (
-        cand_ids.join(keys, "alias_key")
-        .join(F.broadcast(d), "_dict_key")
-        .filter(
-            F.least("_na", "_nb")
-            >= F.ceil(F.greatest("_na", "_nb") * F.lit(s_min))
-        )
-        .withColumn("_c", F.size(F.array_intersect("_ka", "_kb")))
-        .withColumn(
-            "jaccard",
-            F.lit(1.0)
-            - F.col("_c").cast("double")
-            / (F.col("_na") + F.col("_nb") - F.col("_c")),
-        )
-        .filter(F.col("jaccard") <= threshold)
-    )
-    best = Window.partitionBy("alias_key").orderBy(
-        F.col("jaccard").asc(), F.col("canonical_uri").asc()
-    )
     resolved_keys = (
-        cand.withColumn("_rn", F.row_number().over(best))
-        .filter(F.col("_rn") == 1)
-        .select("alias_key", "canonical_uri")
+        unresolved.select("alias_key")
+        .distinct()
+        .mapInPandas(_match, "alias_key string, canonical_uri string")
     )
     return (
         unresolved.join(F.broadcast(resolved_keys), "alias_key", "inner")

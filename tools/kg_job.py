@@ -42,12 +42,19 @@ def main() -> None:
 
     t0 = time.monotonic()
     docs, lineage = split_parsed(parse_stage(corpus, n_parts=n_parts))
-    docs = docs.cache()
-    mentions = docs.select(
-        "url", "part_key", F.explode("mentions").alias("m")
-    ).select("url", "part_key", F.col("m.*"))
-    links = link_mentions(mentions, dictionary_df(spark)).cache()
-    n_triples = assemble_triples(docs, links).count()
+    # cache only the columns the KG DAG consumes — the sections struct is
+    # the widest column and this DAG never reads it; mentions are cached
+    # separately so the linking tiers never re-scan the doc structs.
+    slim = docs.select("url", "part_key", "lang", "triples", "mentions").cache()
+    mentions = (
+        slim.select("url", "part_key", F.explode("mentions").alias("m"))
+        .select("url", "part_key", F.col("m.*"))
+        .cache()
+    )
+    links = link_mentions(
+        mentions, dictionary_df(spark), fuzzy_strategy="ngram"
+    ).cache()
+    n_triples = assemble_triples(slim, links).count()
     wall = time.monotonic() - t0
 
     print(
