@@ -458,6 +458,33 @@ def _q_embedding_topk(spark, sf_dir):
     return top.select("id", F.round("cosine", 4).alias("cosine"))
 
 
+def _q_dedup_embedding_exact(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact brute-force baseline (the
+    oracle-comparable form; sign-LSH blocking is the scale path, rows-only
+    as dedup_embedding_lsh)."""
+    from ferenda_spark.operators.dedup import embedding_exact_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_exact_pairs(e, "embedding", "vec_id", threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def _q_shingle_fingerprint_stats(spark, sf_dir):
+    """Document fingerprinting: per-source distinct word-3-gram rolling-hash
+    fingerprints (xxhash64 shingles). Oracle counts distinct shingle strings
+    — equal under 64-bit hash injectivity (collision odds ~n²/2⁶⁴)."""
+    from ferenda_spark.functions.textstats import shingle_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "source", F.explode(shingle_fingerprints(F.col("text"), 3)).alias("sh")
+    )
+    return sh.groupBy("source").agg(
+        F.count_distinct("sh").alias("n_distinct_shingles"),
+        F.count(F.lit(1)).alias("n_shingle_rows"),
+    )
+
+
 def _q_text_quality(spark, sf_dir):
     """Quality-score + token-count rollup per source (curation filters)."""
     from ferenda_spark.functions import textstats as ts
@@ -537,6 +564,17 @@ def _q_kg_entity_links(spark, sf_dir):
     )
 
 
+def _q_dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dups via sign-LSH bucket blocking (the scale path —
+    approx: recall vs the exact baseline asserted in tests; rows-only)."""
+    from ferenda_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        e, "embedding", "vec_id", threshold=0.35, n_planes=4
+    )
+
+
 def _q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup pairs over documents (approx — rows-only)."""
     from ferenda_spark.operators.dedup import minhash_pairs
@@ -603,6 +641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_point_lookup": _q_doc_point_lookup,
         "dedup_exact_stats": _q_dedup_exact_stats,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "dedup_embedding_exact": _q_dedup_embedding_exact,
+        "shingle_fingerprint_stats": _q_shingle_fingerprint_stats,
         "embedding_topk": _q_embedding_topk,
         "text_quality": _q_text_quality,
         "lang_id_counts": _q_lang_id_counts,
@@ -610,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible) below
         "kg_triples": _q_kg_triples,
         "kg_entity_links": _q_kg_entity_links,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "similarity_ivf": _q_similarity_ivf,
@@ -823,6 +864,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
             WHERE c / (sa.sz + sb.sz - c) >= 0.5
+        """,
+        "dedup_embedding_exact": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        """,
+        "shingle_fingerprint_stats": """
+            WITH t AS (
+                SELECT source,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x != '') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT source,
+                       CASE
+                         WHEN len(toks) >= 3 THEN list_distinct(
+                              list_transform(generate_series(1, len(toks) - 2),
+                                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                         WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                         ELSE [] END AS grams
+                FROM t
+            )
+            SELECT source,
+                   CAST(count(DISTINCT gr) AS BIGINT) AS n_distinct_shingles,
+                   CAST(count(*) AS BIGINT) AS n_shingle_rows
+            FROM (SELECT source, unnest(grams) AS gr FROM g)
+            GROUP BY source
         """,
         "embedding_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -312,6 +312,42 @@ def embedding_signature(vec_col: str, n_planes: int = 16) -> F.Column:
     return out.cast("int")
 
 
+def embedding_exact_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dups by brute-force self-join — the
+    baseline the LSH-bucketed ``embedding_near_dup_pairs`` is measured
+    against (recall tests), and the oracle-comparable form (DuckDB
+    ``list_cosine_similarity`` computes the same doubles).
+
+    Scale contract: O(n²) — correct only when one side fits broadcast
+    (n ≲ 10^5). Beyond that, use ``embedding_near_dup_pairs`` (sign-LSH
+    blocking: candidate pairs only). The dot product stays JVM-side
+    (``aggregate``/``zip_with`` higher-order functions, no UDF)."""
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = sig.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

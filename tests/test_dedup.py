@@ -97,3 +97,41 @@ def test_dedup_on_driver_documents(spark):
     groups = dedup.exact_duplicate_groups(docs, "text", "doc_id")
     n_dropped = groups.agg(F.sum(F.col("n_dups") - 1)).collect()[0][0] or 0
     assert kept == n - n_dropped
+
+
+def test_embedding_exact_pairs_matches_numpy(spark):
+    import numpy as np
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = e.toPandas()
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    nrm = np.linalg.norm(V, axis=1)
+    sims = (V @ V.T) / np.outer(nrm, nrm)
+    truth = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.35
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_exact_pairs(e, "embedding", "vec_id", 0.35).collect()
+    }
+    assert got == truth and len(truth) > 0
+
+
+def test_embedding_lsh_is_subset_of_exact(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_exact_pairs(e, "embedding", "vec_id", 0.35).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            e, "embedding", "vec_id", threshold=0.35, n_planes=4
+        ).collect()
+    }
+    # in-bucket verification is exact cosine, so LSH pairs ⊆ exact pairs
+    assert lsh <= exact
