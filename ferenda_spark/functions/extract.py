@@ -102,13 +102,115 @@ class _TextExtractor(HTMLParser):
             self._buf.append(data)
 
 
-def extract_text(raw: bytes) -> str:
-    """bytes → extracted text per the spec above. Pure, deterministic."""
-    charset = sniff_charset(raw)
-    try:
-        html = raw.decode(charset, errors="replace")
-    except LookupError:  # pragma: no cover - alias table prevents this
-        html = raw.decode("utf-8", errors="replace")
+# ---------------------------------------------------------------------------
+# Fast path: a regex tokenizer emitting the SAME event stream as
+# ``html.parser`` for a conservatively-defined well-formed subset of HTML,
+# falling back to the stdlib parser (the normative implementation of the
+# spec) the moment anything outside that subset appears. Equivalence is
+# enforced by differential tests: every golden corpus doc plus a hypothesis
+# fuzz sweep must produce byte-identical output from both paths
+# (tests/test_extract.py). Motivation: html.parser is ~75% of parse-stage
+# wall time; this tokenizer is ~4× faster and parse throughput (triples/sec)
+# is the headline metric.
+# ---------------------------------------------------------------------------
+
+from html import unescape as _unescape
+
+# attribute-free tag — the overwhelmingly common case, matched first
+_PLAIN_TAG_RE = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)(/?)>")
+# strict start tag: alnum name, conventional attributes, optional />
+_FAST_TAG_RE = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s\"'=<>`]+))?"
+    r")*)\s*(/?)>"
+)
+_FAST_ENDTAG_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)\s*>")
+# stdlib closes comments on '--\s*>' (_markupbase._commentclose)
+_COMMENT_CLOSE_RE = re.compile(r"--\s*>")
+_CDATA_END_RE = {
+    t: re.compile(r"</\s*%s" % t, re.IGNORECASE) for t in ("script", "style")
+}
+# full endtag as stdlib endtagfind (used when leaving cdata mode)
+_ENDTAG_FULL_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+
+
+def _fast_scan(html: str, ex: _TextExtractor) -> bool:
+    """Feed ``ex`` the same handle_* event stream ``ex.feed(html)`` would
+    produce, restricted to the verified subset. Returns False when the input
+    leaves the subset — caller must rerun on a fresh extractor via stdlib."""
+    i, n = 0, len(html)
+    cdata: str | None = None
+    find = html.find
+    startswith = html.startswith
+    handle_data = ex.handle_data
+    handle_starttag = ex.handle_starttag
+    handle_endtag = ex.handle_endtag
+    while i < n:
+        if cdata is not None:
+            m = _CDATA_END_RE[cdata].search(html, i)
+            if m is None:
+                return True  # unterminated script/style: stdlib drops the tail
+            if m.start() > i:
+                handle_data(html[i : m.start()])
+            em = _ENDTAG_FULL_RE.match(html, m.start())
+            if em is None or em.group(1).lower() != cdata:
+                return False
+            handle_endtag(cdata)
+            cdata = None
+            i = em.end()
+            continue
+        j = find("<", i)
+        if j < 0:
+            handle_data(_unescape(html[i:]))
+            return True
+        if i < j:
+            seg = html[i:j]
+            handle_data(_unescape(seg) if "&" in seg else seg)
+        i = j
+        c = html[i + 1] if i + 1 < n else ""
+        if c.isascii() and c.isalpha():
+            m = _PLAIN_TAG_RE.match(html, i)
+            sc_group = 2
+            if m is None:
+                m = _FAST_TAG_RE.match(html, i)
+                if m is None:
+                    return False
+                sc_group = 3
+            tag = m.group(1).lower()
+            if m.group(sc_group):
+                ex.handle_startendtag(tag, ())
+            else:
+                handle_starttag(tag, ())
+                if tag in ("script", "style"):
+                    cdata = tag
+            i = m.end()
+        elif c == "/":
+            m = _FAST_ENDTAG_RE.match(html, i)
+            if m is None:
+                return False
+            handle_endtag(m.group(1).lower())
+            i = m.end()
+        elif startswith("<!--", i):
+            m = _COMMENT_CLOSE_RE.search(html, i + 4)
+            if m is None:
+                return False
+            i = m.end()
+        elif c == "?":
+            k = find(">", i + 2)
+            if k < 0:
+                return False
+            i = k + 1
+        elif c == "!":
+            return False  # declarations/doctype/marked sections: stdlib path
+        else:
+            # bare '<' (including a lone one at EOF): stdlib emits it as data
+            handle_data("<")
+            i += 1
+    return True
+
+
+def _extract_stdlib(html: str) -> str:
     p = _TextExtractor()
     try:
         p.feed(html)
@@ -117,5 +219,27 @@ def extract_text(raw: bytes) -> str:
         # html.parser is tolerant; a hard failure still must be deterministic:
         # fall back to whatever chunks were recovered before the error.
         pass
+    p._flush()
+    return "\n\n".join(p.chunks)
+
+
+def _decode(raw: bytes) -> str:
+    charset = sniff_charset(raw)
+    try:
+        return raw.decode(charset, errors="replace")
+    except LookupError:  # pragma: no cover - alias table prevents this
+        return raw.decode("utf-8", errors="replace")
+
+
+def extract_text(raw: bytes) -> str:
+    """bytes → extracted text per the spec above. Pure, deterministic."""
+    html = _decode(raw)
+    p = _TextExtractor()
+    try:
+        ok = _fast_scan(html, p)
+    except Exception:  # pragma: no cover - belt and braces
+        ok = False
+    if not ok:
+        return _extract_stdlib(html)
     p._flush()
     return "\n\n".join(p.chunks)

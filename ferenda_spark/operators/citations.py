@@ -49,24 +49,32 @@ def scan_paragraph(text: str, state: dict) -> list[Ref]:
     the caller MUST feed paragraphs in document order for the Article
     carry-over to resolve like the reference's LegalRef.
     """
+    # substring gates: a C-speed `in` check is a necessary condition for each
+    # regex, so skipping the finditer when it fails changes nothing and saves
+    # most of the scan cost on typical paragraphs.
     hits: list[Ref] = []
-    for m in URL_RE.finditer(text):
-        t = m.group(0).rstrip(_TRAIL_PUNCT)
-        hits.append(Ref(t, t, "url", m.start(), m.start() + len(t)))
-    for m in DIRECTIVE_RE.finditer(text):
-        hits.append(
-            Ref(m.group(0), eu_act_uri("directive", m.group(1), m.group(2)),
-                "eulaw", m.start(), m.end())
-        )
-    for m in REGULATION_RE.finditer(text):
-        hits.append(
-            Ref(m.group(0), eu_act_uri("regulation", m.group(1), m.group(2)),
-                "eulaw", m.start(), m.end())
-        )
-    for m in ARTICLE_RE.finditer(text):
-        hits.append(Ref(m.group(0), "", "article", m.start(), m.end()))
-    for m in ENTITY_RE.finditer(text):
-        hits.append(Ref(m.group(0), None, "entity", m.start(), m.end()))
+    if "http" in text:
+        for m in URL_RE.finditer(text):
+            t = m.group(0).rstrip(_TRAIL_PUNCT)
+            hits.append(Ref(t, t, "url", m.start(), m.start() + len(t)))
+    if "Directive" in text:
+        for m in DIRECTIVE_RE.finditer(text):
+            hits.append(
+                Ref(m.group(0), eu_act_uri("directive", m.group(1), m.group(2)),
+                    "eulaw", m.start(), m.end())
+            )
+    if "Regulation" in text:
+        for m in REGULATION_RE.finditer(text):
+            hits.append(
+                Ref(m.group(0), eu_act_uri("regulation", m.group(1), m.group(2)),
+                    "eulaw", m.start(), m.end())
+            )
+    if "Article" in text:
+        for m in ARTICLE_RE.finditer(text):
+            hits.append(Ref(m.group(0), "", "article", m.start(), m.end()))
+    if " E" in text:
+        for m in ENTITY_RE.finditer(text):
+            hits.append(Ref(m.group(0), None, "entity", m.start(), m.end()))
     hits.sort(key=lambda r: (r.start, r.end))
 
     resolved: list[Ref] = []

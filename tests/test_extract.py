@@ -67,3 +67,89 @@ def test_golden_byte_identity():
         row = by_url[d["url"]]
         assert hashlib.sha256(b).hexdigest() == row["text_sha256"], d["url"]
         assert len(b) == row["text_len"]
+
+
+# ---------------------------------------------------------------------------
+# fast-path / stdlib differential equivalence (the fast tokenizer must be
+# event-stream-identical to html.parser on everything it accepts; anything
+# else must fall back)
+# ---------------------------------------------------------------------------
+
+from ferenda_spark.functions.extract import (  # noqa: E402
+    _decode,
+    _extract_stdlib,
+    _fast_scan,
+    _TextExtractor,
+)
+
+
+def _fast_or_none(html: str):
+    p = _TextExtractor()
+    if not _fast_scan(html, p):
+        return None
+    p._flush()
+    return "\n\n".join(p.chunks)
+
+
+ADVERSARIAL = [
+    "", "<", "a<", "</", "a</", "<p", "abc<p>x</p", "<p>&amp test", "&notaref;",
+    "<p>&amp;</p>", "<!-- unterminated", "<!--c--  >after", "<!-->x",
+    "<!doctype html><p>y</p>", "<script>var a='</div>';</script>ok",
+    "<script>no end", "<SCRIPT>x</ScRiPt>Y", "<script/>visible</script>",
+    "<style>p{}</style>t", "<p/>x", "<br/>y", "<p class='a\"b'>t</p>",
+    '<p data-x = "1 > 2">q</p>', "<p <b>weird</p>", "< p>not a tag</p>",
+    "<3 hearts", "<p>a<  b</p>", "<?pi data>z", "<?unterminated",
+    "<div><ul><li>a<li>b</ul></div>", "<h1>T</h1><p>x<br>y</p>",
+    "<p>x&#65;&#x42;c</p>", "<p>tail&am", "<p>t&ampx</p>", "<td>no block</td>",
+    "</p  >x", "</p attr>x", "<p\tclass=x>tab</p>", "<a href=#>l</a>",
+    "<a href>m</a>", "<em>e</em >f", "<script></script' ></script>g",
+    "<p>&lt;script&gt;</p>", "—<", "x<<p>y",
+]
+
+
+def test_fast_path_matches_stdlib_on_adversarial():
+    for s in ADVERSARIAL:
+        f = _fast_or_none(s)
+        if f is not None:
+            assert f == _extract_stdlib(s), repr(s)
+
+
+def test_fast_path_covers_corpus_without_fallback():
+    """The corpus must ride the fast path (it is the throughput story) AND
+    match the stdlib implementation byte-for-byte."""
+    for i in range(0, 400):
+        html = _decode(gen_doc(i, 400)["html"])
+        f = _fast_or_none(html)
+        assert f is not None, f"doc {i} fell back"
+        assert f == _extract_stdlib(html), f"doc {i} diverged"
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _PIECES = [
+        "<p>", "</p>", "<b>", "</b>", "<br>", "<br/>", "<div>", "</div>",
+        "<li>", "text ", "&amp;", "&", ";", "<", ">", "/", "<!--", "-->",
+        "<script>", "</script>", "<style>", "</style>", "x y", "&eacute;",
+        "&#65;", "&#x42;", "<h2>", "</h2>", "\n", "  ", "<a href='q'>",
+        "</a>", '<p class="z">', "é", "—", "<!", "<?", "?>", "--", "<em/>",
+        "</ p>", "<P>", "</P>", "<SCRIPT>", "</SCRIPT>", "<p/>",
+    ]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.sampled_from(_PIECES), max_size=25).map("".join))
+    def test_fast_path_matches_stdlib_fuzz_pieces(s):
+        f = _fast_or_none(s)
+        if f is not None:
+            assert f == _extract_stdlib(s)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="<>/!-?&;ab pé—\"'=x", max_size=40))
+    def test_fast_path_matches_stdlib_fuzz_chars(s):
+        f = _fast_or_none(s)
+        if f is not None:
+            assert f == _extract_stdlib(s)
+
+except ImportError:  # pragma: no cover
+    pass
