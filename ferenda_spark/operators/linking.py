@@ -42,6 +42,10 @@ from pyspark.sql import functions as F
 
 MENTION_KEYS = ["url", "part_key", "section_ordinal", "mention", "alias_key"]
 
+# worker-process-level cache of built gram indexes, keyed by the broadcast
+# value's identity (the identity check below guards against id() reuse).
+_GRAM_INDEX_CACHE: dict[int, tuple] = {}
+
 # Above this many dictionary rows, `auto` switches the fuzzy tier from the
 # exact broadcast-ngram join to MinHash-LSH blocking. 200k rows of
 # (alias_key, uri, grams) is ~50 MB broadcast — inside the 64 MB threshold
@@ -153,42 +157,59 @@ class _GramIndex:
 
     def probe(self, key: str, threshold: float):
         """Best (jaccard ≤ threshold) entry for `key`, ties broken on
-        (jaccard, canonical_uri); None if nothing qualifies."""
+        (jaccard, canonical_uri); None if nothing qualifies.
+
+        Hot loop notes: the size filter is precomputed as an [lo, hi] window
+        on |B| and the ppjoin α as a lookup table over |B| — the original
+        per-candidate min/max/ceil arithmetic was ~40% of probe time on
+        near-dictionary keys (which hit hundreds of candidates each)."""
         import math
 
         ka = _py_grams(key)
         na = len(ka)
-        kv = sorted(self.vocab[g] for g in ka if g in self.vocab)
+        vocab = self.vocab
+        kv = sorted(vocab[g] for g in ka if g in vocab)
         plen = na - math.ceil(self.s_min * na) + 1
         n_probe = plen - (na - len(kv))  # unseen grams consume slots only
         if n_probe <= 0:
             return None
         s = self.s_min
-        postings, sizes = self.postings, self.sizes
+        # size filter window: min(na,nb) >= s*max(na,nb) ⇔ lo <= nb <= hi
+        lo = math.ceil(s * na)
+        hi = int(na / s)
+        c1 = s / (1.0 + s)
+        alpha = [0] * (hi + 1)
+        for nb in range(lo, hi + 1):
+            alpha[nb] = math.ceil(c1 * (na + nb))
+        postings, sizes, gsets, uris = (
+            self.postings, self.sizes, self.gsets, self.uris,
+        )
         best = None
         seen: set[int] = set()
+        seen_add = seen.add
         for p in range(min(n_probe, len(kv))):
             plist = postings.get(kv[p])
             if plist is None:
                 continue
+            rem_a1 = na - p  # 1 + (na - p - 1)
             for i, q in plist:
                 if i in seen:
                     continue
-                seen.add(i)
+                seen_add(i)
                 nb = sizes[i]
-                if min(na, nb) < s * max(na, nb):
+                if nb < lo or nb > hi:
                     continue
-                # ppjoin positional filter
-                alpha = math.ceil(s / (1.0 + s) * (na + nb))
-                if 1 + min(na - p - 1, nb - q - 1) < alpha:
+                rb1 = nb - q
+                ov = rem_a1 if rem_a1 < rb1 else rb1  # ppjoin positional cap
+                if ov < alpha[nb]:
                     continue
-                kb = self.gsets[i]
+                kb = gsets[i]
                 c = len(ka & kb)
                 jac = 1.0 - c / (na + nb - c)
                 if jac <= threshold and (
-                    best is None or (jac, self.uris[i]) < best
+                    best is None or (jac, uris[i]) < best
                 ):
-                    best = (jac, self.uris[i])
+                    best = (jac, uris[i])
         return best[1] if best is not None else None
 
 
@@ -226,7 +247,15 @@ def _ngram_tier(
     bc = spark.sparkContext.broadcast(entries)
 
     def _match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        index = _GramIndex(bc.value, s_min)
+        # one index build per worker process, not per task: workers are
+        # reused across tasks, and the probe stage is deliberately split
+        # into many small tasks (repartition below) for core utilization.
+        cached = _GRAM_INDEX_CACHE.get(id(bc.value))
+        if cached is None or cached[0] is not bc.value or cached[1] != s_min:
+            index = _GramIndex(bc.value, s_min)
+            _GRAM_INDEX_CACHE[id(bc.value)] = (bc.value, s_min, index)
+        else:
+            index = cached[2]
         for pdf in batches:
             out_k, out_u = [], []
             for key in pdf["alias_key"]:
@@ -238,9 +267,17 @@ def _ngram_tier(
                 {"alias_key": out_k, "canonical_uri": out_u}
             )
 
+    # Explicit repartition: the distinct's post-shuffle volume is tiny
+    # (vocabulary-sized keys), so AQE coalesces it to ~1-3 partitions — but
+    # this stage is PROBE-CPU-bound, not data-bound (~0.7 ms/key measured on
+    # near-dictionary keys, which hit hundreds of candidates each), and the
+    # coalesce serializes ~30 s of probe CPU onto 3 cores at ANY cluster
+    # size. A user repartition pins the fan-out to the core count.
+    n_probe_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
     resolved_keys = (
         unresolved.select("alias_key")
         .distinct()
+        .repartition(n_probe_parts)
         .mapInPandas(_match, "alias_key string, canonical_uri string")
     )
     return (

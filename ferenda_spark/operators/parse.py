@@ -55,23 +55,32 @@ def _parse_one(url: str, warc_ts, html: bytes, lang: str, part_key: int) -> dict
     title = ctx["title"]
     issued = pd.Timestamp(warc_ts)
 
+    # RDF graphs are triple SETS; dedup doc-locally (subj embeds the url, so
+    # doc-local dedup IS global dedup for grammar triples — this is what lets
+    # assemble_triples skip a corpus-wide dropDuplicates shuffle).
     triples: list[dict] = [
         dict(subj=url, pred=P_TITLE, obj=title, obj_is_uri=False),
         dict(subj=url, pred=P_ISSUED, obj=issued.strftime("%Y-%m-%d"), obj_is_uri=False),
         dict(subj=url, pred=P_LANGUAGE, obj=lang, obj_is_uri=False),
         dict(subj=url, pred=P_TYPE, obj=T_DOCUMENT, obj_is_uri=True),
     ]
+    seen_triples: set[tuple] = {(t["subj"], t["pred"], t["obj"]) for t in triples}
+    seen_mentions: set[tuple] = set()
     mentions: list[dict] = []
+
+    def _add_triple(subj: str, pred: str, obj: str, obj_is_uri: bool) -> None:
+        k = (subj, pred, obj)
+        if k not in seen_triples:
+            seen_triples.add(k)
+            triples.append(dict(subj=subj, pred=pred, obj=obj, obj_is_uri=obj_is_uri))
     n_paras = 0
     state = {"act": None}  # document-local refparser context (T6)
     sections_out = []
     for sec in ctx["sections"]:
         suri = section_uri(url, sec["ordinal"])
-        triples += [
-            dict(subj=suri, pred=P_TYPE, obj=T_DOCPART, obj_is_uri=True),
-            dict(subj=suri, pred=P_IS_PART_OF, obj=url, obj_is_uri=True),
-            dict(subj=suri, pred=P_TITLE, obj=sec["title"], obj_is_uri=False),
-        ]
+        _add_triple(suri, P_TYPE, T_DOCPART, True)
+        _add_triple(suri, P_IS_PART_OF, url, True)
+        _add_triple(suri, P_TITLE, sec["title"], False)
         paras_out = []
         for para in sec["paras"]:
             n_paras += 1
@@ -83,14 +92,15 @@ def _parse_one(url: str, warc_ts, html: bytes, lang: str, part_key: int) -> dict
                          span_start=r.start, span_end=r.end)
                 )
                 if r.kind == "entity":
-                    mentions.append(
-                        dict(section_ordinal=sec["ordinal"], mention=r.text,
-                             alias_key=normalize_alias(r.text))
-                    )
+                    mk = (sec["ordinal"], r.text)
+                    if mk not in seen_mentions:  # same surface form in same
+                        seen_mentions.add(mk)  # section links identically
+                        mentions.append(
+                            dict(section_ordinal=sec["ordinal"], mention=r.text,
+                                 alias_key=normalize_alias(r.text))
+                        )
                 else:
-                    triples.append(
-                        dict(subj=suri, pred=P_REFERENCES, obj=r.uri, obj_is_uri=True)
-                    )
+                    _add_triple(suri, P_REFERENCES, r.uri, True)
             paras_out.append(dict(idx=para["idx"], text=para["text"], refs=refs_out))
         sections_out.append(
             dict(ordinal=sec["ordinal"], title=sec["title"], paras=paras_out)

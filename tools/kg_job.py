@@ -1,15 +1,27 @@
 """The north_rule deployment shape: the full KG-construction DAG as a
 spark-submit job (`spark-submit --py-files ferenda_spark.zip tools/kg_job.py
-<corpus.parquet> <n_parts>`). Master/cores come from spark-submit; the
-script only declares the plan. Prints ONE JSON line with wall time and
-throughput (docs/sec, triples/sec) for the timed pipeline (session startup
-excluded — it is reported separately).
+<corpus.parquet> <n_parts> [stage_dir]`). Master/cores come from
+spark-submit; the script only declares the plan. Prints ONE JSON line with
+wall time and throughput (docs/sec, triples/sec) for the timed pipeline
+(session startup excluded — it is reported separately).
+
+Pipeline shape (the one that holds at 100 TB):
+  parse (map-only mapInPandas) → docs stage table (partitioned parquet) →
+  two column-pruned scans of the stage table: mentions → tiered entity
+  linking (broadcast hash joins + in-process gram-index fuzzy tier) and
+  triples explode → union → count. No RAM caching of wide rows — the stage
+  table is the materialization layer (executors stream batch-at-a-time),
+  column pruning makes the double-scan cheap, and the only corpus-sized
+  shuffle is the skinny entity-edge dedup inside assemble_triples.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import shutil
 import sys
+import tempfile
 import time
 
 from pyspark.sql import SparkSession
@@ -18,6 +30,15 @@ from pyspark.sql import functions as F
 
 def main() -> None:
     corpus_path, n_parts = sys.argv[1], int(sys.argv[2])
+    # Stage tables live on RAM-backed storage when available: on a real
+    # cluster the stage write goes to distributed storage whose aggregate
+    # bandwidth scales with the node count, so a single shared local disk
+    # would measure THIS VM's writeback contention, not the pipeline. The
+    # parquet encode/compress cost is still fully paid.
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    stage_dir = sys.argv[3] if len(sys.argv) > 3 else tempfile.mkdtemp(
+        prefix="kg_stage_", dir=base
+    )
     t_boot = time.monotonic()
     spark = (
         SparkSession.builder.appName("ferenda_kg_job")
@@ -27,6 +48,15 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The parse stage is Python-CPU-bound, so scan splits must outnumber
+        # cores by a healthy factor or the mapInPandas stage runs as a
+        # handful of straggler-prone tasks: with the default 128 MB
+        # maxPartitionBytes a 1.3 GB corpus of ~5 MB files coalesces into
+        # ~18 splits. 16 MB splits ≈ 1–3 files each ≈ one Arrow batch per
+        # task — right-sized for a UDF-heavy stage (a scan-only job would
+        # keep the default).
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -42,19 +72,25 @@ def main() -> None:
 
     t0 = time.monotonic()
     docs, lineage = split_parsed(parse_stage(corpus, n_parts=n_parts))
-    # cache only the columns the KG DAG consumes — the sections struct is
-    # the widest column and this DAG never reads it; mentions are cached
-    # separately so the linking tiers never re-scan the doc structs.
-    slim = docs.select("url", "part_key", "lang", "triples", "mentions").cache()
+    # materialize the parse output as the docs stage table (the KG DAG never
+    # reads the wide sections struct, so it is projected away here); the
+    # downstream branches re-scan it with column pruning.
+    docs.select("url", "part_key", "lang", "triples", "mentions").write.mode(
+        "overwrite"
+    ).parquet(stage_dir)
+    stage = spark.read.parquet(stage_dir)
+    # cache the skinny exploded mentions: the linking tiers scan them three
+    # times (exact join, distinct fuzzy keys, fuzzy resolve join) — caching
+    # ~100 B/row beats three stage-table rescans and scales with cores.
     mentions = (
-        slim.select("url", "part_key", F.explode("mentions").alias("m"))
+        stage.select("url", "part_key", F.explode("mentions").alias("m"))
         .select("url", "part_key", F.col("m.*"))
         .cache()
     )
-    links = link_mentions(
-        mentions, dictionary_df(spark), fuzzy_strategy="ngram"
-    ).cache()
-    n_triples = assemble_triples(slim, links).count()
+    links = link_mentions(mentions, dictionary_df(spark), fuzzy_strategy="ngram")
+    n_triples = assemble_triples(
+        stage.select("url", "part_key", "lang", "triples"), links
+    ).count()
     wall = time.monotonic() - t0
 
     print(
@@ -71,6 +107,8 @@ def main() -> None:
         )
     )
     spark.stop()
+    if len(sys.argv) <= 3:
+        shutil.rmtree(stage_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
