@@ -28,83 +28,89 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ferenda_spark.functions.extract import extract_text
-from ferenda_spark.functions.uris import normalize_alias, part_key_col, section_uri
+from ferenda_spark.functions.uris import normalize_alias, part_key_col
 from ferenda_spark.operators.citations import scan_paragraph
 from ferenda_spark.operators.fsm import parse_structure
-from ferenda_spark.schemas import (
-    P_IS_PART_OF,
-    P_ISSUED,
-    P_LANGUAGE,
-    P_REFERENCES,
-    P_TITLE,
-    P_TYPE,
-    PARSED,
-    T_DOCPART,
-    T_DOCUMENT,
-)
+from ferenda_spark.schemas import PARSED
 
 _DOC_NULLS = dict(
     m_partition_id=None, m_n_in=None, m_n_triples=None, m_bytes_in=None, m_wall_ms=None
 )
 
 
-def _parse_one(url: str, warc_ts, html: bytes, lang: str, part_key: int) -> dict:
+def _parse_one(
+    url: str, warc_ts, html: bytes, lang: str, part_key: int,
+    with_sections: bool = True,
+) -> dict:
     text = extract_text(html)
     sha = hashlib.sha256(text.encode("utf-8")).hexdigest()
     ctx = parse_structure(text)
     title = ctx["title"]
     issued = pd.Timestamp(warc_ts)
 
-    # RDF graphs are triple SETS; dedup doc-locally (subj embeds the url, so
-    # doc-local dedup IS global dedup for grammar triples — this is what lets
-    # assemble_triples skip a corpus-wide dropDuplicates shuffle).
+    # Compact triple encoding (schemas.TRIPLE_STRUCT): (section, pred-code,
+    # obj-if-not-derivable); assemble_triples expands to full URIs JVM-side.
+    # RDF graphs are triple SETS, so dedup doc-locally — the expanded subj
+    # embeds the url, making doc-local dedup equal to global dedup for
+    # grammar triples; that is what lets assemble_triples skip a corpus-wide
+    # dropDuplicates shuffle.
     triples: list[dict] = [
-        dict(subj=url, pred=P_TITLE, obj=title, obj_is_uri=False),
-        dict(subj=url, pred=P_ISSUED, obj=issued.strftime("%Y-%m-%d"), obj_is_uri=False),
-        dict(subj=url, pred=P_LANGUAGE, obj=lang, obj_is_uri=False),
-        dict(subj=url, pred=P_TYPE, obj=T_DOCUMENT, obj_is_uri=True),
+        dict(s=-1, p="t", obj=""),  # dcterms:title      <- row.title
+        dict(s=-1, p="d", obj=""),  # dcterms:issued     <- row.issued
+        dict(s=-1, p="l", obj=""),  # dcterms:language   <- row.lang
+        dict(s=-1, p="y", obj=""),  # rdf:type Document
     ]
-    seen_triples: set[tuple] = {(t["subj"], t["pred"], t["obj"]) for t in triples}
+    seen_refs: set[tuple] = set()
     seen_mentions: set[tuple] = set()
     mentions: list[dict] = []
-
-    def _add_triple(subj: str, pred: str, obj: str, obj_is_uri: bool) -> None:
-        k = (subj, pred, obj)
-        if k not in seen_triples:
-            seen_triples.add(k)
-            triples.append(dict(subj=subj, pred=pred, obj=obj, obj_is_uri=obj_is_uri))
     n_paras = 0
     state = {"act": None}  # document-local refparser context (T6)
-    sections_out = []
+    sections_out = [] if with_sections else None
     for sec in ctx["sections"]:
-        suri = section_uri(url, sec["ordinal"])
-        _add_triple(suri, P_TYPE, T_DOCPART, True)
-        _add_triple(suri, P_IS_PART_OF, url, True)
-        _add_triple(suri, P_TITLE, sec["title"], False)
-        paras_out = []
+        k = sec["ordinal"]
+        triples.append(dict(s=k, p="y", obj=""))  # rdf:type DocumentPart
+        triples.append(dict(s=k, p="i", obj=""))  # isPartOf <- url
+        triples.append(dict(s=k, p="t", obj=sec["title"]))
+        paras_out = [] if with_sections else None
         for para in sec["paras"]:
             n_paras += 1
             refs = scan_paragraph(para["text"], state)
-            refs_out = []
+            refs_out = [] if with_sections else None
             for r in refs:
-                refs_out.append(
-                    dict(text=r.text, uri=r.uri, kind=r.kind,
-                         span_start=r.start, span_end=r.end)
-                )
+                if with_sections:
+                    refs_out.append(
+                        dict(text=r.text, uri=r.uri, kind=r.kind,
+                             span_start=r.start, span_end=r.end)
+                    )
                 if r.kind == "entity":
-                    mk = (sec["ordinal"], r.text)
+                    mk = (k, r.text)
                     if mk not in seen_mentions:  # same surface form in same
                         seen_mentions.add(mk)  # section links identically
                         mentions.append(
-                            dict(section_ordinal=sec["ordinal"], mention=r.text,
+                            dict(section_ordinal=k, mention=r.text,
                                  alias_key=normalize_alias(r.text))
                         )
                 else:
-                    _add_triple(suri, P_REFERENCES, r.uri, True)
-            paras_out.append(dict(idx=para["idx"], text=para["text"], refs=refs_out))
-        sections_out.append(
-            dict(ordinal=sec["ordinal"], title=sec["title"], paras=paras_out)
-        )
+                    rk = (k, r.uri)
+                    if rk not in seen_refs:
+                        seen_refs.add(rk)
+                        triples.append(dict(s=k, p="r", obj=r.uri))
+            if with_sections:
+                paras_out.append(
+                    dict(idx=para["idx"], text=para["text"], refs=refs_out)
+                )
+        if with_sections:
+            sections_out.append(
+                dict(ordinal=k, title=sec["title"], paras=paras_out)
+            )
+
+    # order-preserving dedup across ALL compact triples: repeated section
+    # ordinals (malformed docs) would otherwise duplicate structural rows
+    seen: set[tuple] = set()
+    triples = [
+        t for t in triples
+        if (k := (t["s"], t["p"], t["obj"])) not in seen and not seen.add(k)
+    ]
 
     return dict(
         kind="doc",
@@ -114,7 +120,7 @@ def _parse_one(url: str, warc_ts, html: bytes, lang: str, part_key: int) -> dict
         lang=lang,
         issued=issued,
         text_sha256=sha,
-        n_sections=len(sections_out),
+        n_sections=len(ctx["sections"]),
         n_paras=n_paras,
         sections=sections_out,
         triples=triples,
@@ -123,7 +129,9 @@ def _parse_one(url: str, warc_ts, html: bytes, lang: str, part_key: int) -> dict
     )
 
 
-def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _parse_batches(
+    batches: Iterator[pd.DataFrame], with_sections: bool = True
+) -> Iterator[pd.DataFrame]:
     from pyspark import TaskContext
 
     tc = TaskContext.get()
@@ -131,7 +139,7 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         t0 = time.monotonic()
         rows = [
-            _parse_one(u, ts, h, lg, pk)
+            _parse_one(u, ts, h, lg, pk, with_sections)
             for u, ts, h, lg, pk in zip(
                 pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"], pdf["part_key"]
             )
@@ -155,16 +163,28 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows)
 
 
-def parse_stage(corpus: DataFrame, n_parts: int = 64) -> DataFrame:
+def parse_stage(
+    corpus: DataFrame, n_parts: int = 64, with_sections: bool = True
+) -> DataFrame:
     """corpus (input_hint schema) → PARSED rows (docs + metrics).
 
     ``n_parts`` is the logical domain-hash partition count for the stage
     tables — at 100 TB this is O(10^4); locally it stays small so each
     partition holds enough rows to amortize Arrow batch overhead.
+
+    ``with_sections=False`` skips building the nested doc_struct column —
+    the sections tree repeats the full document text, so a consumer that
+    only needs triples+mentions (the KG DAG) halves its Arrow/stage bytes
+    by turning it off.
     """
     with_key = corpus.withColumn("part_key", part_key_col(F.col("url"), n_parts))
     cols = ["url", "warc_ts", "html", "lang", "part_key"]
-    return with_key.select(cols).mapInPandas(_parse_batches, schema=PARSED)
+    fn = (
+        _parse_batches
+        if with_sections
+        else (lambda it: _parse_batches(it, with_sections=False))
+    )
+    return with_key.select(cols).mapInPandas(fn, schema=PARSED)
 
 
 def split_parsed(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -26,7 +26,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ferenda_spark.functions.uris import part_key_col
-from ferenda_spark.schemas import P_ISSUED, P_REFERENCES, P_TITLE
+from ferenda_spark.schemas import (
+    P_IS_PART_OF,
+    P_ISSUED,
+    P_LANGUAGE,
+    P_REFERENCES,
+    P_TITLE,
+    P_TYPE,
+    T_DOCPART,
+    T_DOCUMENT,
+)
 
 
 def assemble_triples(docs: DataFrame, links: DataFrame) -> DataFrame:
@@ -47,17 +56,34 @@ def assemble_triples(docs: DataFrame, links: DataFrame) -> DataFrame:
     - the two sides cannot cross-duplicate: grammar objects live in doc-url /
       {KG_BASE}/eu/ namespaces, entity objects in {KG_BASE}/entity/.
     """
+    # expand the compact per-doc encoding (schemas.TRIPLE_STRUCT) to full
+    # URIs — pure column expressions, whole-stage-codegen'd, shuffle-free
+    s, p, o = F.col("t.s"), F.col("t.p"), F.col("t.obj")
     grammar = docs.select(
-        "url", "part_key", "lang", F.explode("triples").alias("t")
+        "url", "part_key", "lang", "title", "issued",
+        F.explode("triples").alias("t"),
     ).select(
-        F.col("t.subj").alias("subj"),
-        F.col("t.pred").alias("pred"),
-        F.col("t.obj").alias("obj"),
-        F.col("t.obj_is_uri").alias("obj_is_uri"),
-        F.when(
-            ~F.col("t.obj_is_uri") & (F.col("t.pred") == P_TITLE), F.col("lang")
-        ).alias("obj_lang"),
-        F.when(F.col("t.pred") == P_ISSUED, F.lit("xsd:date")).alias("obj_dtype"),
+        F.when(s == -1, F.col("url"))
+        .otherwise(F.concat(F.col("url"), F.lit("#S"), s))
+        .alias("subj"),
+        F.when(p == "t", F.lit(P_TITLE))
+        .when(p == "d", F.lit(P_ISSUED))
+        .when(p == "l", F.lit(P_LANGUAGE))
+        .when(p == "y", F.lit(P_TYPE))
+        .when(p == "i", F.lit(P_IS_PART_OF))
+        .otherwise(F.lit(P_REFERENCES))
+        .alias("pred"),
+        F.when(p == "l", F.col("lang"))
+        .when(p == "i", F.col("url"))
+        .when(p == "d", F.date_format("issued", "yyyy-MM-dd"))
+        .when((p == "y") & (s == -1), F.lit(T_DOCUMENT))
+        .when(p == "y", F.lit(T_DOCPART))
+        .when((p == "t") & (s == -1), F.col("title"))
+        .otherwise(o)
+        .alias("obj"),
+        p.isin("y", "i", "r").alias("obj_is_uri"),
+        F.when(p == "t", F.col("lang")).alias("obj_lang"),
+        F.when(p == "d", F.lit("xsd:date")).alias("obj_dtype"),
         F.col("url").alias("src_url"),
         F.col("part_key"),
     )

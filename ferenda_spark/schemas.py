@@ -71,12 +71,21 @@ SECTION_STRUCT = T.StructType(
     ]
 )
 
+# Compact per-doc triple encoding inside the parse output. Full (subj, pred,
+# obj) strings repeat the url and predicate vocabulary per element, which
+# made the triples array the dominant Arrow-transfer + stage-table cost
+# (~5.5 KB/doc vs ~1.3 KB compact). `operators.triples.assemble_triples`
+# expands to full URIs JVM-side (pure column expressions).
+#   s:  section ordinal; -1 = the document itself
+#   p:  predicate code — t=title d=issued l=language y=rdf:type
+#       i=isPartOf r=references
+#   obj: only where not derivable from the row (section titles, ref targets);
+#        '' for l/i/y/d and the doc-level title (taken from row columns)
 TRIPLE_STRUCT = T.StructType(
     [
-        T.StructField("subj", T.StringType(), True),
-        T.StructField("pred", T.StringType(), True),
+        T.StructField("s", T.IntegerType(), True),
+        T.StructField("p", T.StringType(), True),
         T.StructField("obj", T.StringType(), True),
-        T.StructField("obj_is_uri", T.BooleanType(), True),
     ]
 )
 

@@ -71,13 +71,15 @@ def main() -> None:
     n_docs = corpus.count()  # warm the scan metadata; not part of the DAG
 
     t0 = time.monotonic()
-    docs, lineage = split_parsed(parse_stage(corpus, n_parts=n_parts))
+    docs, lineage = split_parsed(
+        parse_stage(corpus, n_parts=n_parts, with_sections=False)
+    )
     # materialize the parse output as the docs stage table (the KG DAG never
-    # reads the wide sections struct, so it is projected away here); the
+    # reads the doc_struct sections, so the parse skips building them); the
     # downstream branches re-scan it with column pruning.
-    docs.select("url", "part_key", "lang", "triples", "mentions").write.mode(
-        "overwrite"
-    ).parquet(stage_dir)
+    docs.select(
+        "url", "part_key", "lang", "title", "issued", "triples", "mentions"
+    ).write.mode("overwrite").parquet(stage_dir)
     stage = spark.read.parquet(stage_dir)
     # cache the skinny exploded mentions: the linking tiers scan them three
     # times (exact join, distinct fuzzy keys, fuzzy resolve join) — caching
@@ -89,7 +91,8 @@ def main() -> None:
     )
     links = link_mentions(mentions, dictionary_df(spark), fuzzy_strategy="ngram")
     n_triples = assemble_triples(
-        stage.select("url", "part_key", "lang", "triples"), links
+        stage.select("url", "part_key", "lang", "title", "issued", "triples"),
+        links,
     ).count()
     wall = time.monotonic() - t0
 
