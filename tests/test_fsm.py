@@ -76,3 +76,22 @@ def test_golden_struct():
             for s in ctx["sections"]
         ]
         assert got == g["sections"], g["url"]
+
+
+def test_parse_one_compact_dedup_on_repeated_ordinals():
+    """Malformed docs can repeat a section ordinal; the compact triple list
+    must stay a set (structural rows dedup'd, distinct titles both kept)."""
+    from ferenda_spark.operators.parse import _parse_one
+
+    html = (
+        b"<html><head><title>T</title><meta charset=\"utf-8\"></head><body>"
+        b"<h2>Section 2. Alpha</h2><p>one para</p>"
+        b"<h2>Section 2. Beta</h2><p>another para</p>"
+        b"</body></html>"
+    )
+    row = _parse_one("https://d00.example.com/x/1.html", "2024-01-01", html, "en", 0)
+    keys = [(t["s"], t["p"], t["obj"]) for t in row["triples"]]
+    assert len(keys) == len(set(keys))
+    titles = {t["obj"] for t in row["triples"] if t["p"] == "t" and t["s"] == 2}
+    assert titles == {"Alpha", "Beta"}
+    assert sum(1 for t in row["triples"] if t["p"] == "y" and t["s"] == 2) == 1
