@@ -94,7 +94,11 @@ def assemble_triples(docs: DataFrame, links: DataFrame) -> DataFrame:
             F.col("url").alias("src_url"),
             F.col("part_key"),
         )
-        .dropDuplicates(["subj", "obj"])
+        # full-row distinct ≡ dedup on (subj, obj): src_url/part_key are
+        # functions of subj. distinct() compiles to a codegen'd partial+final
+        # HashAggregate; dropDuplicates(subset) would need first() and fall
+        # back to SortAggregate.
+        .distinct()
         .select(
             "subj",
             F.lit(P_REFERENCES).alias("pred"),
