@@ -24,7 +24,9 @@ from ferenda_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "4000"))
+# 20k docs ≈ the same wall as 4k (session + fixed costs dominate below
+# this) but reports steady-state docs/sec rather than overhead-bound numbers
+KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))
 
 BENCH_QUERIES = [
     "tpch_q1ish",
