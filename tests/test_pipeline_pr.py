@@ -57,3 +57,38 @@ def test_docmeta_pivot(spark, emitted):
     assert dm.count() == N
     row = dm.filter(F.col("title").isNull()).count()
     assert row == 0
+
+
+def test_parse_is_batch_composition_invariant(spark):
+    """SURVEY §7.4: per-doc FSM/refparser state must never leak across docs
+    in an Arrow batch — the same corpus parsed under different partitionings
+    and batch sizes must produce identical rows."""
+    from ferenda_spark.operators.parse import parse_stage, split_parsed
+    from ferenda_spark.sources.corpus import generate_corpus
+
+    def canon(docs_df):
+        rows = docs_df.collect()
+        return sorted(
+            (
+                r["url"],
+                r["text_sha256"],
+                tuple(sorted((t["s"], t["p"], t["obj"]) for t in r["triples"])),
+                tuple(sorted((m["section_ordinal"], m["mention"]) for m in r["mentions"])),
+            )
+            for r in rows
+        )
+
+    base = generate_corpus(spark, 120, n_slices=2)
+    a, _ = split_parsed(parse_stage(base, n_parts=8))
+    got_a = canon(a)
+    # different physical layout: more, smaller partitions + tiny Arrow batches
+    scrambled = generate_corpus(spark, 120, n_slices=2).repartition(13)
+    conf = spark.conf
+    old = conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        b, _ = split_parsed(parse_stage(scrambled, n_parts=8))
+        got_b = canon(b)
+    finally:
+        conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got_a == got_b
