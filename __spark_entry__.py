@@ -178,6 +178,42 @@ def _q_annotations_agg(spark, sf_dir):
     )
 
 
+def _q_exists_semijoin(spark, sf_dir):
+    """Correlated EXISTS → LEFT SEMI join: customers with at least one
+    urgent order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+def _q_priority_pivot(spark, sf_dir):
+    """Static pivot by conditional aggregation (stays ONE HashAggregate —
+    never DataFrame.pivot for a known category set)."""
+    o = _t(spark, sf_dir, "orders")
+    pri = lambda p: F.sum(
+        F.when(F.col("o_orderpriority").startswith(p), 1).otherwise(0)
+    )
+    return o.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        pri("1").alias("n_urgent"),
+        pri("2").alias("n_high"),
+        pri("3").alias("n_medium"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+def _q_acctbal_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per market segment (Spark
+    `percentile` == DuckDB `quantile_cont`; rounded for float parity)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.percentile(F.col("c_acctbal"), F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(F.col("c_acctbal"), F.lit(0.9)), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
 def _q_union_nations(spark, sf_dir):
     """U1/U2: union + distinct across sources."""
     c = _t(spark, sf_dir, "customer").select(
@@ -624,6 +660,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precedence_latest": _q_precedence_latest,
         "keyword_counts": _q_keyword_counts,
         "annotations_agg": _q_annotations_agg,
+        "exists_semijoin": _q_exists_semijoin,
+        "priority_pivot": _q_priority_pivot,
+        "acctbal_percentiles": _q_acctbal_percentiles,
         "union_nations": _q_union_nations,
         "except_nations": _q_except_nations,
         "scalar_surface": _q_scalar_surface,
@@ -721,6 +760,29 @@ def oracle_sql() -> dict[str, str]:
                        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
                 FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 6
             ) a JOIN orders o ON a.l_orderkey = o.o_orderkey
+        """,
+        "exists_semijoin": """
+            SELECT c_custkey, c_nationkey FROM customer c
+            WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
+        """,
+        "priority_pivot": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                   CAST(sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+                   CAST(sum(CASE WHEN o_orderpriority LIKE '2%' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                   CAST(sum(CASE WHEN o_orderpriority LIKE '3%' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM orders GROUP BY year(o_orderdate)
+        """,
+        "acctbal_percentiles": """
+            SELECT c_mktsegment,
+                   round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+                   round(quantile_cont(c_acctbal, 0.9), 4) AS p90,
+                   CAST(count(*) AS BIGINT) AS n_cust
+            FROM customer GROUP BY c_mktsegment
         """,
         "union_nations": """
             SELECT c_nationkey AS nationkey FROM customer
