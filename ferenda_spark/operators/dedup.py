@@ -84,11 +84,17 @@ def ngram_jaccard_pairs(
         F.explode(shingle_fingerprints(F.col(text_col), k)).alias("sh"),
     ).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    rare = (
-        sh.withColumn("df_", F.count(F.lit(1)).over(Window.partitionBy("sh")))
-        .filter(F.col("df_") <= max_shingle_df)
-        .drop("df_")
+    # hot-shingle cap via groupBy + anti-join, not a window: the window form
+    # sorts every (id, shingle) row inside a shuffle; the hot set is tiny by
+    # definition (shingles in > max_shingle_df docs), so the partial-agg
+    # groupBy + (AQE-broadcast) anti-join keeps the cap map-side.
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") > max_shingle_df)
+        .select("sh")
     )
+    rare = sh.join(hot, "sh", "left_anti")
     a = rare.withColumnRenamed("id", "id_a")
     b = rare.withColumnRenamed("id", "id_b")
     common = (
