@@ -69,7 +69,7 @@ def materialize_corpus(spark, n_docs: int) -> str:
 def kg_pipeline(spark, corpus_path: str) -> int:
     """The north_star workload: corpus table → parse (mapInPandas) →
     exact+LSH entity linking → triple assembly. Returns triple count."""
-    from ferenda_spark.operators.linking import link_mentions
+    from ferenda_spark.operators.linking import link_mentions_onepass
     from ferenda_spark.operators.parse import parse_stage, split_parsed
     from ferenda_spark.operators.triples import assemble_triples
     from ferenda_spark.sources.corpus import dictionary_df
@@ -80,12 +80,9 @@ def kg_pipeline(spark, corpus_path: str) -> int:
     mentions = docs.select(
         "url", "part_key", F.explode("mentions").alias("m")
     ).select("url", "part_key", F.col("m.*"))
-    # links is tiny (O(mentions)) and feeds two join branches in
-    # assemble_triples — cache it or the whole linking DAG re-executes.
-    links = link_mentions(mentions, dictionary_df(spark)).cache()
+    links = link_mentions_onepass(mentions, dictionary_df(spark))
     n = assemble_triples(docs, links).count()
     docs.unpersist()
-    links.unpersist()
     return n
 
 

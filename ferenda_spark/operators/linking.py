@@ -345,6 +345,85 @@ def _lsh_tier(
     )
 
 
+def link_mentions_onepass(
+    mentions: DataFrame, dictionary: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Row-identical to ``link_mentions(exact_strategy='broadcast',
+    fuzzy_strategy='ngram')`` — same rows, same tier labels — but as ONE
+    resolve stage + ONE broadcast hash join instead of the three-scan tier
+    cascade. This is the deployment path of tools/kg_job.py.
+
+    Why: the tiered cascade costs ~6 extra stages (exact join, anti-join,
+    distinct, fuzzy resolve, fuzzy join, union), each with fixed driver/
+    codegen/scheduling cost that does NOT shrink with cores — measured as
+    the link phase *anti-scaling* from 31 s at local[4] to ~50 s at
+    local[16] on a 1M-doc corpus. Since both lookup structures are
+    broadcast-sized BY CONTRACT (same contract as the tiered broadcast/
+    ngram pair), every key can be resolved in one in-process pass:
+
+    1. distinct alias keys — the only shuffle, vocabulary-sized, partial
+       aggregation map-side;
+    2. one mapInPandas resolve stage over the keys: exact dictionary hash
+       lookup (tier 'exact'), miss → prefix-filtered gram-index probe
+       (tier 'ngram') — same ``_GramIndex``, same tie-breaking;
+    3. ONE broadcast hash join mentions ⋈ resolved(alias_key) — this is
+       the J3 "broadcast/hash-join entity linking" of the north_star; the
+       salted shuffle variant for over-broadcast dictionaries remains
+       ``_exact_salted``.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    s_min = 1.0 - threshold
+    spark = mentions.sparkSession
+    entries = [
+        (r["alias_key"], r["canonical_uri"], r["is_exact"])
+        for r in dictionary.select(
+            "alias_key", "canonical_uri", "is_exact"
+        ).collect()
+    ]
+    bc = spark.sparkContext.broadcast(entries)
+
+    def _resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cached = _GRAM_INDEX_CACHE.get(id(bc.value))
+        if cached is None or cached[0] is not bc.value or cached[1] != s_min:
+            exact = {k: u for k, u, ex in bc.value if ex}
+            index = _GramIndex([(k, u) for k, u, _ in bc.value], s_min)
+            _GRAM_INDEX_CACHE[id(bc.value)] = (bc.value, s_min, (exact, index))
+        else:
+            exact, index = cached[2]
+        for pdf in batches:
+            out_k, out_u, out_t = [], [], []
+            for key in pdf["alias_key"]:
+                uri = exact.get(key)
+                if uri is not None:
+                    tier = "exact"
+                else:
+                    uri = index.probe(key, threshold)
+                    tier = "ngram"
+                if uri is not None:
+                    out_k.append(key)
+                    out_u.append(uri)
+                    out_t.append(tier)
+            yield pd.DataFrame(
+                {"alias_key": out_k, "canonical_uri": out_u, "tier": out_t}
+            )
+
+    n_probe_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
+    resolved = (
+        mentions.select("alias_key")
+        .distinct()
+        .repartition(n_probe_parts)
+        .mapInPandas(
+            _resolve, "alias_key string, canonical_uri string, tier string"
+        )
+    )
+    return mentions.join(F.broadcast(resolved), "alias_key", "inner").select(
+        *MENTION_KEYS, "canonical_uri", "tier"
+    )
+
+
 def link_mentions(
     mentions: DataFrame,
     dictionary: DataFrame,

@@ -92,3 +92,27 @@ def test_full_cascade_tiers(spark, dict_df):
     assert rows[abbrev] == (canonical_uri_of(1), "exact")
     # auto strategy: small dictionary → exact-ngram fuzzy tier
     assert rows[typo][0] == canonical_uri_of(1) and rows[typo][1] == "ngram"
+
+
+def test_onepass_equals_tiered_cascade(spark, dict_df):
+    """link_mentions_onepass (the kg_job deployment path) is row-identical —
+    including tier labels — to the tiered broadcast+ngram cascade."""
+    from ferenda_spark.operators.linking import link_mentions_onepass
+
+    names = [_entity_name(i)[0] for i in range(12)]
+    abbrevs = [
+        "".join(w[0] for w in n.split()[:-1]).upper() + " " + n.split()[-1]
+        for n in names[:4]
+    ]
+    typos = [
+        n.split()[0][:2] + n.split()[0][3:] + " " + " ".join(n.split()[1:])
+        for n in names[4:8]
+    ]
+    garbage = ["Qqqq Wwww Xxxx Zzzz", "mmmmm nnnnn"]
+    m = _mentions_df(spark, names + abbrevs + typos + garbage)
+    key = lambda r: (r["url"], r["mention"], r["canonical_uri"], r["tier"])
+    tiered = sorted(
+        map(key, link_mentions(m, dict_df, fuzzy_strategy="ngram").collect())
+    )
+    onepass = sorted(map(key, link_mentions_onepass(m, dict_df).collect()))
+    assert tiered == onepass and len(onepass) >= len(names)

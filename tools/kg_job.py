@@ -7,12 +7,14 @@ wall time and throughput (docs/sec, triples/sec) for the timed pipeline
 
 Pipeline shape (the one that holds at 100 TB):
   parse (map-only mapInPandas) → docs stage table (partitioned parquet) →
-  two column-pruned scans of the stage table: mentions → tiered entity
-  linking (broadcast hash joins + in-process gram-index fuzzy tier) and
-  triples explode → union → count. No RAM caching of wide rows — the stage
-  table is the materialization layer (executors stream batch-at-a-time),
-  column pruning makes the double-scan cheap, and the only corpus-sized
-  shuffle is the skinny entity-edge dedup inside assemble_triples.
+  column-pruned scans of the stage table: mentions → one-pass entity
+  linking (vocabulary-sized key resolve + ONE broadcast hash join;
+  linking.link_mentions_onepass) and triples explode → union → count.
+  No RAM caching of wide rows — the stage table is the materialization
+  layer (executors stream batch-at-a-time), column pruning makes the
+  re-scan cheap, and the only corpus-sized shuffles are the tiny distinct
+  over alias keys and the skinny entity-edge dedup inside
+  assemble_triples.
 """
 
 from __future__ import annotations
@@ -62,7 +64,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     boot_s = time.monotonic() - t_boot
 
-    from ferenda_spark.operators.linking import link_mentions
+    from ferenda_spark.operators.linking import link_mentions_onepass
     from ferenda_spark.operators.parse import parse_stage, split_parsed
     from ferenda_spark.operators.triples import assemble_triples
     from ferenda_spark.sources.corpus import dictionary_df
@@ -80,21 +82,22 @@ def main() -> None:
     docs.select(
         "url", "part_key", "lang", "title", "issued", "triples", "mentions"
     ).write.mode("overwrite").parquet(stage_dir)
+    t_parse = time.monotonic() - t0
     stage = spark.read.parquet(stage_dir)
-    # cache the skinny exploded mentions: the linking tiers scan them three
-    # times (exact join, distinct fuzzy keys, fuzzy resolve join) — caching
-    # ~100 B/row beats three stage-table rescans and scales with cores.
-    mentions = (
-        stage.select("url", "part_key", F.explode("mentions").alias("m"))
-        .select("url", "part_key", F.col("m.*"))
-        .cache()
-    )
-    links = link_mentions(mentions, dictionary_df(spark), fuzzy_strategy="ngram")
+    # one-pass linking scans mentions exactly twice (distinct keys + final
+    # broadcast join) — two cheap column-pruned scans of the stage table, so
+    # no cache: materializing a corpus-sized cache costs more than it saves
+    # and its eviction behavior is concurrency-dependent.
+    mentions = stage.select(
+        "url", "part_key", F.explode("mentions").alias("m")
+    ).select("url", "part_key", F.col("m.*"))
+    links = link_mentions_onepass(mentions, dictionary_df(spark))
     n_triples = assemble_triples(
         stage.select("url", "part_key", "lang", "title", "issued", "triples"),
         links,
     ).count()
     wall = time.monotonic() - t0
+    t_link = wall - t_parse
 
     print(
         json.dumps(
@@ -104,6 +107,8 @@ def main() -> None:
                 "n_triples": n_triples,
                 "boot_s": round(boot_s, 2),
                 "pipeline_s": round(wall, 3),
+                "parse_s": round(t_parse, 3),
+                "link_s": round(t_link, 3),
                 "docs_per_sec": round(n_docs / wall, 1),
                 "triples_per_sec": round(n_triples / wall, 1),
             }
