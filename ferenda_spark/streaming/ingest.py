@@ -69,7 +69,7 @@ def run_streaming_ingest(
     exactly-once. The ledger-based batch pipeline stays the strict-
     idempotence path.)
     """
-    from ferenda_spark.operators.linking import link_mentions
+    from ferenda_spark.operators.linking import link_mentions_onepass
     from ferenda_spark.operators.parse import parse_stage, split_parsed
     from ferenda_spark.operators.triples import assemble_triples
 
@@ -91,7 +91,10 @@ def run_streaming_ingest(
             mentions = docs.select(
                 "url", "part_key", F.explode("mentions").alias("m")
             ).select("url", "part_key", F.col("m.*"))
-            links = link_mentions(mentions, dictionary)
+            # one-pass linking: a micro-batch pays the link DAG's *fixed*
+            # stage costs every epoch, so the single-resolve+single-join
+            # form matters even more here than in the batch job
+            links = link_mentions_onepass(mentions, dictionary)
             assemble_triples(docs, links).write.mode("append").parquet(
                 paths["triples"]
             )
