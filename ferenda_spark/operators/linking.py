@@ -365,7 +365,11 @@ def link_mentions_onepass(
        aggregation map-side;
     2. one mapInPandas resolve stage over the keys: exact dictionary hash
        lookup (tier 'exact'), miss → prefix-filtered gram-index probe
-       (tier 'ngram') — same ``_GramIndex``, same tie-breaking;
+       (tier 'ngram') — same ``_GramIndex``, same tie-breaking. The key
+       space saturates with corpus size (measured: 9.06M mention rows →
+       50,191 distinct keys at 1M docs; surface-form variation is
+       vocabulary-bounded, not corpus-bounded), so the resolved map stays
+       ~10 MB broadcast at any scale;
     3. ONE broadcast hash join mentions ⋈ resolved(alias_key) — this is
        the J3 "broadcast/hash-join entity linking" of the north_star; the
        salted shuffle variant for over-broadcast dictionaries remains
