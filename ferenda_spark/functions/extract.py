@@ -139,61 +139,111 @@ _ENDTAG_FULL_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 
 
 def _fast_scan(html: str, ex: _TextExtractor) -> bool:
-    """Feed ``ex`` the same handle_* event stream ``ex.feed(html)`` would
-    produce, restricted to the verified subset. Returns False when the input
-    leaves the subset — caller must rerun on a fresh extractor via stdlib."""
+    """Produce on ``ex`` the same end state ``ex.feed(html)`` would,
+    restricted to the verified subset. Returns False when the input leaves
+    the subset — caller must rerun on a fresh extractor via stdlib.
+
+    The handler effects of ``_TextExtractor`` are INLINED here (buffering,
+    block flushes, script/style skipping) — ~2× fewer Python calls than
+    dispatching handle_* per event, and this loop is the single hottest
+    code in the parse stage. Invariant exploited: ``_skip_depth > 0`` ⟺
+    cdata mode (skip is only ever entered via a <script>/<style> start tag,
+    whose raw content produces no further tag events), so "drop data while
+    skipping" becomes "never append while cdata is set". Equivalence with
+    the stdlib event stream is enforced by the differential tests in
+    tests/test_extract.py (adversarial + corpus + hypothesis fuzz)."""
     i, n = 0, len(html)
     cdata: str | None = None
     find = html.find
     startswith = html.startswith
-    handle_data = ex.handle_data
-    handle_starttag = ex.handle_starttag
-    handle_endtag = ex.handle_endtag
+    chunks_append = ex.chunks.append
+    buf = ex._buf
+    buf_append = buf.append
+
+    def _fl() -> None:
+        if buf:
+            # " ".join(split()) ≡ collapse \s runs + strip (see _flush)
+            text = " ".join("".join(buf).split())
+            del buf[:]
+            if text:
+                chunks_append(text)
+
     while i < n:
         if cdata is not None:
             m = _CDATA_END_RE[cdata].search(html, i)
             if m is None:
-                return True  # unterminated script/style: stdlib drops the tail
-            if m.start() > i:
-                handle_data(html[i : m.start()])
+                # unterminated script/style: stdlib drops the tail
+                ex._skip_depth = 1
+                return True
             em = _ENDTAG_FULL_RE.match(html, m.start())
             if em is None or em.group(1).lower() != cdata:
                 return False
-            handle_endtag(cdata)
             cdata = None
             i = em.end()
             continue
         j = find("<", i)
         if j < 0:
-            handle_data(_unescape(html[i:]))
+            seg = html[i:]
+            buf_append(_unescape(seg) if "&" in seg else seg)
             return True
         if i < j:
             seg = html[i:j]
-            handle_data(_unescape(seg) if "&" in seg else seg)
+            buf_append(_unescape(seg) if "&" in seg else seg)
         i = j
         c = html[i + 1] if i + 1 < n else ""
         if c.isascii() and c.isalpha():
-            m = _PLAIN_TAG_RE.match(html, i)
-            sc_group = 2
-            if m is None:
+            # string-slice fast path for the dominant cases: '<name>' and
+            # '<name/>' (no attributes) — avoids the regex machinery
+            k = find(">", i + 1)
+            if k < 0:
+                return False
+            name = html[i + 1 : k]
+            selfclose = name.endswith("/")
+            if selfclose:
+                name = name[:-1]
+            if name.isascii() and name.isalnum():
+                tag = name.lower()
+                i = k + 1
+            else:
                 m = _FAST_TAG_RE.match(html, i)
                 if m is None:
                     return False
-                sc_group = 3
-            tag = m.group(1).lower()
-            if m.group(sc_group):
-                ex.handle_startendtag(tag, ())
-            else:
-                handle_starttag(tag, ())
-                if tag in ("script", "style"):
-                    cdata = tag
-            i = m.end()
+                tag = m.group(1).lower()
+                selfclose = bool(m.group(3))
+                i = m.end()
+            if selfclose:
+                if tag in _BLOCK_TAGS or tag == "br":  # handle_startendtag
+                    _fl()
+            elif tag in _SKIP_TAGS:  # handle_starttag
+                cdata = tag
+            elif tag in _BLOCK_TAGS or tag == "br":
+                _fl()
         elif c == "/":
-            m = _FAST_ENDTAG_RE.match(html, i)
-            if m is None:
+            k = find(">", i + 2)
+            if k < 0:
                 return False
-            handle_endtag(m.group(1).lower())
-            i = m.end()
+            name = html[i + 2 : k]
+            # str.rstrip()'s whitespace set equals regex \s (verified
+            # exhaustively — see _flush), so this mirrors _FAST_ENDTAG_RE
+            stripped = name.rstrip()
+            if (
+                stripped
+                and stripped[0].isascii()
+                and stripped[0].isalpha()
+                and stripped.isascii()
+                and stripped.isalnum()
+            ):
+                tag = stripped.lower()
+                i = k + 1
+            else:
+                m = _FAST_ENDTAG_RE.match(html, i)
+                if m is None:
+                    return False
+                tag = m.group(1).lower()
+                i = m.end()
+            # handle_endtag: skip-tag close is a no-op outside cdata
+            if tag in _BLOCK_TAGS:
+                _fl()
         elif startswith("<!--", i):
             m = _COMMENT_CLOSE_RE.search(html, i + 4)
             if m is None:
@@ -208,7 +258,7 @@ def _fast_scan(html: str, ex: _TextExtractor) -> bool:
             return False  # declarations/doctype/marked sections: stdlib path
         else:
             # bare '<' (including a lone one at EOF): stdlib emits it as data
-            handle_data("<")
+            buf_append("<")
             i += 1
     return True
 
