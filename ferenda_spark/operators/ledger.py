@@ -114,11 +114,9 @@ def _exists(path: str) -> bool:
 
 def write_stage_partitioned(df: DataFrame, path: str) -> None:
     """Idempotent stage-table write: dynamic partition overwrite on part_key.
-    Re-running a subset of partitions replaces exactly those directories
-    (spark.sql.sources.partitionOverwriteMode=dynamic, set in session.py)."""
-    (
-        df.repartition("part_key")
-        .write.mode("overwrite")
-        .partitionBy("part_key")
-        .parquet(path)
-    )
+    Re-running a subset of partitions replaces exactly those partitions
+    (spark.sql.sources.partitionOverwriteMode=dynamic, set in session.py;
+    Iceberg mode gets the same semantics with snapshot isolation on top)."""
+    from ferenda_spark.sources import catalog
+
+    catalog.overwrite_partitions(df, path, partition_by=("part_key",))

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ferenda_spark.functions.uris import part_key_col
+from ferenda_spark.sources import catalog
 from ferenda_spark.schemas import (
     P_IS_PART_OF,
     P_ISSUED,
@@ -113,27 +114,22 @@ def assemble_triples(docs: DataFrame, links: DataFrame) -> DataFrame:
     return grammar.unionByName(entity)
 
 
-def write_spo(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
-    (
-        triples.repartition("part_key")
-        .sortWithinPartitions("subj", "pred")
-        .write.mode(mode)
-        .partitionBy("part_key")
-        .parquet(path)
+def write_spo(triples: DataFrame, path: str) -> None:
+    catalog.overwrite_partitions(
+        triples, path, partition_by=("part_key",), sort_by=("subj", "pred")
     )
 
 
-def write_pos(triples: DataFrame, path: str, n_parts: int = 16,
-              mode: str = "overwrite") -> None:
+def write_pos(triples: DataFrame, path: str, n_parts: int = 16) -> None:
     # obj-hash subpartition keeps per-file sizes bounded for mega-predicates
     # (dcterms:references dominates); pred dir + minmax(obj) gives pruning.
-    (
-        triples.withColumn("obj_bucket", F.pmod(F.xxhash64("obj"), F.lit(n_parts)).cast("int"))
-        .repartition("pred", "obj_bucket")
-        .sortWithinPartitions("obj", "subj")
-        .write.mode(mode)
-        .partitionBy("pred", "obj_bucket")
-        .parquet(path)
+    catalog.overwrite_partitions(
+        triples.withColumn(
+            "obj_bucket", F.pmod(F.xxhash64("obj"), F.lit(n_parts)).cast("int")
+        ),
+        path,
+        partition_by=("pred", "obj_bucket"),
+        sort_by=("obj", "subj"),
     )
 
 

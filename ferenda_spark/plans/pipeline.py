@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ferenda_spark.functions.uris import part_key_col
 from ferenda_spark.operators.ledger import Ledger, write_stage_partitioned
+from ferenda_spark.sources import catalog
 from ferenda_spark.operators.linking import link_mentions
 from ferenda_spark.operators.parse import parse_stage, split_parsed
 from ferenda_spark.operators.rollups import (
@@ -83,7 +84,7 @@ def run_pipeline(
         docs, lineage = split_parsed(parsed)
         write_stage_partitioned(docs, paths["docs"])
         # lineage rows for THIS run's partitions only; append keeps history.
-        lin = spark.read.parquet(paths["docs"]).join(
+        lin = catalog.read_table(spark, paths["docs"]).join(
             ledger.ok_parts("parse"), "part_key", "left_anti"
         )
         lin_rows = (
@@ -102,11 +103,11 @@ def run_pipeline(
                 F.lit(run_id).alias("run_id"),
             )
         )
-        lin_rows.write.mode("append").parquet(paths["lineage"])
+        catalog.append_table(lin_rows, paths["lineage"])
         ledger.mark("parse", lin_rows, run_id=run_id)
 
     # -------------------------------------------------------------- triples
-    docs_tbl = spark.read.parquet(paths["docs"])
+    docs_tbl = catalog.read_table(spark, paths["docs"])
     todo_docs = ledger.pending(docs_tbl, "triples")
     if todo_docs.limit(1).count() > 0:
         mentions = todo_docs.select(
@@ -130,8 +131,8 @@ def run_pipeline(
         # rows from untouched part_keys — rebuild it from the (now complete)
         # SPO table. With Iceberg this becomes a MERGE/replace-partition
         # commit of only affected obj_buckets; plain Parquet rebuilds.
-        write_pos(spark.read.parquet(paths["triples_spo"]), paths["triples_pos"])
-        done = spark.read.parquet(paths["triples_spo"]).join(
+        write_pos(catalog.read_table(spark, paths["triples_spo"]), paths["triples_pos"])
+        done = catalog.read_table(spark, paths["triples_spo"]).join(
             ledger.ok_parts("triples"), "part_key", "left_anti"
         )
         lin_rows = (
@@ -148,19 +149,17 @@ def run_pipeline(
                 F.lit(run_id).alias("run_id"),
             )
         )
-        lin_rows.write.mode("append").parquet(paths["lineage"])
+        catalog.append_table(lin_rows, paths["lineage"])
         ledger.mark("triples", lin_rows, run_id=run_id)
 
     # --------------------------------------------------------------- rollup
-    triples_tbl = spark.read.parquet(paths["triples_spo"])
+    triples_tbl = catalog.read_table(spark, paths["triples_spo"])
     docmeta = docmeta_from_triples(triples_tbl)
     write_stage_partitioned(docmeta, paths["docmeta"])
-    dm = spark.read.parquet(paths["docmeta"])
-    toc_rollup(dm).write.mode("overwrite").parquet(paths["toc"])
-    feeds_topk(dm).write.mode("overwrite").parquet(paths["feeds"])
-    feed_main(dm).write.mode("overwrite").parquet(paths["feed_main"])
-    triple_stats(triples_tbl).write.mode("overwrite").parquet(
-        paths["triple_stats"]
-    )
+    dm = catalog.read_table(spark, paths["docmeta"])
+    catalog.write_table(toc_rollup(dm), paths["toc"])
+    catalog.write_table(feeds_topk(dm), paths["feeds"])
+    catalog.write_table(feed_main(dm), paths["feed_main"])
+    catalog.write_table(triple_stats(triples_tbl), paths["triple_stats"])
     ledger.mark_parts("rollup", [-1], run_id=run_id)
     return paths
