@@ -56,6 +56,33 @@ def test_bytes_roundtrip_non_utf8():
     assert patched == b"\xff\xfeline one\ngood\n\x80tail"
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _LINES = st.lists(
+        st.text(alphabet="abXY <>/&é\t", max_size=8), min_size=0, max_size=12
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(_LINES, _LINES)
+    def test_difflib_patches_roundtrip(src_lines, dst_lines):
+        """Any diff difflib can produce, the applier must replay exactly."""
+        import difflib
+
+        src = "\n".join(src_lines)
+        dst = "\n".join(dst_lines)
+        patch = "\n".join(
+            difflib.unified_diff(src.split("\n"), dst.split("\n"), lineterm="")
+        )
+        if not patch:
+            return  # identical inputs: nothing to apply
+        assert apply_unified_patch(src, patch) == dst
+
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_patch_corpus_end_to_end(spark):
     """One doc patched, the rest byte-identical; parse consumes the result."""
     n = 20
