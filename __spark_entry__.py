@@ -638,6 +638,46 @@ def _q_similarity_ivf(spark, sf_dir):
     return ivf_topk(indexed, cents, "embedding", "vec_id", q, k=10, n_probe=4)
 
 
+def _q_kg_xhtml(spark, sf_dir):
+    """Parsed-layer XHTML+RDFa rendering (render_xhtml port — rows-only:
+    the serializer is column-expression string assembly over nested
+    structs; distill round-trip asserted in tests/test_xhtml.py)."""
+    from ferenda_spark.operators.parse import parse_stage, split_parsed
+    from ferenda_spark.operators.xhtml import render_xhtml
+    from ferenda_spark.sources.corpus import generate_corpus
+
+    docs, _ = split_parsed(parse_stage(generate_corpus(spark, 100), n_parts=8))
+    return render_xhtml(docs).select(
+        "url", F.length("xhtml").alias("n_chars"), F.sha2("xhtml", 256).alias("sha")
+    )
+
+
+def _q_kg_patched_parse(spark, sf_dir):
+    """Patch-before-parse (patch_if_needed port — rows-only: unified-diff
+    application inside the Arrow batch loop). Patches one known doc and
+    parses the corpus; returns per-doc patch status + parse output size."""
+    from ferenda_spark.operators.parse import parse_stage, split_parsed
+    from ferenda_spark.operators.patches import patch_corpus
+    from ferenda_spark.sources.corpus import gen_doc, generate_corpus
+
+    n = 60
+    corpus = generate_corpus(spark, n)
+    target = gen_doc(7, n)
+    lines = target["html"].decode("latin-1").split("\n")
+    li = next(i for i, l in enumerate(lines) if "<p>" in l)
+    patch = (
+        f"@@ -{li + 1},1 +{li + 1},1 @@\n-{lines[li]}\n"
+        f"+<p>Patched by the S8 stage.</p>"
+    )
+    patches = spark.createDataFrame(
+        [(target["url"], patch)], "url string, patch string"
+    )
+    patched = patch_corpus(corpus, patches)
+    docs, _ = split_parsed(parse_stage(patched, n_parts=8))
+    status = patched.select("url", "patched", "patch_error")
+    return docs.select("url", "n_paras", "text_sha256").join(status, "url")
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads → Arrow-batched features."""
     from ferenda_spark.operators.multimodal import (
@@ -694,6 +734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "similarity_ivf": _q_similarity_ivf,
         "media_features": _q_media_features,
+        "kg_xhtml": _q_kg_xhtml,
+        "kg_patched_parse": _q_kg_patched_parse,
     }
 
 
