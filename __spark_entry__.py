@@ -561,6 +561,76 @@ def _q_token_count_bpe(spark, sf_dir):
     )
 
 
+def _doc_triples_view(spark, sf_dir):
+    """documents table exploded to a (subj, pred, obj, obj_is_uri) graph —
+    the input both SPARQL driver queries and their DuckDB oracles share."""
+    d = _t(spark, sf_dir, "documents")
+    subj = F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("subj")
+
+    def leg(pred, obj_col):
+        return d.select(
+            subj,
+            F.lit(pred).alias("pred"),
+            obj_col.alias("obj"),
+            F.lit(False).alias("obj_is_uri"),
+        )
+
+    return (
+        leg("doc:source", F.col("source"))
+        .unionByName(leg("doc:lang", F.col("lang")))
+        .unionByName(leg("doc:nchars", F.col("n_chars").cast("string")))
+    )
+
+
+_DOC_TRIPLES_SQL = """
+            WITH t AS (
+                SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS subj,
+                       'doc:source' AS pred, source AS obj FROM documents
+                UNION ALL
+                SELECT 'doc://' || CAST(doc_id AS VARCHAR),
+                       'doc:lang', lang FROM documents
+                UNION ALL
+                SELECT 'doc://' || CAST(doc_id AS VARCHAR),
+                       'doc:nchars', CAST(n_chars AS VARCHAR) FROM documents
+            )
+"""
+
+
+def _q_sparql_docs(spark, sf_dir):
+    """TripleStore.select parity: SPARQL text compiled to DataFrame joins
+    (3-pattern BGP + numeric/regex FILTER) — oracle is the same graph as
+    explicit SQL self-joins."""
+    from ferenda_spark.operators.sparql import sparql_select
+
+    return sparql_select(
+        _doc_triples_view(spark, sf_dir),
+        """
+        SELECT ?d ?src ?nc WHERE {
+          ?d <doc:source> ?src .
+          ?d <doc:lang> "en" .
+          ?d <doc:nchars> ?nc .
+          FILTER(?nc >= 400 && regex(?src, "^src1[0-9]$"))
+        }
+        """,
+    )
+
+
+def _q_sparql_optional(spark, sf_dir):
+    """TripleStore.select parity: OPTIONAL → left join with a filter scoped
+    inside the optional group (the annotations.rq shape)."""
+    from ferenda_spark.operators.sparql import sparql_select
+
+    return sparql_select(
+        _doc_triples_view(spark, sf_dir),
+        """
+        SELECT ?d ?nc ?de WHERE {
+          ?d <doc:nchars> ?nc . FILTER(?nc < 60)
+          OPTIONAL { ?d <doc:lang> ?de . FILTER(?de = "de") }
+        }
+        """,
+    )
+
+
 # ------------------------------------------------ rows-only (non-SQL) queries
 
 
@@ -726,6 +796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "lang_id_counts": _q_lang_id_counts,
         "token_count_bpe": _q_token_count_bpe,
+        "sparql_docs": _q_sparql_docs,
+        "sparql_optional": _q_sparql_optional,
         # rows-only (non-SQL-expressible) below
         "kg_triples": _q_kg_triples,
         "kg_entity_links": _q_kg_entity_links,
@@ -1072,5 +1144,24 @@ def oracle_sql() -> dict[str, str]:
                         AS sum_bpe_tokens,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY lang
+        """,
+        "sparql_docs": _DOC_TRIPLES_SQL + """
+            SELECT a.subj AS d, a.obj AS src, c.obj AS nc
+            FROM t a
+            JOIN t b ON a.subj = b.subj
+            JOIN t c ON a.subj = c.subj
+            WHERE a.pred = 'doc:source'
+              AND b.pred = 'doc:lang' AND b.obj = 'en'
+              AND c.pred = 'doc:nchars'
+              AND CAST(c.obj AS DOUBLE) >= 400
+              AND regexp_matches(a.obj, '^src1[0-9]$')
+        """,
+        "sparql_optional": _DOC_TRIPLES_SQL + """
+            SELECT a.subj AS d, a.obj AS nc, b.obj AS de
+            FROM t a
+            LEFT JOIN (SELECT subj, obj FROM t
+                       WHERE pred = 'doc:lang' AND obj = 'de') b
+              ON a.subj = b.subj
+            WHERE a.pred = 'doc:nchars' AND CAST(a.obj AS DOUBLE) < 60
         """,
     }

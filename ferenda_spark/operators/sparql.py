@@ -1,0 +1,609 @@
+"""SPARQL-subset → DataFrame compiler (SURVEY §2.4, E2/E3).
+
+Reference analog: every query capability of ferenda is delegated to an
+external SPARQL store — ``TripleStore.select`` runs SPARQL SELECT and
+returns row dicts, ``TripleStore.construct`` runs SPARQL CONSTRUCT and
+returns a graph ([ref: ferenda/triplestore.py :: TripleStore.select,
+construct]); the queries themselves ship as files ([ref:
+ferenda/res/sparql/annotations.rq] and friends). A user of the reference
+therefore *writes SPARQL*. This module keeps that surface: the same query
+text compiles to a DataFrame plan over the ``triples`` tables, so Catalyst
+(not Jena/Fuseki) optimizes it.
+
+Supported subset — the shapes the reference's shipped ``.rq`` files use:
+
+- ``PREFIX`` declarations; ``SELECT [DISTINCT] ?v … | *``;
+  ``CONSTRUCT { template }``
+- basic graph patterns with ``.``-separated triple patterns, ``;``
+  predicate-object lists and ``,`` object lists
+- terms: ``?var``, ``<iri>``, ``prefixed:name``, ``"literal"``,
+  ``"literal"@lang``, numeric literals, ``a`` (= rdf:type)
+- ``OPTIONAL { … }`` → left outer join on the shared variables
+- ``FILTER`` with ``= != < > <= >=``, ``regex(?v, "pat")``, ``bound(?v)``,
+  ``isIRI/isURI(?v)``, ``str(?v)``, ``!``, ``&&``, ``||``, parentheses
+- ``ORDER BY [ASC|DESC](?v) …``, ``LIMIT``, ``OFFSET``
+
+Compilation strategy (scale notes):
+
+- one scan per triple pattern, constant positions pushed down as filters —
+  with the POS layout passed as ``pos_triples``, a constant-predicate
+  pattern prunes to a single partition (SURVEY P4);
+- patterns are joined most-selective-first (constant count), always
+  preferring a pattern that shares a variable with the already-joined set,
+  so no accidental cross products;
+- a variable bound on both sides of a join is an equi-join key → plain
+  shuffled/broadcast hash joins that AQE can re-plan;
+- everything is column expressions — no UDFs, no driver-side iteration.
+
+Deliberate departures from full SPARQL semantics (documented, not bugs):
+unbound-variable comparisons are SQL-NULL (row dropped) rather than
+type-error; numeric comparison applies when the literal side is numeric
+(objects cast to double); no named graphs / property paths / subqueries
+(the reference's shipped queries use none of these).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ferenda_spark.schemas import RDF_NS
+
+# ----------------------------------------------------------------- tokenizer
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+|\#[^\n]*)
+    | (?P<iri><[^<>\s]*>)
+    | (?P<string>"(?:[^"\\]|\\.)*")
+    | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
+    | (?P<num>[+-]?\d+(?:\.\d+)?)
+    | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
+    | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<punct>&&|\|\||!=|<=|>=|[{}().;,=<>!*])
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise SparqlSyntaxError(f"unexpected character at {pos}: {text[pos:pos+20]!r}")
+        if m.lastgroup != "ws":
+            out.append(m.group())
+        pos = m.end()
+    return out
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+class SparqlUnsupportedError(ValueError):
+    """Query is valid SPARQL but outside the supported subset."""
+
+
+# ----------------------------------------------------------------------- AST
+
+
+@dataclass(frozen=True)
+class Term:
+    kind: str  # 'var' | 'iri' | 'lit'
+    value: str
+    lang: str | None = None
+
+    @property
+    def is_const(self) -> bool:
+        return self.kind != "var"
+
+
+@dataclass
+class Pattern:
+    s: Term
+    p: Term
+    o: Term
+
+
+@dataclass
+class Group:
+    patterns: list[Pattern] = field(default_factory=list)
+    optionals: list["Group"] = field(default_factory=list)
+    filters: list[tuple] = field(default_factory=list)  # filter expr ASTs
+
+
+@dataclass
+class Query:
+    form: str  # 'select' | 'construct'
+    select_vars: list[str]  # empty = '*'
+    distinct: bool
+    where: Group
+    template: list[Pattern]  # construct template
+    order_by: list[tuple[str, bool]]  # (var, ascending)
+    limit: int | None
+    offset: int | None
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    # -- token plumbing
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        if self.i >= len(self.toks):
+            raise SparqlSyntaxError("unexpected end of query")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, tok: str) -> None:
+        t = self.next()
+        if t.lower() != tok.lower():
+            raise SparqlSyntaxError(f"expected {tok!r}, got {t!r}")
+
+    def at_kw(self, kw: str) -> bool:
+        t = self.peek()
+        return t is not None and t.lower() == kw.lower()
+
+    # -- entry
+    def parse(self) -> Query:
+        while self.at_kw("prefix"):
+            self.next()
+            pname = self.next()
+            if not pname.endswith(":"):
+                # 'pfx:' tokenizes as pname with empty local part
+                raise SparqlSyntaxError(f"bad prefix name {pname!r}")
+            iri = self.next()
+            if not (iri.startswith("<") and iri.endswith(">")):
+                raise SparqlSyntaxError(f"bad prefix IRI {iri!r}")
+            self.prefixes[pname[:-1]] = iri[1:-1]
+
+        form = self.next().lower()
+        if form == "select":
+            distinct = False
+            if self.at_kw("distinct"):
+                self.next()
+                distinct = True
+            sel: list[str] = []
+            if self.peek() == "*":
+                self.next()
+            else:
+                while self.peek() is not None and self.peek().startswith("?"):
+                    sel.append(self.next()[1:])
+                if not sel:
+                    raise SparqlSyntaxError("SELECT needs ?vars or *")
+            template: list[Pattern] = []
+        elif form == "construct":
+            distinct, sel = True, []  # CONSTRUCT output is a graph → set semantics
+            self.expect("{")
+            template = self.parse_pattern_list(stop="}")
+            self.expect("}")
+        else:
+            raise SparqlUnsupportedError(f"unsupported query form {form!r}")
+
+        self.expect("where")
+        where = self.parse_group()
+
+        order_by: list[tuple[str, bool]] = []
+        limit = offset = None
+        while self.peek() is not None:
+            if self.at_kw("order"):
+                self.next()
+                self.expect("by")
+                while True:
+                    t = self.peek()
+                    if t is None:
+                        break
+                    asc = True
+                    if t.lower() in ("asc", "desc"):
+                        asc = t.lower() == "asc"
+                        self.next()
+                        self.expect("(")
+                        v = self.next()
+                        self.expect(")")
+                    elif t.startswith("?"):
+                        v = self.next()
+                    else:
+                        break
+                    if not v.startswith("?"):
+                        raise SparqlUnsupportedError("ORDER BY supports plain ?vars only")
+                    order_by.append((v[1:], asc))
+            elif self.at_kw("limit"):
+                self.next()
+                limit = int(self.next())
+            elif self.at_kw("offset"):
+                self.next()
+                offset = int(self.next())
+            else:
+                raise SparqlSyntaxError(f"unexpected token {self.peek()!r}")
+
+        return Query(form, sel, distinct, where, template, order_by, limit, offset)
+
+    # -- group / patterns
+    def parse_group(self) -> Group:
+        self.expect("{")
+        g = Group()
+        while True:
+            t = self.peek()
+            if t is None:
+                raise SparqlSyntaxError("unterminated group")
+            if t == "}":
+                self.next()
+                return g
+            if t == ".":
+                self.next()
+                continue
+            if t.lower() == "optional":
+                self.next()
+                g.optionals.append(self.parse_group())
+            elif t.lower() == "filter":
+                self.next()
+                self.expect("(")
+                g.filters.append(self.parse_or())
+                self.expect(")")
+            else:
+                g.patterns.extend(self.parse_triples_same_subject())
+
+    def parse_pattern_list(self, stop: str) -> list[Pattern]:
+        pats: list[Pattern] = []
+        while self.peek() is not None and self.peek() != stop:
+            if self.peek() == ".":
+                self.next()
+                continue
+            pats.extend(self.parse_triples_same_subject())
+        return pats
+
+    def parse_triples_same_subject(self) -> list[Pattern]:
+        s = self.parse_term()
+        pats: list[Pattern] = []
+        while True:
+            p = self.parse_term(pred=True)
+            while True:
+                o = self.parse_term()
+                pats.append(Pattern(s, p, o))
+                if self.peek() == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek() == ";":
+                self.next()
+                if self.peek() in ("}", ".", None):  # dangling ';' is legal
+                    break
+                continue
+            break
+        return pats
+
+    def parse_term(self, pred: bool = False) -> Term:
+        t = self.next()
+        if t.startswith("?"):
+            return Term("var", t[1:])
+        if t.startswith("<") and t.endswith(">"):
+            return Term("iri", t[1:-1])
+        if t == "a" and pred:
+            return Term("iri", RDF_NS + "type")
+        if t.startswith('"'):
+            lex = _unescape(t[1:-1])
+            if self.peek() is not None and self.peek().startswith("@"):
+                return Term("lit", lex, self.next()[1:])
+            return Term("lit", lex)
+        if re.fullmatch(r"[+-]?\d+(?:\.\d+)?", t):
+            return Term("lit", t)
+        if ":" in t:
+            pfx, local = t.split(":", 1)
+            if pfx not in self.prefixes:
+                raise SparqlSyntaxError(f"undeclared prefix {pfx!r}")
+            return Term("iri", self.prefixes[pfx] + local)
+        raise SparqlSyntaxError(f"bad term {t!r}")
+
+    # -- filter expressions (precedence: || < && < ! < cmp)
+    def parse_or(self):
+        left = self.parse_and()
+        while self.peek() == "||":
+            self.next()
+            left = ("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_not()
+        while self.peek() == "&&":
+            self.next()
+            left = ("and", left, self.parse_not())
+        return left
+
+    def parse_not(self):
+        if self.peek() == "!":
+            self.next()
+            return ("not", self.parse_not())
+        return self.parse_cmp()
+
+    def parse_cmp(self):
+        left = self.parse_primary()
+        t = self.peek()
+        if t in ("=", "!=", "<", ">", "<=", ">="):
+            self.next()
+            return ("cmp", t, left, self.parse_primary())
+        return left
+
+    def parse_primary(self):
+        t = self.peek()
+        if t == "(":
+            self.next()
+            e = self.parse_or()
+            self.expect(")")
+            return e
+        if t is not None and t.lower() in ("regex", "bound", "isiri", "isuri", "str"):
+            fn = self.next().lower()
+            self.expect("(")
+            args = [self.parse_or()]
+            while self.peek() == ",":
+                self.next()
+                args.append(self.parse_or())
+            self.expect(")")
+            return (fn, *args)
+        term = self.parse_term()
+        return ("term", term)
+
+
+def _unescape(s: str) -> str:
+    return (
+        s.replace('\\"', '"').replace("\\\\", "\\").replace("\\n", "\n").replace("\\t", "\t")
+    )
+
+
+def parse_sparql(query: str) -> Query:
+    """Parse a query string of the supported subset into the AST."""
+    p = _Parser(_tokenize(query))
+    q = p.parse()
+    if p.peek() is not None:
+        raise SparqlSyntaxError(f"trailing tokens at {p.peek()!r}")
+    return q
+
+
+# ----------------------------------------------------------------- compiler
+
+
+def _scan(
+    triples: DataFrame, pos_triples: DataFrame | None, pat: Pattern
+) -> tuple[DataFrame, set[str]]:
+    """One triple pattern → a filtered scan projected to its variables.
+
+    Variable columns carry the raw lexical value; ``<var>__uri`` carries the
+    obj_is_uri flag when the variable binds an object position (subjects and
+    predicates are URIs by construction). A constant predicate routes the
+    scan to the POS layout when provided (partition pruning, SURVEY P4)."""
+    src = pos_triples if (pos_triples is not None and pat.p.is_const) else triples
+    cond = F.lit(True)
+    cols: dict[str, F.Column] = {}
+    uri_flags: dict[str, F.Column] = {}
+
+    for pos, term, col, is_uri_col in (
+        ("s", pat.s, "subj", F.lit(True)),
+        ("p", pat.p, "pred", F.lit(True)),
+        ("o", pat.o, "obj", F.col("obj_is_uri")),
+    ):
+        if term.is_const:
+            c = F.col(col) == F.lit(term.value)
+            if pos == "o":
+                # a constant IRI object must match URI rows; a literal must not
+                c = c & (F.col("obj_is_uri") == F.lit(term.kind == "iri"))
+                if term.lang is not None and "obj_lang" in src.columns:
+                    c = c & (F.col("obj_lang") == F.lit(term.lang))
+            cond = cond & c
+        else:
+            v = term.value
+            if v in cols:  # same var twice in one pattern → equality
+                cond = cond & (F.col(col) == cols[v])
+            else:
+                cols[v] = F.col(col)
+                uri_flags[v] = is_uri_col
+    out = src.filter(cond).select(
+        *[c.alias(v) for v, c in cols.items()],
+        *[uri_flags[v].alias(f"{v}__uri") for v in cols],
+    )
+    return out, set(cols)
+
+
+def _join_group(
+    triples: DataFrame, pos_triples: DataFrame | None, group: Group
+) -> tuple[DataFrame, set[str]]:
+    if not group.patterns and not group.optionals:
+        raise SparqlUnsupportedError("empty group pattern")
+
+    # order: most constants first (selectivity), then greedily pick patterns
+    # sharing a variable with the joined set — avoids cross products.
+    remaining = sorted(
+        group.patterns,
+        key=lambda p: -sum(t.is_const for t in (p.s, p.p, p.o)),
+    )
+    df: DataFrame | None = None
+    bound: set[str] = set()
+    while remaining:
+        nxt_i = 0
+        if df is not None:
+            for i, pat in enumerate(remaining):
+                pvars = {t.value for t in (pat.s, pat.p, pat.o) if not t.is_const}
+                if pvars & bound:
+                    nxt_i = i
+                    break
+            else:
+                raise SparqlUnsupportedError(
+                    "disconnected graph pattern (cross product) not supported"
+                )
+        pat = remaining.pop(nxt_i)
+        scan, pvars = _scan(triples, pos_triples, pat)
+        if df is None:
+            df, bound = scan, pvars
+        else:
+            on = sorted(pvars & bound)
+            # keep the left side's term-kind flag for join vars (the join is
+            # on lexical value; both sides' flags agree except in the exotic
+            # literal-vs-URI-same-lexical case, which the corpus vocabulary
+            # precludes — URIs and literals live in disjoint namespaces)
+            for v in on:
+                scan = scan.drop(f"{v}__uri")
+            df = df.join(scan, on=on, how="inner")
+            bound |= pvars
+
+    for opt in group.optionals:
+        if opt.optionals:
+            raise SparqlUnsupportedError("nested OPTIONAL not supported")
+        odf, ovars = _join_group(triples, pos_triples, opt)
+        if df is None:
+            df, bound = odf, ovars
+            continue
+        on = sorted(ovars & bound)
+        if not on:
+            raise SparqlUnsupportedError("OPTIONAL sharing no variables not supported")
+        for v in on:
+            odf = odf.drop(f"{v}__uri")
+        df = df.join(odf, on=on, how="left")
+        bound |= ovars
+
+    assert df is not None
+    for fexpr in group.filters:
+        df = df.filter(_compile_filter(fexpr, bound))
+    return df, bound
+
+
+def _compile_filter(ast, bound: set[str]) -> F.Column:
+    kind = ast[0]
+    if kind == "or":
+        return _compile_filter(ast[1], bound) | _compile_filter(ast[2], bound)
+    if kind == "and":
+        return _compile_filter(ast[1], bound) & _compile_filter(ast[2], bound)
+    if kind == "not":
+        return ~_compile_filter(ast[1], bound)
+    if kind == "cmp":
+        _, op, lt, rt = ast
+        lc, lnum = _value(lt, bound)
+        rc, rnum = _value(rt, bound)
+        if lnum or rnum:  # numeric comparison per SPARQL operand typing
+            lc, rc = lc.cast("double"), rc.cast("double")
+        return {
+            "=": lc == rc, "!=": lc != rc, "<": lc < rc,
+            ">": lc > rc, "<=": lc <= rc, ">=": lc >= rc,
+        }[op]
+    if kind == "regex":
+        col, _ = _value(ast[1], bound)
+        pat = _const_str(ast[2])
+        flags = _const_str(ast[3]) if len(ast) > 3 else ""
+        return col.rlike(("(?i)" if "i" in flags else "") + pat)
+    if kind == "bound":
+        col, _ = _value(ast[1], bound)
+        return col.isNotNull()
+    if kind in ("isiri", "isuri"):
+        t = ast[1]
+        if t[0] != "term" or t[1].kind != "var":
+            raise SparqlUnsupportedError("isIRI over non-variable")
+        return F.col(f"{t[1].value}__uri")
+    if kind == "str":
+        return _value(ast, bound)[0]
+    raise SparqlUnsupportedError(f"unsupported filter {kind!r}")
+
+
+def _value(ast, bound: set[str]) -> tuple[F.Column, bool]:
+    """expr → (column, is_numeric_literal)."""
+    if ast[0] == "str":
+        return _value(ast[1], bound)[0], False
+    if ast[0] != "term":
+        raise SparqlUnsupportedError("arithmetic in FILTER not supported")
+    term: Term = ast[1]
+    if term.kind == "var":
+        if term.value not in bound:
+            return F.lit(None).cast("string"), False
+        return F.col(term.value), False
+    is_num = term.kind == "lit" and re.fullmatch(r"[+-]?\d+(?:\.\d+)?", term.value)
+    return F.lit(term.value), bool(is_num)
+
+
+def _const_str(ast) -> str:
+    if ast[0] == "term" and ast[1].kind == "lit":
+        return ast[1].value
+    raise SparqlUnsupportedError("expected string literal")
+
+
+def sparql_select(
+    triples: DataFrame, query: str, pos_triples: DataFrame | None = None
+) -> DataFrame:
+    """Compile a SPARQL SELECT of the supported subset against a triples
+    DataFrame (TRIPLES schema: subj/pred/obj/obj_is_uri[/obj_lang]).
+    Column names of the result are the variable names without '?'.
+
+    ``pos_triples``: the POS-layout table; constant-predicate patterns scan
+    it instead (partition-pruned to one predicate)."""
+    q = parse_sparql(query)
+    if q.form != "select":
+        raise SparqlUnsupportedError("use sparql_construct for CONSTRUCT")
+    df, bound = _join_group(triples, pos_triples, q.where)
+    out_vars = q.select_vars or sorted(bound)
+    missing = [v for v in out_vars if v not in bound]
+    if missing:
+        raise SparqlUnsupportedError(f"SELECT vars not bound in WHERE: {missing}")
+    out = df.select(*out_vars)
+    if q.distinct:
+        out = out.distinct()
+    if q.order_by:
+        out = out.orderBy(
+            *[F.asc(v) if asc else F.desc(v) for v, asc in q.order_by]
+        )
+    if q.offset is not None:
+        out = out.offset(q.offset)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
+
+
+def sparql_construct(
+    triples: DataFrame, query: str, pos_triples: DataFrame | None = None
+) -> DataFrame:
+    """SPARQL CONSTRUCT → a triples DataFrame (subj, pred, obj, obj_is_uri)
+    with graph (set) semantics, matching ``TripleStore.construct``'s
+    contract of returning a graph."""
+    q = parse_sparql(query)
+    if q.form != "construct":
+        raise SparqlUnsupportedError("use sparql_select for SELECT")
+    df, bound = _join_group(triples, pos_triples, q.where)
+
+    outs = []
+    for pat in q.template:
+        def col_of(t: Term) -> tuple[F.Column, F.Column]:
+            if t.is_const:
+                return F.lit(t.value), F.lit(t.kind == "iri")
+            if t.value not in bound:
+                raise SparqlUnsupportedError(
+                    f"template var ?{t.value} not bound in WHERE"
+                )
+            return F.col(t.value), F.col(f"{t.value}__uri")
+
+        s, _ = col_of(pat.s)
+        p, _ = col_of(pat.p)
+        o, o_uri = col_of(pat.o)
+        outs.append(
+            df.select(
+                s.alias("subj"), p.alias("pred"), o.alias("obj"),
+                o_uri.alias("obj_is_uri"),
+            )
+        )
+    out = outs[0]
+    for extra in outs[1:]:
+        out = out.unionByName(extra)
+    # graph semantics: no duplicate triples; template rows from unbound
+    # OPTIONAL vars are dropped (cannot assert a triple with a null node)
+    return (
+        out.filter(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull()
+        ).distinct()
+    )

@@ -1,0 +1,213 @@
+"""SPARQL-subset compiler tests (SURVEY §2.4, reference surface
+[ref: ferenda/triplestore.py :: TripleStore.select, construct]).
+
+Strategy mirrors the upstream TripleStore tests (test/testTripleStore.py):
+load a small hand-written graph, run query text, compare row sets — plus an
+end-to-end check that the compiled J2-annotations query over real pipeline
+triples equals the hand-built DataFrame form in ``operators.rollups``.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferenda_spark.operators.sparql import (
+    SparqlSyntaxError,
+    SparqlUnsupportedError,
+    parse_sparql,
+    sparql_construct,
+    sparql_select,
+)
+from ferenda_spark.schemas import DCTERMS, RDF_NS
+
+PREFIX = f"PREFIX dcterms: <{DCTERMS}> PREFIX rdf: <{RDF_NS}> "
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    """Tiny graph: two docs, titles, langs, one cross-reference, one typed."""
+    rows = [
+        ("http://ex.org/d1", DCTERMS + "title", "Alpha doc", False, "en"),
+        ("http://ex.org/d1", DCTERMS + "language", "en", False, None),
+        ("http://ex.org/d1", RDF_NS + "type", "http://ex.org/Doc", True, None),
+        ("http://ex.org/d2", DCTERMS + "title", "Beta doc", False, "en"),
+        ("http://ex.org/d2", DCTERMS + "title", "Beta-Dokument", False, "de"),
+        ("http://ex.org/d2", DCTERMS + "references", "http://ex.org/d1", True, None),
+        ("http://ex.org/d3", DCTERMS + "references", "http://ex.org/d1", True, None),
+        ("http://ex.org/d3", DCTERMS + "references", "http://ex.org/d2", True, None),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_uri boolean, obj_lang string"
+    )
+
+
+# ------------------------------------------------------------------- parser
+
+
+def test_parse_prefixed_and_a_and_lists():
+    q = parse_sparql(
+        PREFIX
+        + 'SELECT ?s WHERE { ?s a <http://ex.org/Doc> ; dcterms:title "X", "Y" . }'
+    )
+    assert len(q.where.patterns) == 3
+    assert q.where.patterns[0].p.value == RDF_NS + "type"
+    # ';' keeps the subject, ',' keeps subject+predicate
+    assert q.where.patterns[1].s == q.where.patterns[0].s
+    assert q.where.patterns[2].p.value == DCTERMS + "title"
+    assert q.where.patterns[2].o.value == "Y"
+
+
+def test_parse_errors():
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("SELECT ?s WHERE { ?s ?p }")  # incomplete triple
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("SELECT ?s WHERE { ?s undeclared:x ?o }")
+    with pytest.raises(SparqlUnsupportedError):
+        parse_sparql("ASK WHERE { ?s ?p ?o }")
+
+
+# ------------------------------------------------------------------- select
+
+
+def test_bgp_join(spark, graph):
+    got = sparql_select(
+        graph,
+        PREFIX
+        + "SELECT ?t WHERE { ?d dcterms:references <http://ex.org/d1> . "
+        + "?d dcterms:title ?t . }",
+    ).collect()
+    # d2 has two titles; d3 has none → two rows, both from d2
+    assert sorted(r["t"] for r in got) == ["Beta doc", "Beta-Dokument"]
+
+
+def test_lang_tagged_literal_and_order_limit(spark, graph):
+    got = sparql_select(
+        graph,
+        PREFIX
+        + 'SELECT ?d WHERE { ?d dcterms:title "Beta-Dokument"@de . }',
+    ).collect()
+    assert [r["d"] for r in got] == ["http://ex.org/d2"]
+    top = sparql_select(
+        graph,
+        PREFIX
+        + "SELECT ?d ?t WHERE { ?d dcterms:title ?t } ORDER BY DESC(?t) LIMIT 2 OFFSET 1",
+    ).collect()
+    assert [r["t"] for r in top] == ["Beta doc", "Alpha doc"]
+
+
+def test_optional_left_join(spark, graph):
+    got = {
+        r["d"]: r["t"]
+        for r in sparql_select(
+            graph,
+            PREFIX
+            + "SELECT ?d ?t WHERE { ?d dcterms:references <http://ex.org/d1> . "
+            + "OPTIONAL { ?d dcterms:title ?t . FILTER(?t = \"Beta doc\") } }",
+        ).collect()
+    }
+    assert got == {"http://ex.org/d2": "Beta doc", "http://ex.org/d3": None}
+
+
+def test_filters(spark, graph):
+    q = (
+        PREFIX
+        + "SELECT DISTINCT ?d WHERE { ?d dcterms:title ?t . "
+        + 'FILTER(regex(?t, "^beta", "i") && ?t != "Beta-Dokument") }'
+    )
+    assert [r["d"] for r in sparql_select(graph, q).collect()] == ["http://ex.org/d2"]
+
+    # bound() over OPTIONAL var — docs WITHOUT a title (negation shape, J6)
+    q2 = (
+        PREFIX
+        + "SELECT DISTINCT ?d WHERE { ?d ?p ?o . "
+        + "OPTIONAL { ?d dcterms:title ?t } FILTER(!bound(?t)) }"
+    )
+    assert [r["d"] for r in sparql_select(graph, q2).collect()] == ["http://ex.org/d3"]
+
+    # isURI distinguishes reference objects from literal objects
+    q3 = PREFIX + "SELECT ?o WHERE { <http://ex.org/d2> ?p ?o . FILTER(isURI(?o)) }"
+    assert [r["o"] for r in sparql_select(graph, q3).collect()] == ["http://ex.org/d1"]
+
+
+def test_numeric_filter(spark):
+    rows = [("s1", "p:n", "5", False), ("s2", "p:n", "40", False)]
+    g = spark.createDataFrame(rows, "subj string, pred string, obj string, obj_is_uri boolean")
+    got = sparql_select(g, "SELECT ?s WHERE { ?s ?p ?n . FILTER(?n > 9) }").collect()
+    # numeric compare: "5" < 9 < "40" (string compare would invert this)
+    assert [r["s"] for r in got] == ["s2"]
+
+
+def test_select_star_and_var_reuse(spark, graph):
+    got = sparql_select(
+        graph, PREFIX + "SELECT * WHERE { ?d dcterms:references ?r }"
+    )
+    assert sorted(got.columns) == ["d", "r"]
+    assert got.count() == 3
+    # same var in two positions of one pattern → equality within the row
+    refl = sparql_select(graph, "SELECT ?x WHERE { ?x ?p ?x }")
+    assert refl.count() == 0
+
+
+def test_disconnected_pattern_rejected(spark, graph):
+    with pytest.raises(SparqlUnsupportedError):
+        sparql_select(
+            graph, "SELECT ?a ?b WHERE { ?a ?p1 ?x . ?b ?p2 ?y }"
+        ).collect()
+
+
+# ---------------------------------------------------------------- construct
+
+
+def test_construct_graph_semantics(spark, graph):
+    out = sparql_construct(
+        graph,
+        PREFIX
+        + "CONSTRUCT { ?d <http://ex.org/cites> ?r . ?r a <http://ex.org/Cited> } "
+        + "WHERE { ?d dcterms:references ?r }",
+    )
+    rows = {(r["subj"], r["pred"], r["obj"], r["obj_is_uri"]) for r in out.collect()}
+    # 3 cites edges + 2 DISTINCT type assertions (d1 cited twice → one triple)
+    assert len(rows) == 5
+    assert ("http://ex.org/d1", RDF_NS + "type", "http://ex.org/Cited", True) in rows
+    assert out.count() == 5  # no duplicate triples: graph set semantics
+
+
+# ------------------------------------------- equivalence on pipeline triples
+
+
+def test_annotations_query_matches_dataframe_form(spark):
+    """The reference's annotations.rq shape ([ref: ferenda/res/sparql/
+    annotations.rq]) compiled by us == the hand-built J2 join in rollups."""
+    from ferenda_spark.operators.linking import _exact_broadcast
+    from ferenda_spark.operators.parse import parse_stage, split_parsed
+    from ferenda_spark.operators.triples import assemble_triples
+    from ferenda_spark.schemas import P_REFERENCES, P_TITLE
+    from ferenda_spark.sources.corpus import dictionary_df, generate_corpus
+
+    corpus = generate_corpus(spark, 80)
+    docs, _ = split_parsed(parse_stage(corpus, n_parts=4))
+    mentions = docs.select("url", "part_key", F.explode("mentions").alias("m")).select(
+        "url", "part_key", F.col("m.*")
+    )
+    triples = assemble_triples(docs, _exact_broadcast(mentions, dictionary_df(spark))).cache()
+
+    sparql = (
+        PREFIX
+        + "SELECT ?target ?src ?title WHERE { "
+        + "?src dcterms:references ?target . ?src dcterms:title ?title . }"
+    )
+    got = sparql_select(triples, sparql)
+
+    refs = triples.filter(F.col("pred") == P_REFERENCES).select(
+        F.col("obj").alias("target"), F.col("subj").alias("src")
+    )
+    titles = triples.filter(F.col("pred") == P_TITLE).select(
+        F.col("subj").alias("src"), F.col("obj").alias("title")
+    )
+    want = refs.join(titles, "src").select("target", "src", "title")
+
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    triples.unpersist()
