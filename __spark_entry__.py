@@ -631,6 +631,57 @@ def _q_sparql_optional(spark, sf_dir):
     )
 
 
+def _q_fulltext_search(spark, sf_dir):
+    """FulltextIndex.query parity: inverted-index build + tf-idf ranked
+    AND-search, top-10 deterministic by (score desc, id)."""
+    from ferenda_spark.operators.fulltext import build_fulltext_index, search
+
+    d = _t(spark, sf_dir, "documents")
+    postings, n = build_fulltext_index(d, "text", "doc_id", max_df_ratio=1.0)
+    return search(postings, n, "spark window agg", top_k=10)
+
+
+def _q_fulltext_facets(spark, sf_dir):
+    """FulltextIndex facet sidebar parity: per-facet hit counts over the
+    same top-10 hit set (A4 machinery)."""
+    from ferenda_spark.operators.fulltext import (
+        build_fulltext_index,
+        facet_counts,
+        search,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    postings, n = build_fulltext_index(d, "text", "doc_id", max_df_ratio=1.0)
+    hits = search(postings, n, "spark window agg", top_k=10)
+    return facet_counts(hits, d, "doc_id", ["lang", "source"])
+
+
+_FULLTEXT_HITS_SQL = """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT term, doc_id, count(*) AS tf
+                FROM tok WHERE term <> '' GROUP BY term, doc_id
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), hits AS (
+                SELECT tf.doc_id AS id,
+                       CAST(count(*) AS INTEGER) AS n_matched,
+                       round(sum((1.0 + ln(CAST(tf.tf AS DOUBLE)))
+                                 * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                                      / CAST(dfreq.df AS DOUBLE))), 6) AS score
+                FROM tf JOIN dfreq USING (term)
+                WHERE tf.term IN ('agg', 'spark', 'window')
+                GROUP BY tf.doc_id
+                HAVING count(*) = 3
+                ORDER BY score DESC, id ASC
+                LIMIT 10
+            )
+"""
+
+
 # ------------------------------------------------ rows-only (non-SQL) queries
 
 
@@ -798,6 +849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _q_token_count_bpe,
         "sparql_docs": _q_sparql_docs,
         "sparql_optional": _q_sparql_optional,
+        "fulltext_search": _q_fulltext_search,
+        "fulltext_facets": _q_fulltext_facets,
         # rows-only (non-SQL-expressible) below
         "kg_triples": _q_kg_triples,
         "kg_entity_links": _q_kg_entity_links,
@@ -1163,5 +1216,15 @@ def oracle_sql() -> dict[str, str]:
                        WHERE pred = 'doc:lang' AND obj = 'de') b
               ON a.subj = b.subj
             WHERE a.pred = 'doc:nchars' AND CAST(a.obj AS DOUBLE) < 60
+        """,
+        "fulltext_search": _FULLTEXT_HITS_SQL + """
+            SELECT id, n_matched, score FROM hits
+        """,
+        "fulltext_facets": _FULLTEXT_HITS_SQL + """
+            SELECT 'lang' AS facet, d.lang AS value, count(*) AS n_hits
+            FROM hits JOIN documents d ON hits.id = d.doc_id GROUP BY d.lang
+            UNION ALL
+            SELECT 'source', d.source, count(*)
+            FROM hits JOIN documents d ON hits.id = d.doc_id GROUP BY d.source
         """,
     }
