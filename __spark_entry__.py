@@ -682,6 +682,29 @@ _FULLTEXT_HITS_SQL = """
 """
 
 
+def _q_atom_feeds(spark, sf_dir):
+    """news_generate_feeds parity: events → per-type paginated feeds →
+    complete Atom XML documents rendered as column expressions. Oracle
+    reconstructs the byte-identical XML with string_agg."""
+    from ferenda_spark.operators.atom import atom_feeds
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("ts"), F.asc("event_id"))
+    eid = F.col("event_id").cast("string")
+    feeds = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .withColumn("page", ((F.col("rn") - 1) / 5).cast("int"))
+        .select(
+            F.col("event_type").alias("feed"), "rn", "page",
+            F.concat(F.lit("evt://"), eid).alias("uri"),
+            F.concat(F.lit("event "), eid).alias("title"),
+            F.col("ts").alias("issued"),
+        )
+    )
+    return atom_feeds(feeds, "https://ex.org")
+
+
 # ------------------------------------------------ rows-only (non-SQL) queries
 
 
@@ -851,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_optional": _q_sparql_optional,
         "fulltext_search": _q_fulltext_search,
         "fulltext_facets": _q_fulltext_facets,
+        "atom_feeds": _q_atom_feeds,
         # rows-only (non-SQL-expressible) below
         "kg_triples": _q_kg_triples,
         "kg_entity_links": _q_kg_entity_links,
@@ -1226,5 +1250,49 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'source', d.source, count(*)
             FROM hits JOIN documents d ON hits.id = d.doc_id GROUP BY d.source
+        """,
+        "atom_feeds": """
+            WITH ranked AS (
+                SELECT event_type AS feed,
+                       CAST(row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts DESC, event_id ASC) AS INTEGER) AS rn,
+                       event_id, ts
+                FROM events
+            ), top AS (
+                SELECT feed, rn, CAST(floor((rn - 1) / 5) AS INTEGER) AS page,
+                       'evt://' || CAST(event_id AS VARCHAR) AS uri,
+                       'event ' || CAST(event_id AS VARCHAR) AS title, ts
+                FROM ranked WHERE rn <= 10
+            ), pages AS (
+                SELECT feed, page,
+                       CAST(count(*) AS INTEGER) AS n_entries,
+                       strftime(max(ts), '%Y-%m-%dT%H:%M:%SZ') AS updated,
+                       string_agg(
+                           '<entry><id>' || uri || '</id><title>' || title
+                           || '</title><link href="' || uri || '"/><updated>'
+                           || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+                           || '</updated></entry>', '' ORDER BY rn) AS entries
+                FROM top GROUP BY feed, page
+            ), lp AS (
+                SELECT feed, max(page) AS last_page FROM top GROUP BY feed
+            )
+            SELECT p.feed, p.page, p.n_entries, p.updated,
+                   '<?xml version="1.0" encoding="utf-8"?>'
+                   || '<feed xmlns="http://www.w3.org/2005/Atom"><id>'
+                   || 'https://ex.org/feed/' || p.feed || '/'
+                   || CAST(p.page AS VARCHAR) || '.atom</id><title>' || p.feed
+                   || '</title><updated>' || p.updated
+                   || '</updated><link rel="self" href="https://ex.org/feed/'
+                   || p.feed || '/' || CAST(p.page AS VARCHAR) || '.atom"/>'
+                   || CASE WHEN p.page < lp.last_page
+                        THEN '<link rel="prev-archive" href="https://ex.org/feed/'
+                             || p.feed || '/' || CAST(p.page + 1 AS VARCHAR) || '.atom"/>'
+                        ELSE '' END
+                   || CASE WHEN p.page > 0
+                        THEN '<link rel="next-archive" href="https://ex.org/feed/'
+                             || p.feed || '/' || CAST(p.page - 1 AS VARCHAR) || '.atom"/>'
+                        ELSE '' END
+                   || p.entries || '</feed>' AS atom_xml
+            FROM pages p JOIN lp USING (feed)
         """,
     }
