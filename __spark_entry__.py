@@ -822,6 +822,28 @@ def _q_kg_patched_parse(spark, sf_dir):
     return docs.select("url", "n_paras", "text_sha256").join(status, "url")
 
 
+def _q_toc_html_pages(spark, sf_dir):
+    """toc_generate_pages port (rows-only: HTML string assembly — structure
+    well-formedness + pagination asserted in tests/test_toc_html.py). The
+    underlying rollup is oracle-backed twice (toc_rollup_docs,
+    toc_page_lists)."""
+    from ferenda_spark.operators.rollups import toc_rollup
+    from ferenda_spark.operators.toc_html import toc_pages
+
+    d = _t(spark, sf_dir, "documents")
+    docmeta = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("uri"),
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string")).alias("title"),
+        F.concat(F.lit("202"), (F.col("doc_id") % 3).cast("string"),
+                 F.lit("-01-01")).alias("issued"),
+        F.col("lang"),
+    )
+    return toc_pages(toc_rollup(docmeta), "https://ex.org", page_size=50).select(
+        "facet", "value", "page", "n_page_docs",
+        F.length("html").alias("n_chars"), F.sha2("html", 256).alias("sha"),
+    )
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads → Arrow-batched features."""
     from ferenda_spark.operators.multimodal import (
@@ -884,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": _q_similarity_ivf,
         "media_features": _q_media_features,
         "kg_xhtml": _q_kg_xhtml,
+        "toc_html_pages": _q_toc_html_pages,
         "kg_patched_parse": _q_kg_patched_parse,
     }
 

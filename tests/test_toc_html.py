@@ -1,0 +1,70 @@
+"""TOC HTML page generation tests ([ref: ferenda/documentrepository.py ::
+toc_generate_pages] — upstream checks generated toc pages in
+test/testDocRepo.py; same shape: render, re-parse, assert listing/nav/
+pagination)."""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from ferenda_spark.operators.rollups import toc_rollup
+from ferenda_spark.operators.toc_html import toc_pages
+
+XH = {"x": "http://www.w3.org/1999/xhtml"}
+
+
+@pytest.fixture(scope="module")
+def toc(spark):
+    rows = [
+        (f"u{i}", 1, f"{'AB'[i % 2]}doc & {i:02d}", f"202{i % 3}-01-05", "en")
+        for i in range(10)
+    ]
+    docmeta = spark.createDataFrame(
+        rows, "uri string, part_key int, title string, issued string, lang string"
+    )
+    return toc_rollup(docmeta)
+
+
+def test_toc_pages_listing_and_nav(toc):
+    out = {
+        (r["facet"], r["value"], r["page"]): r
+        for r in toc_pages(toc, "https://ex.org", page_size=3).collect()
+    }
+    a0 = out[("letter", "A", 0)]
+    root = ET.fromstring(a0["html"])  # well-formed XHTML
+    lis = root.findall(".//x:ul/x:li/x:a", XH)
+    assert a0["n_page_docs"] == len(lis) == 3
+    # sorted by sort_key (title) and escaped: 'Adoc & 00' first
+    assert lis[0].text == "Adoc & 00"
+    assert lis[0].get("href") == "u0"
+    # nav lists sibling letter values, linking page 0 of each
+    nav = root.findall(".//x:nav/x:a", XH)
+    assert [a.text for a in nav] == ["A", "B"]
+    assert nav[1].get("href") == "https://ex.org/toc/letter/B/0.html"
+
+
+def test_toc_pagination(toc):
+    out = {
+        (r["facet"], r["value"], r["page"]): r
+        for r in toc_pages(toc, "https://ex.org", page_size=3).collect()
+    }
+    # 5 'A' docs at size 3 → pages 0 (3 docs) and 1 (2 docs)
+    assert out[("letter", "A", 0)]["n_page_docs"] == 3
+    assert out[("letter", "A", 1)]["n_page_docs"] == 2
+    assert ("letter", "A", 2) not in out
+    rels = lambda r: {
+        a.get("rel"): a.get("href")
+        for a in ET.fromstring(r["html"]).findall(".//x:a[@rel]", XH)
+    }
+    assert rels(out[("letter", "A", 0)]) == {
+        "next": "https://ex.org/toc/letter/A/1.html"
+    }
+    assert rels(out[("letter", "A", 1)]) == {
+        "prev": "https://ex.org/toc/letter/A/0.html"
+    }
+    # the 'all' bucket pages over every doc
+    assert sum(
+        r["n_page_docs"] for (f, v, _), r in out.items() if f == "all"
+    ) == 10
