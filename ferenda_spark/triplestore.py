@@ -1,0 +1,121 @@
+"""TripleStore facade: the reference's store API over the SPO/POS tables.
+
+Reference analog: ``TripleStore.connect(storetype, location, repository)``
+returns a store with ``add_serialized`` / ``select`` / ``construct`` /
+``triple_count`` / ``clear``, one named-graph **context** per docrepo, and
+every Ferenda query stage talks to it over HTTP (Fuseki/Sesame) or in-proc
+rdflib ([ref: ferenda/triplestore.py :: TripleStore and subclasses]).
+
+This class keeps that call surface so reference users keep their mental
+model, but the "store" is the pair of partitioned triple tables managed by
+``operators.triples`` + ``sources.catalog``, queries compile to DataFrame
+plans (``operators.sparql``), and there is no service: ``select`` returns a
+DataFrame you can further compose, collect, or write.
+
+Context mapping: the reference keys contexts by repo; here a context is a
+predicate-agnostic column filter on ``src_url`` domain (the domain IS the
+repo identity in the web-corpus model — same key the part_key layout hashes
+on). ``add`` appends (Iceberg gets atomic commits via the catalog seam;
+plain Parquet appends are file-atomic per task); ``clear`` drops the
+context's rows by rewriting — the reference's ``clear`` is the same
+full-context rewrite server-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ferenda_spark.operators.sparql import sparql_construct, sparql_select
+from ferenda_spark.operators.triples import write_pos, write_spo
+from ferenda_spark.sources import catalog
+
+
+def _domain(col: F.Column) -> F.Column:
+    return F.lower(F.regexp_extract(col, r"^[a-z][a-z0-9+.\-]*://([^/]+)", 1))
+
+
+class SparkTripleStore:
+    """DataFrame-backed triple store. ``spo_path`` is authoritative;
+    ``pos_path`` (optional) is the query-optimized layout that
+    constant-predicate SPARQL patterns route to (partition-pruned)."""
+
+    def __init__(self, spark: SparkSession, spo_path: str, pos_path: str | None = None):
+        self.spark = spark
+        self.spo_path = spo_path
+        self.pos_path = pos_path
+
+    # ------------------------------------------------------------- reading
+
+    def triples(self, context: str | None = None) -> DataFrame:
+        df = catalog.read_table(self.spark, self.spo_path)
+        if context is not None:
+            df = df.filter(_domain(F.col("src_url")) == context.lower())
+        return df
+
+    def _pos(self, context: str | None):
+        if self.pos_path is None:
+            return None
+        df = catalog.read_table(self.spark, self.pos_path)
+        if context is not None:
+            df = df.filter(_domain(F.col("src_url")) == context.lower())
+        return df
+
+    def select(self, query: str, context: str | None = None) -> DataFrame:
+        """SPARQL SELECT → DataFrame (TripleStore.select returned row
+        dicts; ``.collect()`` reproduces that shape when wanted)."""
+        return sparql_select(self.triples(context), query, self._pos(context))
+
+    def construct(self, query: str, context: str | None = None) -> DataFrame:
+        """SPARQL CONSTRUCT → graph as a (subj, pred, obj, obj_is_uri)
+        DataFrame (TripleStore.construct returned an rdflib.Graph)."""
+        return sparql_construct(self.triples(context), query, self._pos(context))
+
+    def triple_count(self, context: str | None = None) -> int:
+        return self.triples(context).count()
+
+    # ------------------------------------------------------------- writing
+
+    def add(self, triples: DataFrame) -> None:
+        """Append a TRIPLES-schema frame (add_serialized's role — input is
+        rows, not serialized RDF text; the parse stage already emits rows).
+        POS stays consistent by appending the same rows in its layout."""
+        catalog.write_table(
+            triples.repartition("part_key").sortWithinPartitions("subj", "pred"),
+            self.spo_path,
+            partition_by=("part_key",),
+            mode="append",
+        )
+        if self.pos_path is not None:
+            catalog.write_table(
+                triples.withColumn(
+                    "obj_bucket",
+                    F.pmod(F.xxhash64("obj"), F.lit(16)).cast("int"),
+                ).repartition("pred").sortWithinPartitions("obj", "subj"),
+                self.pos_path,
+                partition_by=("pred", "obj_bucket"),
+                mode="append",
+            )
+
+    def rewrite(self, triples: DataFrame) -> None:
+        """Full (re)materialization of both layouts — the bulk-load path
+        the pipeline uses (dynamic partition overwrite, resume-idempotent)."""
+        write_spo(triples, self.spo_path)
+        if self.pos_path is not None:
+            write_pos(catalog.read_table(self.spark, self.spo_path), self.pos_path)
+
+    def clear(self, context: str) -> None:
+        """Drop one context's triples (full-context rewrite, as the
+        reference's clear(context) is server-side)."""
+        kept = self.triples().filter(_domain(F.col("src_url")) != context.lower())
+        # break lineage before overwriting the table being read from
+        kept = kept.localCheckpoint()
+        # static overwrite: dynamic mode would leave behind partitions whose
+        # every row belonged to the cleared context (absent from `kept`)
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(key, "dynamic")
+        self.spark.conf.set(key, "static")
+        try:
+            self.rewrite(kept)
+        finally:
+            self.spark.conf.set(key, prev)

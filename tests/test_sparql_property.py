@@ -1,0 +1,128 @@
+"""Property test: the SPARQL BGP compiler agrees with a naive backtracking
+evaluator on random graphs and random connected patterns.
+
+This is the adversarial check for the riskiest part of operators/sparql.py
+— join ordering, var-reuse equality, constant pushdown, URI-vs-literal
+object matching — none of which should depend on which join order the
+compiler picks. Strategy keeps vocabularies tiny so collisions (same
+lexical as both URI and literal, repeated vars) are common."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ferenda_spark.operators.sparql import Pattern, Term, sparql_select
+
+SUBJECTS = [f"s{i}" for i in range(4)]
+PREDS = [f"p{i}" for i in range(3)]
+OBJ_LEX = ["s0", "o1", "o2"]  # 's0' can collide with a subject
+VARS = ["a", "b", "c"]
+
+triple_st = st.tuples(
+    st.sampled_from(SUBJECTS),
+    st.sampled_from(PREDS),
+    st.sampled_from(SUBJECTS + OBJ_LEX),
+    st.booleans(),
+)
+graph_st = st.lists(triple_st, min_size=0, max_size=12, unique=True)
+
+
+@st.composite
+def bgp_st(draw):
+    n = draw(st.integers(1, 3))
+    pats: list[Pattern] = []
+    used: list[str] = []
+    for i in range(n):
+        def term(pool, uri: bool):
+            if draw(st.booleans()):
+                v = draw(st.sampled_from(VARS))
+                return Term("var", v)
+            val = draw(st.sampled_from(pool))
+            return Term("iri" if uri else draw(st.sampled_from(["iri", "lit"])), val)
+
+        s = term(SUBJECTS, True)
+        p = term(PREDS, True)
+        o = term(SUBJECTS + OBJ_LEX, False)
+        pvars = [t.value for t in (s, p, o) if t.kind == "var"]
+        if i == 0:
+            # anchor: ensure at least one variable exists
+            if not pvars:
+                s = Term("var", draw(st.sampled_from(VARS)))
+                pvars = [s.value]
+        elif not (set(pvars) & set(used)):
+            # force connectivity: rebind the subject to a used variable
+            s = Term("var", draw(st.sampled_from(used)))
+            pvars.append(s.value)
+        used.extend(pvars)
+        pats.append(Pattern(s, p, o))
+    return pats
+
+
+def _naive(graph, pats):
+    """Backtracking BGP evaluation mirroring SPARQL semantics: constants
+    must match (object constants also on the URI/literal axis); variables
+    join on lexical value."""
+    results = [{}]
+    for pat in pats:
+        nxt = []
+        for b in results:
+            for (s, p, o, is_uri) in graph:
+                bb = dict(b)
+                ok = True
+                for term, val, flag in (
+                    (pat.s, s, True), (pat.p, p, True), (pat.o, o, is_uri)
+                ):
+                    if term.kind == "var":
+                        if term.value in bb and bb[term.value] != val:
+                            ok = False
+                            break
+                        bb[term.value] = val
+                    else:
+                        if term.value != val or (term.kind == "iri") != flag:
+                            ok = False
+                            break
+                if ok:
+                    nxt.append(bb)
+        results = nxt
+    return results
+
+
+def _to_query(pats):
+    def t(term):
+        if term.kind == "var":
+            return f"?{term.value}"
+        if term.kind == "iri":
+            return f"<{term.value}>"
+        return f'"{term.value}"'
+
+    body = " . ".join(f"{t(p.s)} {t(p.p)} {t(p.o)}" for p in pats)
+    return f"SELECT * WHERE {{ {body} }}"
+
+
+@pytest.fixture(scope="module")
+def _spark(spark):
+    return spark
+
+
+@given(graph=graph_st, pats=bgp_st())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bgp_matches_naive_eval(_spark, graph, pats):
+    df = _spark.createDataFrame(
+        graph or [("x", "x", "x", True)],
+        "subj string, pred string, obj string, obj_is_uri boolean",
+    )
+    if not graph:
+        df = df.filter("1=0")
+    out_vars = sorted({t.value for p in pats for t in (p.s, p.p, p.o) if t.kind == "var"})
+    got = sorted(
+        tuple(r[v] for v in out_vars)
+        for r in sparql_select(df, _to_query(pats)).collect()
+    )
+    want = sorted(tuple(b[v] for v in out_vars) for b in _naive(graph, pats))
+    assert got == want

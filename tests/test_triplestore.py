@@ -1,0 +1,86 @@
+"""SparkTripleStore facade tests ([ref: ferenda/triplestore.py ::
+TripleStore] — upstream test/testTripleStore.py exercises add/select/
+construct/triple_count/clear per context; same surface here over the
+SPO/POS tables)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferenda_spark.schemas import DCTERMS
+from ferenda_spark.triplestore import SparkTripleStore
+
+P_TITLE = DCTERMS + "title"
+P_REFS = DCTERMS + "references"
+
+
+def _row(subj, pred, obj, is_uri, src, pk):
+    return (subj, pred, obj, is_uri, None, None, src, pk)
+
+SCHEMA = (
+    "subj string, pred string, obj string, obj_is_uri boolean, "
+    "obj_lang string, obj_dtype string, src_url string, part_key int"
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    rows = [
+        _row("https://a.example/1", P_TITLE, "One", False, "https://a.example/1", 1),
+        _row("https://a.example/1", P_REFS, "https://b.example/2", True,
+             "https://a.example/1", 1),
+        _row("https://b.example/2", P_TITLE, "Two", False, "https://b.example/2", 2),
+    ]
+    st = SparkTripleStore(
+        spark, str(tmp_path / "spo"), str(tmp_path / "pos")
+    )
+    st.rewrite(spark.createDataFrame(rows, SCHEMA))
+    return st
+
+
+def test_counts_and_select(store):
+    assert store.triple_count() == 3
+    assert store.triple_count(context="a.example") == 2
+    got = store.select(
+        f'SELECT ?t WHERE {{ ?d <{P_REFS}> ?r . ?r <{P_TITLE}> ?t }}'
+    ).collect()
+    assert [r["t"] for r in got] == ["Two"]
+    # context filter scopes the pattern source
+    assert store.select(
+        f'SELECT ?t WHERE {{ ?s <{P_TITLE}> ?t }}', context="b.example"
+    ).count() == 1
+
+
+def test_construct(store):
+    g = store.construct(
+        f"CONSTRUCT {{ ?r <urn:citedBy> ?d }} WHERE {{ ?d <{P_REFS}> ?r }}"
+    ).collect()
+    assert [(r["subj"], r["obj"]) for r in g] == [
+        ("https://b.example/2", "https://a.example/1")
+    ]
+
+
+def test_add_appends_both_layouts(store, spark):
+    new = spark.createDataFrame(
+        [_row("https://c.example/3", P_TITLE, "Three", False,
+              "https://c.example/3", 3)],
+        SCHEMA,
+    )
+    store.add(new)
+    assert store.triple_count() == 4
+    # POS layout sees the appended predicate rows too (pruned scan path)
+    pos = store._pos(None)
+    assert pos.filter(F.col("subj") == "https://c.example/3").count() == 1
+
+
+def test_clear_context_drops_exclusive_partition(store):
+    # part_key 1 holds ONLY a.example rows — clear must drop the whole
+    # partition, which dynamic overwrite would leave behind
+    store.clear("a.example")
+    assert store.triple_count() == 1
+    left = store.triples().collect()
+    assert left[0]["subj"] == "https://b.example/2"
+    assert store.select(
+        f'SELECT ?s WHERE {{ ?s <{P_TITLE}> "One" }}'
+    ).count() == 0
