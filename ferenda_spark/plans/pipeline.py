@@ -7,14 +7,15 @@ stage tables:
   parse:   corpus ──mapInPandas──▶ docs table (+ lineage)          [E1]
   triples: docs ──link+assemble──▶ triples_spo + triples_pos       [E2]
   rollup:  triples ──docmeta──▶ toc + feeds + feed_main + stats    [E3]
+  publish: toc/feeds ──column-expr XML──▶ atom + toc_pages tables  [E3]
 
 Resume contract (north_rule): each stage anti-joins its input against the
 ledger and recomputes ONLY part_keys not yet recorded ok; stage writes are
 dynamic partition overwrites keyed on part_key, so re-runs are idempotent
 and a killed run restarts at the last completed partition. `parse` and
-`triples` resume at partition granularity; `rollup` outputs are facet-sized
-(O(groups) rows) so it reruns whole — recomputing a 10^2-row table is
-cheaper than checkpointing it.
+`triples` resume at partition granularity; `rollup` and `publish` outputs
+are facet-sized (O(groups) rows) so they rerun whole — recomputing a
+10^2-row table is cheaper than checkpointing it.
 
 At 100 TB: every stage boundary is a partitioned Parquet table (the
 Iceberg-style layout, SURVEY §7.1), so executors stream batch-at-a-time and
@@ -60,6 +61,7 @@ def run_pipeline(
     run_id: str = "run",
     exact_strategy: str = "broadcast",
     with_lsh: bool = True,
+    base_url: str = "https://kg.example.org",
 ) -> dict[str, str]:
     """Run (or resume) the full DAG; returns stage-table paths."""
     ledger = Ledger(spark, _p(out_dir, "ledger"))
@@ -73,6 +75,8 @@ def run_pipeline(
         "feeds": _p(out_dir, "feeds"),
         "feed_main": _p(out_dir, "feed_main"),
         "triple_stats": _p(out_dir, "triple_stats"),
+        "atom": _p(out_dir, "atom"),
+        "toc_pages": _p(out_dir, "toc_pages"),
         "ledger": _p(out_dir, "ledger"),
     }
 
@@ -162,4 +166,20 @@ def run_pipeline(
     catalog.write_table(feed_main(dm), paths["feed_main"])
     catalog.write_table(triple_stats(triples_tbl), paths["triple_stats"])
     ledger.mark_parts("rollup", [-1], run_id=run_id)
+
+    # -------------------------------------------------------------- publish
+    # the generate-side sinks (news_generate_feeds / toc_generate_pages):
+    # rollup-sized inputs, column-expression XML assembly, rerun-whole
+    from ferenda_spark.operators.atom import atom_feeds
+    from ferenda_spark.operators.toc_html import toc_pages
+
+    catalog.write_table(
+        atom_feeds(catalog.read_table(spark, paths["feeds"]), base_url),
+        paths["atom"],
+    )
+    catalog.write_table(
+        toc_pages(catalog.read_table(spark, paths["toc"]), base_url),
+        paths["toc_pages"],
+    )
+    ledger.mark_parts("publish", [-1], run_id=run_id)
     return paths

@@ -38,6 +38,24 @@ def full_run(spark, tmp_path_factory):
     return paths
 
 
+def test_publish_stage_tables(spark, full_run):
+    """The publish stage materializes the generate-side sinks: Atom feed
+    pages and TOC listing pages, both well-formed XML over the rollups."""
+    import xml.etree.ElementTree as ET
+
+    atom = spark.read.parquet(full_run["atom"]).collect()
+    assert len(atom) > 0
+    assert sum(r["n_entries"] for r in atom) == N_DOCS
+    assert all(
+        ET.fromstring(r["atom_xml"]).tag.endswith("feed") for r in atom
+    )
+    toc = spark.read.parquet(full_run["toc_pages"]).collect()
+    assert {r["facet"] for r in toc} >= {"letter", "year", "lang", "all"}
+    assert all(ET.fromstring(r["html"]).tag.endswith("html") for r in toc)
+    led = Ledger(spark, full_run["ledger"]).read()
+    assert led.filter(F.col("stage") == "publish").count() == 1
+
+
 def test_resume_recomputes_only_pending(spark, tmp_path_factory, full_run):
     out = str(tmp_path_factory.mktemp("resume"))
     corpus = generate_corpus(spark, N_DOCS)
