@@ -29,8 +29,10 @@ Compilation strategy (scale notes):
   with the POS layout passed as ``pos_triples``, a constant-predicate
   pattern prunes to a single partition (SURVEY P4);
 - patterns are joined most-selective-first (constant count), always
-  preferring a pattern that shares a variable with the already-joined set,
-  so no accidental cross products;
+  preferring a pattern that shares a variable with the already-joined set;
+  a genuinely disconnected BGP component (no shared variables anywhere)
+  takes the SPARQL-mandated cartesian product via ``crossJoin`` over the
+  constant-filtered scans — never over raw triples;
 - a variable bound on both sides of a join is an equi-join key → plain
   shuffled/broadcast hash joins that AQE can re-plan;
 - everything is column expressions — no UDFs, no driver-side iteration.
@@ -436,10 +438,9 @@ def _join_group(
                 if pvars & bound:
                     nxt_i = i
                     break
-            else:
-                raise SparqlUnsupportedError(
-                    "disconnected graph pattern (cross product) not supported"
-                )
+            # no pattern shares a variable → disconnected component; fall
+            # through with the most-selective remaining pattern (nxt_i=0)
+            # and let the crossJoin below take the cartesian product.
         pat = remaining.pop(nxt_i)
         scan, pvars = _scan(triples, pos_triples, pat)
         if df is None:
@@ -452,7 +453,15 @@ def _join_group(
             # precludes — URIs and literals live in disjoint namespaces)
             for v in on:
                 scan = scan.drop(f"{v}__uri")
-            df = df.join(scan, on=on, how="inner")
+            if on:
+                df = df.join(scan, on=on, how="inner")
+            else:
+                # disconnected BGP components: SPARQL semantics is the
+                # cartesian product of their solution sets. Both sides are
+                # constant-filtered scans (most-selective-first order), so
+                # the product is over already-reduced solution sets, not raw
+                # triples; Catalyst plans it as a broadcast nested loop.
+                df = df.crossJoin(scan)
             bound |= pvars
 
     for opt in group.optionals:

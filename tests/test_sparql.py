@@ -149,11 +149,24 @@ def test_select_star_and_var_reuse(spark, graph):
     assert refl.count() == 0
 
 
-def test_disconnected_pattern_rejected(spark, graph):
-    with pytest.raises(SparqlUnsupportedError):
-        sparql_select(
-            graph, "SELECT ?a ?b WHERE { ?a ?p1 ?x . ?b ?p2 ?y }"
-        ).collect()
+def test_disconnected_pattern_is_cross_product(spark, graph):
+    # SPARQL semantics for a disconnected BGP: cartesian product of the
+    # component solution sets. 2 docs with rdf:type? only d1 is typed, so
+    # component one has 1 solution; component two (references d2) has 1.
+    out = sparql_select(
+        graph,
+        PREFIX
+        + "SELECT ?a ?b WHERE { ?a a <http://ex.org/Doc> . "
+        + "?b dcterms:references <http://ex.org/d2> }",
+    ).collect()
+    assert [(r.a, r.b) for r in out] == [("http://ex.org/d1", "http://ex.org/d3")]
+    # 3 references total × 1 typed doc = 3 product rows
+    out2 = sparql_select(
+        graph,
+        PREFIX + "SELECT ?a ?b ?r WHERE { ?a a <http://ex.org/Doc> . "
+        "?b dcterms:references ?r }",
+    )
+    assert out2.count() == 3
 
 
 # ---------------------------------------------------------------- construct

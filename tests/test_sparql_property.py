@@ -1,5 +1,6 @@
 """Property test: the SPARQL BGP compiler agrees with a naive backtracking
-evaluator on random graphs and random connected patterns.
+evaluator on random graphs and random patterns (mostly connected, sometimes
+deliberately disconnected to hit the cross-product path).
 
 This is the adversarial check for the riskiest part of operators/sparql.py
 — join ordering, var-reuse equality, constant pushdown, URI-vs-literal
@@ -51,8 +52,10 @@ def bgp_st(draw):
             if not pvars:
                 s = Term("var", draw(st.sampled_from(VARS)))
                 pvars = [s.value]
-        elif not (set(pvars) & set(used)):
-            # force connectivity: rebind the subject to a used variable
+        elif not (set(pvars) & set(used)) and draw(st.booleans()):
+            # usually connect the pattern to the joined set by rebinding the
+            # subject to a used variable — but sometimes leave it
+            # disconnected, to exercise the compiler's cross-product path
             s = Term("var", draw(st.sampled_from(used)))
             pvars.append(s.value)
         used.extend(pvars)
