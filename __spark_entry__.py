@@ -631,6 +631,55 @@ def _q_sparql_optional(spark, sf_dir):
     )
 
 
+def _q_sparql_groupby(spark, sf_dir):
+    """TripleStore facet-count parity: SPARQL GROUP BY + COUNT/SUM/MAX with
+    HAVING compiled to a Catalyst HashAggregate (partial agg map-side)."""
+    from ferenda_spark.operators.sparql import sparql_select
+
+    return sparql_select(
+        _doc_triples_view(spark, sf_dir),
+        """
+        SELECT ?src (COUNT(*) AS ?n_docs) (SUM(?nc) AS ?sum_nc)
+               (MAX(?lang) AS ?max_lang)
+        WHERE { ?d <doc:source> ?src ; <doc:nchars> ?nc ; <doc:lang> ?lang }
+        GROUP BY ?src HAVING(?n_docs >= 2) ORDER BY ?src
+        """,
+    )
+
+
+def _q_sparql_union_values(spark, sf_dir):
+    """SPARQL UNION (null-padded unionByName) + VALUES (inline broadcast
+    dictionary) joined against the BGP — the annotations.rq multi-branch
+    shape over two predicates."""
+    from ferenda_spark.operators.sparql import sparql_select
+
+    return sparql_select(
+        _doc_triples_view(spark, sf_dir),
+        """
+        SELECT ?d ?v WHERE {
+          VALUES ?src { "src3" "src7" }
+          ?d <doc:source> ?src .
+          { ?d <doc:lang> ?v } UNION { ?d <doc:nchars> ?v }
+        }
+        """,
+    )
+
+
+def _q_sparql_triple_count(spark, sf_dir):
+    """TripleStore.triple_count parity (SURVEY A3): global aggregation
+    without GROUP BY — one HashAggregate over the whole graph."""
+    from ferenda_spark.operators.sparql import sparql_select
+
+    return sparql_select(
+        _doc_triples_view(spark, sf_dir),
+        """
+        SELECT (COUNT(*) AS ?n_triples) (COUNT(DISTINCT ?s) AS ?n_subjects)
+               (COUNT(DISTINCT ?p) AS ?n_preds)
+        WHERE { ?s ?p ?o }
+        """,
+    )
+
+
 def _q_fulltext_search(spark, sf_dir):
     """FulltextIndex.query parity: inverted-index build + tf-idf ranked
     AND-search, top-10 deterministic by (score desc, id)."""
@@ -894,6 +943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _q_token_count_bpe,
         "sparql_docs": _q_sparql_docs,
         "sparql_optional": _q_sparql_optional,
+        "sparql_groupby": _q_sparql_groupby,
+        "sparql_union_values": _q_sparql_union_values,
+        "sparql_triple_count": _q_sparql_triple_count,
         "fulltext_search": _q_fulltext_search,
         "fulltext_facets": _q_fulltext_facets,
         "atom_feeds": _q_atom_feeds,
@@ -1255,6 +1307,32 @@ def oracle_sql() -> dict[str, str]:
               AND c.pred = 'doc:nchars'
               AND CAST(c.obj AS DOUBLE) >= 400
               AND regexp_matches(a.obj, '^src1[0-9]$')
+        """,
+        "sparql_groupby": _DOC_TRIPLES_SQL + """
+            SELECT a.obj AS src,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(b.obj AS DOUBLE)) AS DOUBLE) AS sum_nc,
+                   max(c.obj) AS max_lang
+            FROM t a
+            JOIN t b ON a.subj = b.subj
+            JOIN t c ON a.subj = c.subj
+            WHERE a.pred = 'doc:source' AND b.pred = 'doc:nchars'
+              AND c.pred = 'doc:lang'
+            GROUP BY a.obj HAVING count(*) >= 2
+        """,
+        "sparql_union_values": _DOC_TRIPLES_SQL + """
+            SELECT s.subj AS d, u.obj AS v
+            FROM (SELECT subj FROM t
+                  WHERE pred = 'doc:source' AND obj IN ('src3', 'src7')) s
+            JOIN (SELECT subj, obj FROM t
+                  WHERE pred IN ('doc:lang', 'doc:nchars')) u
+              ON s.subj = u.subj
+        """,
+        "sparql_triple_count": _DOC_TRIPLES_SQL + """
+            SELECT CAST(count(*) AS BIGINT) AS n_triples,
+                   CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+                   CAST(count(DISTINCT pred) AS BIGINT) AS n_preds
+            FROM t
         """,
         "sparql_optional": _DOC_TRIPLES_SQL + """
             SELECT a.subj AS d, a.obj AS nc, b.obj AS de

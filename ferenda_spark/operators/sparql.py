@@ -12,15 +12,25 @@ text compiles to a DataFrame plan over the ``triples`` tables, so Catalyst
 
 Supported subset — the shapes the reference's shipped ``.rq`` files use:
 
-- ``PREFIX`` declarations; ``SELECT [DISTINCT] ?v … | *``;
+- ``PREFIX`` declarations; ``SELECT [DISTINCT] ?v … | * | (AGG(?v) AS ?a)``;
   ``CONSTRUCT { template }``
 - basic graph patterns with ``.``-separated triple patterns, ``;``
   predicate-object lists and ``,`` object lists
 - terms: ``?var``, ``<iri>``, ``prefixed:name``, ``"literal"``,
   ``"literal"@lang``, numeric literals, ``a`` (= rdf:type)
 - ``OPTIONAL { … }`` → left outer join on the shared variables
+- ``{ … } UNION { … }`` → unionByName with null padding for
+  branch-private variables (join keys must be bound in every branch)
+- ``VALUES ?v { … }`` / ``VALUES (?v …) { (…) … }`` → inline broadcast
+  table joined on its variables (``UNDEF`` → null, non-join columns only)
 - ``FILTER`` with ``= != < > <= >=``, ``regex(?v, "pat")``, ``bound(?v)``,
-  ``isIRI/isURI(?v)``, ``str(?v)``, ``!``, ``&&``, ``||``, parentheses
+  ``isIRI/isURI(?v)``, ``str(?v)``, ``lang(?v)``, ``!``, ``&&``, ``||``,
+  parentheses
+- aggregates ``COUNT([DISTINCT] ?v | *)``, ``SUM/AVG/MIN/MAX/SAMPLE(?v)``,
+  ``GROUP_CONCAT(?v; SEPARATOR="…")`` with ``GROUP BY ?v …`` and
+  ``HAVING(expr)`` → ``groupBy().agg()`` (partial map-side aggregation for
+  free; GROUP_CONCAT output is sorted for determinism — documented
+  departure from SPARQL's unspecified order)
 - ``ORDER BY [ASC|DESC](?v) …``, ``LIMIT``, ``OFFSET``
 
 Compilation strategy (scale notes):
@@ -118,6 +128,21 @@ class Group:
     patterns: list[Pattern] = field(default_factory=list)
     optionals: list["Group"] = field(default_factory=list)
     filters: list[tuple] = field(default_factory=list)  # filter expr ASTs
+    unions: list[list["Group"]] = field(default_factory=list)  # each: branches
+    values: list[tuple[list[str], list[list[Term | None]]]] = field(
+        default_factory=list
+    )  # (vars, rows); None = UNDEF
+
+
+@dataclass(frozen=True)
+class AggItem:
+    """One ``(AGG(?v) AS ?alias)`` projection in a SELECT clause."""
+
+    fn: str  # count | sum | avg | min | max | sample | group_concat
+    var: str | None  # None = COUNT(*)
+    alias: str
+    distinct: bool = False
+    separator: str = " "  # GROUP_CONCAT only
 
 
 @dataclass
@@ -130,6 +155,10 @@ class Query:
     order_by: list[tuple[str, bool]]  # (var, ascending)
     limit: int | None
     offset: int | None
+    aggregates: list[AggItem] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
+    having: list[tuple] = field(default_factory=list)
+    select_order: list[str] = field(default_factory=list)  # projection order
 
 
 class _Parser:
@@ -172,6 +201,8 @@ class _Parser:
             self.prefixes[pname[:-1]] = iri[1:-1]
 
         form = self.next().lower()
+        aggregates: list[AggItem] = []
+        select_order: list[str] = []
         if form == "select":
             distinct = False
             if self.at_kw("distinct"):
@@ -181,10 +212,20 @@ class _Parser:
             if self.peek() == "*":
                 self.next()
             else:
-                while self.peek() is not None and self.peek().startswith("?"):
-                    sel.append(self.next()[1:])
-                if not sel:
-                    raise SparqlSyntaxError("SELECT needs ?vars or *")
+                while True:
+                    t = self.peek()
+                    if t is not None and t.startswith("?"):
+                        v = self.next()[1:]
+                        sel.append(v)
+                        select_order.append(v)
+                    elif t == "(":
+                        agg = self.parse_agg_item()
+                        aggregates.append(agg)
+                        select_order.append(agg.alias)
+                    else:
+                        break
+                if not select_order:
+                    raise SparqlSyntaxError("SELECT needs ?vars, (AGG(...) AS ?x), or *")
             template: list[Pattern] = []
         elif form == "construct":
             distinct, sel = True, []  # CONSTRUCT output is a graph → set semantics
@@ -197,10 +238,24 @@ class _Parser:
         self.expect("where")
         where = self.parse_group()
 
+        group_by: list[str] = []
+        having: list[tuple] = []
         order_by: list[tuple[str, bool]] = []
         limit = offset = None
         while self.peek() is not None:
-            if self.at_kw("order"):
+            if self.at_kw("group"):
+                self.next()
+                self.expect("by")
+                while self.peek() is not None and self.peek().startswith("?"):
+                    group_by.append(self.next()[1:])
+                if not group_by:
+                    raise SparqlSyntaxError("GROUP BY needs ?vars")
+            elif self.at_kw("having"):
+                self.next()
+                self.expect("(")
+                having.append(self.parse_or())
+                self.expect(")")
+            elif self.at_kw("order"):
                 self.next()
                 self.expect("by")
                 while True:
@@ -230,7 +285,59 @@ class _Parser:
             else:
                 raise SparqlSyntaxError(f"unexpected token {self.peek()!r}")
 
-        return Query(form, sel, distinct, where, template, order_by, limit, offset)
+        if form == "construct" and (aggregates or group_by or having):
+            raise SparqlUnsupportedError("aggregates in CONSTRUCT not supported")
+        if aggregates or group_by:
+            # SPARQL projection rule: non-aggregate SELECT vars must be
+            # grouped; bare aggregates without GROUP BY = global aggregation
+            ungrouped = [v for v in sel if v not in group_by]
+            if ungrouped:
+                raise SparqlSyntaxError(
+                    f"SELECT vars not in GROUP BY: {ungrouped}"
+                )
+        elif having:
+            raise SparqlSyntaxError("HAVING without aggregation")
+        return Query(
+            form, sel, distinct, where, template, order_by, limit, offset,
+            aggregates, group_by, having, select_order,
+        )
+
+    def parse_agg_item(self) -> AggItem:
+        self.expect("(")
+        fn = self.next().lower()
+        if fn not in ("count", "sum", "avg", "min", "max", "sample", "group_concat"):
+            raise SparqlUnsupportedError(f"unsupported aggregate {fn!r}")
+        self.expect("(")
+        distinct = False
+        if self.at_kw("distinct"):
+            self.next()
+            distinct = True
+        var: str | None = None
+        t = self.next()
+        if t == "*":
+            if fn != "count":
+                raise SparqlSyntaxError(f"{fn.upper()}(*) is not SPARQL")
+        elif t.startswith("?"):
+            var = t[1:]
+        else:
+            raise SparqlUnsupportedError("aggregate over non-variable expression")
+        separator = " "
+        if self.peek() == ";":
+            self.next()
+            kw = self.next()
+            if kw.lower() != "separator" or self.next() != "=":
+                raise SparqlSyntaxError("expected SEPARATOR=\"…\" in GROUP_CONCAT")
+            s = self.next()
+            if not s.startswith('"'):
+                raise SparqlSyntaxError("SEPARATOR needs a string literal")
+            separator = _unescape(s[1:-1])
+        self.expect(")")
+        self.expect("as")
+        alias = self.next()
+        if not alias.startswith("?"):
+            raise SparqlSyntaxError("aggregate needs AS ?alias")
+        self.expect(")")
+        return AggItem(fn, var, alias[1:], distinct, separator)
 
     # -- group / patterns
     def parse_group(self) -> Group:
@@ -254,8 +361,62 @@ class _Parser:
                 self.expect("(")
                 g.filters.append(self.parse_or())
                 self.expect(")")
+            elif t.lower() == "values":
+                self.next()
+                g.values.append(self.parse_values())
+            elif t == "{":
+                branches = [self.parse_group()]
+                while self.at_kw("union"):
+                    self.next()
+                    branches.append(self.parse_group())
+                if len(branches) == 1:
+                    # plain nested group — splice into the parent
+                    g.patterns.extend(branches[0].patterns)
+                    g.optionals.extend(branches[0].optionals)
+                    g.filters.extend(branches[0].filters)
+                    g.unions.extend(branches[0].unions)
+                    g.values.extend(branches[0].values)
+                else:
+                    g.unions.append(branches)
             else:
                 g.patterns.extend(self.parse_triples_same_subject())
+
+    def parse_values(self) -> tuple[list[str], list[list[Term | None]]]:
+        multi = self.peek() == "("
+        if multi:
+            self.next()
+            vars_: list[str] = []
+            while self.peek() is not None and self.peek().startswith("?"):
+                vars_.append(self.next()[1:])
+            self.expect(")")
+        else:
+            v = self.next()
+            if not v.startswith("?"):
+                raise SparqlSyntaxError("VALUES needs ?var or (?var …)")
+            vars_ = [v[1:]]
+        if not vars_:
+            raise SparqlSyntaxError("VALUES needs at least one variable")
+        self.expect("{")
+        rows: list[list[Term | None]] = []
+        while self.peek() is not None and self.peek() != "}":
+            if multi:
+                self.expect("(")
+                row = [self.parse_values_term() for _ in vars_]
+                self.expect(")")
+            else:
+                row = [self.parse_values_term()]
+            rows.append(row)
+        self.expect("}")
+        return vars_, rows
+
+    def parse_values_term(self) -> Term | None:
+        if self.at_kw("undef"):
+            self.next()
+            return None
+        t = self.parse_term()
+        if t.kind == "var":
+            raise SparqlSyntaxError("variables not allowed in VALUES data")
+        return t
 
     def parse_pattern_list(self, stop: str) -> list[Pattern]:
         pats: list[Pattern] = []
@@ -344,7 +505,9 @@ class _Parser:
             e = self.parse_or()
             self.expect(")")
             return e
-        if t is not None and t.lower() in ("regex", "bound", "isiri", "isuri", "str"):
+        if t is not None and t.lower() in (
+            "regex", "bound", "isiri", "isuri", "str", "lang",
+        ):
             fn = self.next().lower()
             self.expect("(")
             args = [self.parse_or()]
@@ -382,12 +545,15 @@ def _scan(
 
     Variable columns carry the raw lexical value; ``<var>__uri`` carries the
     obj_is_uri flag when the variable binds an object position (subjects and
-    predicates are URIs by construction). A constant predicate routes the
-    scan to the POS layout when provided (partition pruning, SURVEY P4)."""
+    predicates are URIs by construction) and ``<var>__lang`` the literal's
+    language tag (null off the object position). A constant predicate routes
+    the scan to the POS layout when provided (partition pruning, SURVEY P4)."""
     src = pos_triples if (pos_triples is not None and pat.p.is_const) else triples
+    has_lang = "obj_lang" in src.columns
     cond = F.lit(True)
     cols: dict[str, F.Column] = {}
     uri_flags: dict[str, F.Column] = {}
+    lang_flags: dict[str, F.Column] = {}
 
     for pos, term, col, is_uri_col in (
         ("s", pat.s, "subj", F.lit(True)),
@@ -399,7 +565,7 @@ def _scan(
             if pos == "o":
                 # a constant IRI object must match URI rows; a literal must not
                 c = c & (F.col("obj_is_uri") == F.lit(term.kind == "iri"))
-                if term.lang is not None and "obj_lang" in src.columns:
+                if term.lang is not None and has_lang:
                     c = c & (F.col("obj_lang") == F.lit(term.lang))
             cond = cond & c
         else:
@@ -409,9 +575,15 @@ def _scan(
             else:
                 cols[v] = F.col(col)
                 uri_flags[v] = is_uri_col
+                lang_flags[v] = (
+                    F.col("obj_lang")
+                    if (pos == "o" and has_lang)
+                    else F.lit(None).cast("string")
+                )
     out = src.filter(cond).select(
         *[c.alias(v) for v, c in cols.items()],
         *[uri_flags[v].alias(f"{v}__uri") for v in cols],
+        *[lang_flags[v].alias(f"{v}__lang") for v in cols],
     )
     return out, set(cols)
 
@@ -419,7 +591,7 @@ def _scan(
 def _join_group(
     triples: DataFrame, pos_triples: DataFrame | None, group: Group
 ) -> tuple[DataFrame, set[str]]:
-    if not group.patterns and not group.optionals:
+    if not (group.patterns or group.optionals or group.unions or group.values):
         raise SparqlUnsupportedError("empty group pattern")
 
     # order: most constants first (selectivity), then greedily pick patterns
@@ -452,7 +624,7 @@ def _join_group(
             # literal-vs-URI-same-lexical case, which the corpus vocabulary
             # precludes — URIs and literals live in disjoint namespaces)
             for v in on:
-                scan = scan.drop(f"{v}__uri")
+                scan = scan.drop(f"{v}__uri", f"{v}__lang")
             if on:
                 df = df.join(scan, on=on, how="inner")
             else:
@@ -463,6 +635,50 @@ def _join_group(
                 # triples; Catalyst plans it as a broadcast nested loop.
                 df = df.crossJoin(scan)
             bound |= pvars
+
+    for branches in group.unions:
+        bdfs: list[tuple[DataFrame, set[str]]] = [
+            _join_group(triples, pos_triples, b) for b in branches
+        ]
+        uvars: set[str] = set().union(*(v for _, v in bdfs))
+        certain: set[str] = set.intersection(*(v for _, v in bdfs))
+        # branch-private variables pad with nulls (SPARQL: unbound)
+        udf = bdfs[0][0]
+        for extra, _ in bdfs[1:]:
+            udf = udf.unionByName(extra, allowMissingColumns=True)
+        if df is None:
+            df, bound = udf, uvars
+        else:
+            on = sorted(uvars & bound)
+            if not set(on) <= certain:
+                raise SparqlUnsupportedError(
+                    "UNION join variable must be bound in every branch "
+                    f"(got {sorted(set(on) - certain)})"
+                )
+            for v in on:
+                udf = udf.drop(f"{v}__uri", f"{v}__lang")
+            df = df.join(udf, on=on, how="inner") if on else df.crossJoin(udf)
+            bound |= uvars
+
+    for vars_, rows in group.values:
+        vdf = _values_frame(triples.sparkSession, vars_, rows)
+        if df is None:
+            df, bound = vdf, set(vars_)
+            continue
+        on = sorted(set(vars_) & bound)
+        if on and any(r[vars_.index(v)] is None for r in rows for v in on):
+            raise SparqlUnsupportedError(
+                "UNDEF in a VALUES join column not supported"
+            )
+        for v in on:
+            vdf = vdf.drop(f"{v}__uri", f"{v}__lang")
+        # inline data is tiny by construction → broadcast hash join
+        df = (
+            df.join(F.broadcast(vdf), on=on, how="inner")
+            if on
+            else df.crossJoin(F.broadcast(vdf))
+        )
+        bound |= set(vars_)
 
     for opt in group.optionals:
         if opt.optionals:
@@ -475,7 +691,7 @@ def _join_group(
         if not on:
             raise SparqlUnsupportedError("OPTIONAL sharing no variables not supported")
         for v in on:
-            odf = odf.drop(f"{v}__uri")
+            odf = odf.drop(f"{v}__uri", f"{v}__lang")
         df = df.join(odf, on=on, how="left")
         bound |= ovars
 
@@ -483,6 +699,24 @@ def _join_group(
     for fexpr in group.filters:
         df = df.filter(_compile_filter(fexpr, bound))
     return df, bound
+
+
+def _values_frame(spark, vars_: list[str], rows) -> DataFrame:
+    """VALUES block → an inline DataFrame with the same per-variable column
+    triplet (value, __uri, __lang) the pattern scans produce."""
+    data = []
+    for row in rows:
+        rec: list = []
+        for t in row:
+            if t is None:  # UNDEF
+                rec += [None, None, None]
+            else:
+                rec += [t.value, t.kind == "iri", t.lang]
+        data.append(tuple(rec))
+    schema = ", ".join(
+        f"`{v}` string, `{v}__uri` boolean, `{v}__lang` string" for v in vars_
+    )
+    return spark.createDataFrame(data, schema)
 
 
 def _compile_filter(ast, bound: set[str]) -> F.Column:
@@ -525,6 +759,14 @@ def _value(ast, bound: set[str]) -> tuple[F.Column, bool]:
     """expr → (column, is_numeric_literal)."""
     if ast[0] == "str":
         return _value(ast[1], bound)[0], False
+    if ast[0] == "lang":
+        t = ast[1]
+        if t[0] != "term" or t[1].kind != "var":
+            raise SparqlUnsupportedError("lang() over non-variable")
+        if t[1].value not in bound:
+            return F.lit(None).cast("string"), False
+        # SPARQL lang() returns "" for plain literals / IRIs
+        return F.coalesce(F.col(f"{t[1].value}__lang"), F.lit("")), False
     if ast[0] != "term":
         raise SparqlUnsupportedError("arithmetic in FILTER not supported")
     term: Term = ast[1]
@@ -542,6 +784,41 @@ def _const_str(ast) -> str:
     raise SparqlUnsupportedError("expected string literal")
 
 
+def _agg_column(a: AggItem) -> F.Column:
+    """AggItem → Spark aggregate expression. SUM/AVG follow SPARQL numeric
+    semantics (operands treated as numbers); MIN/MAX compare lexically over
+    the string column (matches rdflib's behavior for plain literals);
+    GROUP_CONCAT sorts elements for determinism (SPARQL leaves the order
+    unspecified — a distributed engine must pin it or break idempotent
+    re-runs)."""
+    col = F.col(a.var) if a.var is not None else None
+    if a.fn == "count":
+        if col is None:
+            c = F.count(F.lit(1))
+        elif a.distinct:
+            c = F.countDistinct(col)
+        else:
+            c = F.count(col)
+    elif a.fn == "sum":
+        c = (F.sum_distinct if a.distinct else F.sum)(col.cast("double"))
+    elif a.fn == "avg":
+        if a.distinct:
+            raise SparqlUnsupportedError("AVG(DISTINCT) not supported")
+        c = F.avg(col.cast("double"))
+    elif a.fn == "min":
+        c = F.min(col)
+    elif a.fn == "max":
+        c = F.max(col)
+    elif a.fn == "sample":
+        c = F.first(col, ignorenulls=True)
+    elif a.fn == "group_concat":
+        lst = F.collect_set(col) if a.distinct else F.collect_list(col)
+        c = F.array_join(F.sort_array(lst), a.separator)
+    else:  # pragma: no cover — parser rejects unknown aggregates
+        raise SparqlUnsupportedError(f"unsupported aggregate {a.fn!r}")
+    return c.alias(a.alias)
+
+
 def sparql_select(
     triples: DataFrame, query: str, pos_triples: DataFrame | None = None
 ) -> DataFrame:
@@ -555,13 +832,26 @@ def sparql_select(
     if q.form != "select":
         raise SparqlUnsupportedError("use sparql_construct for CONSTRUCT")
     df, bound = _join_group(triples, pos_triples, q.where)
-    out_vars = q.select_vars or sorted(bound)
-    missing = [v for v in out_vars if v not in bound]
-    if missing:
-        raise SparqlUnsupportedError(f"SELECT vars not bound in WHERE: {missing}")
-    out = df.select(*out_vars)
-    if q.distinct:
-        out = out.distinct()
+    if q.aggregates or q.group_by:
+        needed = set(q.group_by) | {a.var for a in q.aggregates if a.var}
+        missing = sorted(needed - bound)
+        if missing:
+            raise SparqlUnsupportedError(f"vars not bound in WHERE: {missing}")
+        out = df.groupBy(*q.group_by).agg(
+            *[_agg_column(a) for a in q.aggregates]
+        )
+        bound_after = set(q.group_by) | {a.alias for a in q.aggregates}
+        for h in q.having:
+            out = out.filter(_compile_filter(h, bound_after))
+        out = out.select(*q.select_order)
+    else:
+        out_vars = q.select_vars or sorted(bound)
+        missing = [v for v in out_vars if v not in bound]
+        if missing:
+            raise SparqlUnsupportedError(f"SELECT vars not bound in WHERE: {missing}")
+        out = df.select(*out_vars)
+        if q.distinct:
+            out = out.distinct()
     if q.order_by:
         out = out.orderBy(
             *[F.asc(v) if asc else F.desc(v) for v, asc in q.order_by]

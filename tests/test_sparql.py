@@ -138,6 +138,101 @@ def test_numeric_filter(spark):
     assert [r["s"] for r in got] == ["s2"]
 
 
+def test_union_null_padding_and_join(spark, graph):
+    # UNION of title/language legs; ?t vs ?l are branch-private → null-padded
+    got = sparql_select(
+        graph,
+        PREFIX
+        + "SELECT ?d ?t ?l WHERE { { ?d dcterms:title ?t } "
+        + "UNION { ?d dcterms:language ?l } }",
+    ).collect()
+    rows = sorted(
+        ((r.d, r.t, r.l) for r in got),
+        key=lambda x: tuple("" if v is None else v for v in x),
+    )
+    assert rows == [
+        ("http://ex.org/d1", None, "en"),
+        ("http://ex.org/d1", "Alpha doc", None),
+        ("http://ex.org/d2", "Beta doc", None),
+        ("http://ex.org/d2", "Beta-Dokument", None),
+    ]
+    # union joined with an outer pattern on the shared var
+    got2 = sparql_select(
+        graph,
+        PREFIX
+        + "SELECT ?d ?v WHERE { ?d dcterms:references <http://ex.org/d1> . "
+        + "{ ?d dcterms:title ?v } UNION { ?d dcterms:language ?v } }",
+    ).collect()
+    assert sorted((r.d, r.v) for r in got2) == [
+        ("http://ex.org/d2", "Beta doc"),
+        ("http://ex.org/d2", "Beta-Dokument"),
+    ]
+
+
+def test_values_inline_data(spark, graph):
+    got = sparql_select(
+        graph,
+        PREFIX
+        + "SELECT ?d ?t WHERE { ?d dcterms:title ?t . "
+        + 'VALUES ?t { "Alpha doc" "Beta doc" } }',
+    ).collect()
+    assert sorted((r.d, r.t) for r in got) == [
+        ("http://ex.org/d1", "Alpha doc"),
+        ("http://ex.org/d2", "Beta doc"),
+    ]
+    # multi-var VALUES with UNDEF in a non-join column
+    got2 = sparql_select(
+        graph,
+        PREFIX
+        + "SELECT ?d ?t ?x WHERE { ?d dcterms:title ?t . "
+        + 'VALUES (?t ?x) { ("Alpha doc" "one") ("Beta doc" UNDEF) } }',
+    ).collect()
+    assert sorted((r.d, r.x) for r in got2) == [
+        ("http://ex.org/d1", "one"),
+        ("http://ex.org/d2", None),
+    ]
+
+
+def test_aggregates_group_by_having(spark, graph):
+    got = sparql_select(
+        graph,
+        PREFIX
+        + "SELECT ?d (COUNT(?t) AS ?n) (GROUP_CONCAT(?t; SEPARATOR=\"|\") AS ?ts) "
+        + "WHERE { ?d dcterms:title ?t } GROUP BY ?d HAVING(?n >= 2) ORDER BY ?d",
+    ).collect()
+    assert [(r.d, r.n, r.ts) for r in got] == [
+        ("http://ex.org/d2", 2, "Beta doc|Beta-Dokument")
+    ]
+    # global aggregation = TripleStore.triple_count parity (A3)
+    cnt = sparql_select(
+        graph,
+        "SELECT (COUNT(*) AS ?n) (COUNT(DISTINCT ?s) AS ?n_subj) "
+        "WHERE { ?s ?p ?o }",
+    ).collect()
+    assert (cnt[0].n, cnt[0].n_subj) == (8, 3)
+    # SPARQL projection rule: ungrouped var in SELECT is an error
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p"
+        )
+
+
+def test_lang_function(spark, graph):
+    got = sparql_select(
+        graph,
+        PREFIX
+        + 'SELECT ?d ?t WHERE { ?d dcterms:title ?t . FILTER(lang(?t) = "de") }',
+    ).collect()
+    assert [(r.d, r.t) for r in got] == [("http://ex.org/d2", "Beta-Dokument")]
+    # lang() = "" matches plain literals (language leg carries no tag)
+    got2 = sparql_select(
+        graph,
+        PREFIX
+        + 'SELECT ?d WHERE { ?d dcterms:language ?l . FILTER(lang(?l) = "") }',
+    ).collect()
+    assert sorted(r.d for r in got2) == ["http://ex.org/d1"]
+
+
 def test_select_star_and_var_reuse(spark, graph):
     got = sparql_select(
         graph, PREFIX + "SELECT * WHERE { ?d dcterms:references ?r }"
