@@ -484,6 +484,21 @@ def _q_dedup_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Near-dup pairs clustered into entities: connected components over the
+    Jaccard similarity graph (min-label propagation + pointer jumping),
+    canonical representative = min doc_id. Oracle = DuckDB recursive CTE
+    computing min over the transitive closure."""
+    from ferenda_spark.operators.dedup import ngram_jaccard_pairs
+    from ferenda_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", k=1, threshold=0.5)
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
 def _q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-20 vs vec_id=0 (similarity-search baseline)."""
     from ferenda_spark.operators.similarity import brute_force_topk
@@ -935,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_point_lookup": _q_doc_point_lookup,
         "dedup_exact_stats": _q_dedup_exact_stats,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "dedup_components": _q_dedup_components,
         "dedup_embedding_exact": _q_dedup_embedding_exact,
         "shingle_fingerprint_stats": _q_shingle_fingerprint_stats,
         "embedding_topk": _q_embedding_topk,
@@ -1192,6 +1208,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
             WHERE c / (sa.sz + sb.sz - c) >= 0.5
+        """,
+        "dedup_components": """
+            WITH RECURSIVE s AS (
+                SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+                FROM documents WHERE doc_id < 200
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM s a JOIN s b ON a.w = b.w AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM common
+                JOIN sz sa ON sa.doc_id = id_a
+                JOIN sz sb ON sb.doc_id = id_b
+                WHERE c / (sa.sz + sb.sz - c) >= 0.5
+            ),
+            und AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(n, m) AS (
+                SELECT DISTINCT a, a FROM und
+                UNION
+                SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a
+            )
+            SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
         """,
         "dedup_embedding_exact": """
             WITH e AS (

@@ -1,0 +1,126 @@
+"""Connected components over alias/near-dup pair edges (entity clustering).
+
+Reference analog: none directly — ferenda resolves aliases exactly through
+its grammars (LegalRef/COIN, [ref: ferenda/sources/legal/se/legalref.py],
+[ref: ferenda/thirdparty/coin.py]) and never needs to cluster, because a
+10^4-doc legal corpus has a curated URI space. At the north_rule's
+Common-Crawl scale the MinHash-LSH alias pairs (SURVEY J4) form an
+undirected similarity graph whose connected components ARE the entities:
+clustering the pairs and electing a canonical representative (the minimum
+node id — deterministic, re-run-stable) is the step that turns pairwise
+near-duplicate evidence into a canonical URI dictionary.
+
+Algorithm — distributed min-label propagation with pointer jumping:
+
+    comp(v) starts as v.
+    Each round:   comp'(v)  = min(comp(v), min over neighbors u of comp(u))
+    then jumps:   comp''(v) = min(comp'(v), comp'(comp'(v)))
+
+Plain propagation needs O(diameter) rounds; the pointer-jumping join makes
+label distances roughly double each round, so convergence is
+O(log diameter) — the property that makes this viable on a 1000-executor
+cluster where every round is a full shuffle. Scale behavior:
+
+- each round is two shuffles (neighbor-min aggregation + jump self-join),
+  both on the node key; the min-aggregation combines map-side, so a hot
+  node (a celebrity entity with millions of aliases) reduces to one row
+  per map partition before the shuffle;
+- the symmetrized edge set is computed once, deduped, and cached — rounds
+  reuse it;
+- ``localCheckpoint`` truncates the plan every round; without it the
+  lineage doubles per iteration and Catalyst analysis time explodes long
+  before the data does;
+- the convergence probe is a ``limit(1)`` existence check on changed
+  labels, not a full count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Cluster an undirected edge list into connected components.
+
+    Returns ``(node, component)`` with one row per distinct node that
+    appears in ``edges``; ``component`` is the minimum node id of the
+    component (any total order works — min is deterministic and stable
+    across re-runs, which the ledger/resume contract requires). Isolated
+    nodes never enter the edge list and are absent: union them in from the
+    entity table afterwards if singleton clusters are wanted.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds don't converge — with
+    pointer jumping that needs a component diameter around 2**max_iter, so
+    hitting it means the input is pathological, and returning a partial
+    clustering silently would poison every downstream canonical URI.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    try:
+        for _ in range(max_iter):
+            nmin = (
+                und.join(
+                    labels.select(
+                        F.col("node").alias("b"), F.col("comp").alias("bcomp")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("bcomp").alias("ncomp"))
+                .withColumnRenamed("a", "node")
+            )
+            stepped = labels.join(nmin, "node", "left").select(
+                "node",
+                F.col("comp").alias("prev"),
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp1"),
+            )
+            # pointer jumping: look up comp1's own label through the same
+            # mapping (comp1 values are always node ids, so the join hits)
+            jump = stepped.select(
+                F.col("node").alias("comp1"), F.col("comp1").alias("jcomp")
+            )
+            new = (
+                stepped.join(jump, "comp1", "left")
+                .select(
+                    "node",
+                    "prev",
+                    F.least(F.col("comp1"), F.coalesce("jcomp", "comp1")).alias(
+                        "comp"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            labels = new.select("node", "comp")
+            if new.filter(F.col("comp") != F.col("prev")).limit(1).count() == 0:
+                return labels
+    finally:
+        und.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
+
+
+def cluster_sizes(components: DataFrame) -> DataFrame:
+    """Per-component member counts — the dedup-audit rollup (how much of
+    the corpus collapses per canonical entity)."""
+    return components.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))

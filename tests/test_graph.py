@@ -1,0 +1,77 @@
+"""Connected-components tests (operators/graph.py).
+
+Covers: long chains (pointer-jumping path), multiple components, string
+node ids, and agreement with a naive union-find on a seeded random graph
+(the same oracle style as the SPARQL property test — an independent
+reference implementation, not golden files)."""
+
+from __future__ import annotations
+
+import random
+
+from ferenda_spark.operators.graph import cluster_sizes, connected_components
+
+
+def _cc_naive(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical representative = min node of the component
+    comps = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comps.values():
+        root = min(members)
+        for n in members:
+            out[n] = root
+    return out
+
+
+def test_chain_converges_to_single_component(spark):
+    # a 40-node chain: diameter 39 — plain propagation would need 39 rounds,
+    # pointer jumping must finish well inside the max_iter=12 budget
+    edges = [(i, i + 1) for i in range(39)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.comp
+        for r in connected_components(df, max_iter=12).collect()
+    }
+    assert got == {i: 0 for i in range(40)}
+
+
+def test_multiple_components_and_string_ids(spark):
+    edges = [("b", "a"), ("c", "b"), ("y", "x"), ("x", "y"), ("q", "q")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+    # self-loop (q,q) contributes no node; duplicates/symmetric edges dedup
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    sizes = {
+        r.comp: r.n_members
+        for r in cluster_sizes(
+            connected_components(df)
+        ).collect()
+    }
+    assert sizes == {"a": 3, "x": 2}
+
+
+def test_matches_naive_union_find_on_random_graph(spark):
+    rng = random.Random(42)
+    nodes = list(range(80))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(70)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+    assert got == _cc_naive(edges)
