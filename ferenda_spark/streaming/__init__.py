@@ -1,3 +1,6 @@
+from ferenda_spark.streaming.entries import (  # noqa: F401
+    track_document_entries,
+)
 from ferenda_spark.streaming.ingest import (  # noqa: F401
     run_streaming_ingest,
     stream_corpus,

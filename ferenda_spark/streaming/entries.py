@@ -1,0 +1,86 @@
+"""Stateful streaming DocumentEntry tracker (applyInPandasWithState).
+
+Reference analog: ``DocumentEntry`` sidecar files record, per document,
+when it was first published and last updated, accumulating across build
+runs ([ref: ferenda/documententry.py :: DocumentEntry]; the `published`/
+`updated` fields drive the news feeds, [ref: ferenda/documentrepository.py
+:: news]). In the batch pipeline that ledger-style accumulation is a
+groupBy over all history; this module is the streaming restatement —
+claimed, like streaming/ingest.py, as an idiomatic-Spark upgrade, not as
+reference parity (the reference has no streaming).
+
+Semantics per url (the keyed state):
+
+- ``published`` = min(warc_ts) ever seen — set once, first crawl wins;
+- ``updated``   = max(warc_ts) ever seen — advances with each re-crawl;
+- ``n_versions`` = number of crawled versions accumulated.
+
+Output mode "update": an entry row is (re-)emitted only in epochs where
+its url received data — exactly the incremental entry-file write the
+reference performs per parsed document.
+
+Scale notes: state lives in the state store keyed by url — O(distinct
+urls), the same cardinality as the reference's ``entries/`` directory, and
+partitioned by the shuffle on the group key so a 1000-executor cluster
+shards it evenly (urls are near-unique, no hot key by construction). No
+timeout is set: entries never expire, matching the reference. The state
+row is three scalars, so 10^12 urls at ~100 B/row shards to ~100 GB across
+the cluster's state stores — bounded and checkpointed incrementally
+(RocksDB state store at real scale; the HDFS-backed default in tests).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ENTRY_SCHEMA = "url string, published timestamp, updated timestamp, n_versions long"
+_STATE_SCHEMA = "published timestamp, updated timestamp, n_versions long"
+
+
+def _update_entry(
+    key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    published = updated = None
+    n = 0
+    if state.exists:
+        published, updated, n = state.get
+    for pdf in batches:
+        ts = pdf["warc_ts"]
+        lo = ts.min()
+        hi = ts.max()
+        published = lo if published is None else min(published, lo)
+        updated = hi if updated is None else max(updated, hi)
+        n += len(pdf)
+    published = pd.Timestamp(published).to_pydatetime()
+    updated = pd.Timestamp(updated).to_pydatetime()
+    state.update((published, updated, n))
+    yield pd.DataFrame(
+        {
+            "url": [key[0]],
+            "published": [published],
+            "updated": [updated],
+            "n_versions": [n],
+        }
+    )
+
+
+def track_document_entries(corpus_stream: DataFrame) -> DataFrame:
+    """Streaming corpus (any schema with url + warc_ts) → per-url entry
+    stream. Use output mode "update"; state persists across restarts via
+    the query checkpoint, so a nightly AvailableNow run continues the
+    accumulation exactly where the previous run stopped."""
+    return (
+        corpus_stream.select("url", "warc_ts")
+        .groupBy("url")
+        .applyInPandasWithState(
+            _update_entry,
+            outputStructType=ENTRY_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -97,3 +97,53 @@ def test_streaming_feed_counts_matches_batch(spark, corpus_dirs, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_stateful_entry_tracker_accumulates_across_restarts(spark, tmp_path):
+    """applyInPandasWithState DocumentEntry semantics: published = first ts
+    ever seen, updated = latest, n_versions accumulates — and the state
+    survives a query restart via the checkpoint (the nightly-run shape)."""
+    from datetime import datetime
+
+    from ferenda_spark.streaming import track_document_entries
+
+    t = [datetime(2026, 1, 1, h) for h in range(6)]
+    input_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+
+    def drain(name):
+        stream = spark.readStream.schema("url string, warc_ts timestamp").parquet(
+            input_dir
+        )
+        emitted = {}
+
+        def sink(batch_df, _epoch):
+            for r in batch_df.collect():
+                emitted[r["url"]] = (r["published"], r["updated"], r["n_versions"])
+
+        q = (
+            track_document_entries(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    drop1 = [("u1", t[0]), ("u1", t[2]), ("u2", t[1])]
+    spark.createDataFrame(drop1, "url string, warc_ts timestamp").coalesce(
+        1
+    ).write.mode("append").parquet(input_dir)
+    got1 = drain("entries_run1")
+    assert got1 == {"u1": (t[0], t[2], 2), "u2": (t[1], t[1], 1)}
+
+    # second drop: u1 re-crawled later, u3 new; u2 silent
+    drop2 = [("u1", t[4]), ("u3", t[3])]
+    spark.createDataFrame(drop2, "url string, warc_ts timestamp").coalesce(
+        1
+    ).write.mode("append").parquet(input_dir)
+    got2 = drain("entries_run2")
+    # update mode: only urls with new data re-emit; u1 keeps its original
+    # published ts from run 1 (state restored from the checkpoint)
+    assert got2 == {"u1": (t[0], t[4], 3), "u3": (t[3], t[3], 1)}
