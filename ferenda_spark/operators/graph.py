@@ -120,6 +120,32 @@ def connected_components(
     )
 
 
+def canonicalize_dictionary(
+    dictionary: DataFrame, uri_pairs: DataFrame, src: str = "uri_a", dst: str = "uri_b"
+) -> DataFrame:
+    """Merge dictionary entries that name the same entity.
+
+    ``uri_pairs`` is same-entity evidence between canonical URIs — e.g. the
+    MinHash-LSH fuzzy tier (SURVEY J4) run dictionary-vs-dictionary when
+    several source vocabularies are unioned and one real-world entity has a
+    URI in each. Connected components elects one representative per entity
+    (min URI) and every alias row re-points to it, so downstream linking
+    (J3) emits a single canonical subject per entity.
+
+    The component map is only as large as the URIs that appear in evidence
+    pairs — a small fraction of the dictionary — so the rewrite joins it
+    broadcast; the dictionary itself is never shuffled.
+    """
+    comp = connected_components(uri_pairs, src, dst).withColumnRenamed(
+        "node", "canonical_uri"
+    )
+    return (
+        dictionary.join(F.broadcast(comp), "canonical_uri", "left")
+        .withColumn("canonical_uri", F.coalesce("comp", "canonical_uri"))
+        .drop("comp")
+    )
+
+
 def cluster_sizes(components: DataFrame) -> DataFrame:
     """Per-component member counts — the dedup-audit rollup (how much of
     the corpus collapses per canonical entity)."""

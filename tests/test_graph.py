@@ -75,3 +75,39 @@ def test_matches_naive_union_find_on_random_graph(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.comp for r in connected_components(df).collect()}
     assert got == _cc_naive(edges)
+
+
+def test_canonicalize_dictionary_repoints_aliases(spark):
+    """Two vocabularies name the same entities under different URIs; LSH
+    evidence pairs them; after canonicalization every alias points at the
+    component representative and linking yields one subject per entity."""
+    from ferenda_spark.operators.graph import canonicalize_dictionary
+
+    dictionary = spark.createDataFrame(
+        [
+            ("ACME Corp", "acme corp", "uri:a/acme", "org", True),
+            ("ACME", "acme", "uri:b/acme-inc", "org", True),
+            ("Acme Incorporated", "acme incorporated", "uri:c/acme3", "org", True),
+            ("Globex", "globex", "uri:a/globex", "org", True),
+        ],
+        "alias string, alias_key string, canonical_uri string, kind string, is_exact boolean",
+    )
+    evidence = spark.createDataFrame(
+        [("uri:a/acme", "uri:b/acme-inc"), ("uri:b/acme-inc", "uri:c/acme3")],
+        "uri_a string, uri_b string",
+    )
+    out = canonicalize_dictionary(dictionary, evidence)
+    got = {r.alias_key: r.canonical_uri for r in out.collect()}
+    assert got == {
+        "acme corp": "uri:a/acme",
+        "acme": "uri:a/acme",
+        "acme incorporated": "uri:a/acme",
+        "globex": "uri:a/globex",  # untouched: no evidence
+    }
+    # schema preserved (the rewrite must stay drop-in for link_mentions)
+    assert out.columns == dictionary.columns or sorted(out.columns) == sorted(
+        dictionary.columns
+    )
+    # broadcast rewrite: the physical plan must not shuffle the dictionary
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
