@@ -40,6 +40,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _propagation_round(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """One label-propagation + pointer-jumping round: (node, prev, comp).
+    Factored out so tools/explain_kg.py can audit the per-round physical
+    plan (the shape that repeats O(log diameter) times at scale)."""
+    nmin = (
+        und.join(
+            labels.select(F.col("node").alias("b"), F.col("comp").alias("bcomp")),
+            "b",
+        )
+        .groupBy("a")
+        .agg(F.min("bcomp").alias("ncomp"))
+        .withColumnRenamed("a", "node")
+    )
+    stepped = labels.join(nmin, "node", "left").select(
+        "node",
+        F.col("comp").alias("prev"),
+        F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp1"),
+    )
+    # pointer jumping: look up comp1's own label through the same
+    # mapping (comp1 values are always node ids, so the join hits)
+    jump = stepped.select(F.col("node").alias("comp1"), F.col("comp1").alias("jcomp"))
+    return stepped.join(jump, "comp1", "left").select(
+        "node",
+        "prev",
+        F.least(F.col("comp1"), F.coalesce("jcomp", "comp1")).alias("comp"),
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -78,38 +106,7 @@ def connected_components(
 
     try:
         for _ in range(max_iter):
-            nmin = (
-                und.join(
-                    labels.select(
-                        F.col("node").alias("b"), F.col("comp").alias("bcomp")
-                    ),
-                    "b",
-                )
-                .groupBy("a")
-                .agg(F.min("bcomp").alias("ncomp"))
-                .withColumnRenamed("a", "node")
-            )
-            stepped = labels.join(nmin, "node", "left").select(
-                "node",
-                F.col("comp").alias("prev"),
-                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp1"),
-            )
-            # pointer jumping: look up comp1's own label through the same
-            # mapping (comp1 values are always node ids, so the join hits)
-            jump = stepped.select(
-                F.col("node").alias("comp1"), F.col("comp1").alias("jcomp")
-            )
-            new = (
-                stepped.join(jump, "comp1", "left")
-                .select(
-                    "node",
-                    "prev",
-                    F.least(F.col("comp1"), F.coalesce("jcomp", "comp1")).alias(
-                        "comp"
-                    ),
-                )
-                .localCheckpoint(eager=True)
-            )
+            new = _propagation_round(und, labels).localCheckpoint(eager=True)
             labels = new.select("node", "comp")
             if new.filter(F.col("comp") != F.col("prev")).limit(1).count() == 0:
                 return labels

@@ -84,6 +84,28 @@ def main() -> None:
     postings, n_ft = build_fulltext_index(corpus, "text", "url")
     ft_plan = search(postings, n_ft, "spark window", top_k=10)
 
+    sparql_agg_plan = sparql_select(
+        spark.read.parquet(spo_dir),
+        "PREFIX dcterms: <http://purl.org/dc/terms/> "
+        "SELECT ?src (COUNT(*) AS ?n) WHERE { ?src dcterms:references ?t } "
+        "GROUP BY ?src HAVING(?n >= 2)",
+        pos_triples=pos,
+    )
+
+    # one connected-components round over the reference edges: the per-round
+    # shape is what repeats log(diameter) times at scale
+    from ferenda_spark.operators.graph import _propagation_round
+    e = pos_scan.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    cc_plan = _propagation_round(und, labels)
+
     sections = [
         ("parse stage (map-only mapInPandas; no shuffle)",
          plan_of(docs.select("url", "part_key", "triples"))),
@@ -99,6 +121,14 @@ def main() -> None:
         ("fulltext search: postings term filter + per-doc partial agg + "
          "TakeOrderedAndProject top-k (no doc scan at query time)",
          plan_of(ft_plan)),
+        ("SPARQL GROUP BY aggregate: HashAggregate with partial_count "
+         "map-side before the exchange; HAVING folded into a post-agg "
+         "Filter; POS scan partition-pruned on pred",
+         plan_of(sparql_agg_plan)),
+        ("connected-components round (repeats O(log diameter) times): "
+         "min-label HashAggregate with partial_min map-side combine, two "
+         "node-keyed joins; AQE re-plans each round since localCheckpoint "
+         "makes round inputs concrete", plan_of(cc_plan)),
     ]
 
     out = ["# KG DAG physical plans (generated by tools/explain_kg.py)\n"]
