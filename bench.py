@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "lang_id_counts",
     "token_count_bpe",
     "sparql_docs",
+    "sparql_groupby",
+    "dedup_components",
     "fulltext_search",
     "atom_feeds",
 ]
