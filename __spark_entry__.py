@@ -484,6 +484,23 @@ def _q_dedup_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_corpus_hash_split(spark, sf_dir):
+    """Deterministic content-hash train/val/test split (training-pipeline
+    op, no reference analog): md5-prefix bucketing — pure projection, no
+    shuffle, bit-identical in any engine. Per-split/lang doc counts."""
+    from ferenda_spark.functions.splits import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", hash_split(F.col("doc_id"), _SPLIT_FRACS))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
 def _q_dedup_components(spark, sf_dir):
     """Near-dup pairs clustered into entities: connected components over the
     Jaccard similarity graph (min-label propagation + pointer jumping),
@@ -951,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_stats": _q_dedup_exact_stats,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_components": _q_dedup_components,
+        "corpus_hash_split": _q_corpus_hash_split,
         "dedup_embedding_exact": _q_dedup_embedding_exact,
         "shingle_fingerprint_stats": _q_shingle_fingerprint_stats,
         "embedding_topk": _q_embedding_topk,
@@ -980,6 +998,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ferenda_spark.functions.splits import sql_hash_split
+
+    _split_case = sql_hash_split("doc_id", _SPLIT_FRACS)
     return {
         "toc_rollup_docs": """
             SELECT coalesce(source, 'ALL') AS source_g,
@@ -1208,6 +1229,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
             WHERE c / (sa.sz + sb.sz - c) >= 0.5
+        """,
+        "corpus_hash_split": f"""
+            SELECT {_split_case} AS split, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1, 2
         """,
         "dedup_components": """
             WITH RECURSIVE s AS (
