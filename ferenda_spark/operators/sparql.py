@@ -26,6 +26,8 @@ Supported subset — the shapes the reference's shipped ``.rq`` files use:
 - ``FILTER`` with ``= != < > <= >=``, ``regex(?v, "pat")``, ``bound(?v)``,
   ``isIRI/isURI(?v)``, ``str(?v)``, ``lang(?v)``, ``!``, ``&&``, ``||``,
   parentheses
+- ``FILTER [NOT] EXISTS { … }`` → left semi / left anti join correlated on
+  the shared variables (the J6 skeleton negation shape)
 - aggregates ``COUNT([DISTINCT] ?v | *)``, ``SUM/AVG/MIN/MAX/SAMPLE(?v)``,
   ``GROUP_CONCAT(?v; SEPARATOR="…")`` with ``GROUP BY ?v …`` and
   ``HAVING(expr)`` → ``groupBy().agg()`` (partial map-side aggregation for
@@ -132,6 +134,9 @@ class Group:
     values: list[tuple[list[str], list[list[Term | None]]]] = field(
         default_factory=list
     )  # (vars, rows); None = UNDEF
+    exists: list[tuple[bool, "Group"]] = field(
+        default_factory=list
+    )  # (negated, pattern group)
 
 
 @dataclass(frozen=True)
@@ -358,9 +363,17 @@ class _Parser:
                 g.optionals.append(self.parse_group())
             elif t.lower() == "filter":
                 self.next()
-                self.expect("(")
-                g.filters.append(self.parse_or())
-                self.expect(")")
+                nt = self.peek()
+                if nt is not None and nt.lower() in ("exists", "not"):
+                    negated = nt.lower() == "not"
+                    self.next()
+                    if negated:
+                        self.expect("exists")
+                    g.exists.append((negated, self.parse_group()))
+                else:
+                    self.expect("(")
+                    g.filters.append(self.parse_or())
+                    self.expect(")")
             elif t.lower() == "values":
                 self.next()
                 g.values.append(self.parse_values())
@@ -696,6 +709,18 @@ def _join_group(
         bound |= ovars
 
     assert df is not None
+    for negated, sub in group.exists:
+        sdf, svars = _join_group(triples, pos_triples, sub)
+        on = sorted(svars & bound)
+        if not on:
+            raise SparqlUnsupportedError(
+                "EXISTS sharing no variables not supported"
+            )
+        # correlated on the shared variables → semi/anti join (the J6
+        # skeleton shape). Equivalent to SPARQL's binding substitution
+        # whenever the EXISTS pattern is connected through those vars.
+        sdf = sdf.select(*on)
+        df = df.join(sdf, on=on, how="left_anti" if negated else "left_semi")
     for fexpr in group.filters:
         df = df.filter(_compile_filter(fexpr, bound))
     return df, bound

@@ -233,6 +233,34 @@ def test_lang_function(spark, graph):
     assert sorted(r.d for r in got2) == ["http://ex.org/d1"]
 
 
+def test_filter_not_exists_and_exists(spark, graph):
+    # NOT EXISTS: docs with no title — the skeleton/J6 anti-join shape,
+    # same answer as the !bound(OPTIONAL) formulation in test_filters
+    got = sparql_select(
+        graph,
+        PREFIX
+        + "SELECT DISTINCT ?d WHERE { ?d ?p ?o . "
+        + "FILTER NOT EXISTS { ?d dcterms:title ?t } }",
+    ).collect()
+    assert [r.d for r in got] == ["http://ex.org/d3"]
+    # EXISTS: semi join — docs that both reference something and have a title
+    got2 = sparql_select(
+        graph,
+        PREFIX
+        + "SELECT DISTINCT ?d WHERE { ?d dcterms:references ?r . "
+        + "FILTER EXISTS { ?d dcterms:title ?t } }",
+    ).collect()
+    assert [r.d for r in got2] == ["http://ex.org/d2"]
+    # anti join physically (no row multiplication from multiple titles)
+    plan = sparql_select(
+        graph,
+        PREFIX
+        + "SELECT ?d WHERE { ?d ?p ?o . "
+        + "FILTER NOT EXISTS { ?d dcterms:title ?t } }",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+
 def test_select_star_and_var_reuse(spark, graph):
     got = sparql_select(
         graph, PREFIX + "SELECT * WHERE { ?d dcterms:references ?r }"
