@@ -28,6 +28,8 @@ Supported subset — the shapes the reference's shipped ``.rq`` files use:
   parentheses
 - ``FILTER [NOT] EXISTS { … }`` → left semi / left anti join correlated on
   the shared variables (the J6 skeleton negation shape)
+- ``MINUS { … }`` → left anti join on the shared variables; with no shared
+  variables it is a no-op per SPARQL's domain-overlap rule
 - aggregates ``COUNT([DISTINCT] ?v | *)``, ``SUM/AVG/MIN/MAX/SAMPLE(?v)``,
   ``GROUP_CONCAT(?v; SEPARATOR="…")`` with ``GROUP BY ?v …`` and
   ``HAVING(expr)`` → ``groupBy().agg()`` (partial map-side aggregation for
@@ -137,6 +139,7 @@ class Group:
     exists: list[tuple[bool, "Group"]] = field(
         default_factory=list
     )  # (negated, pattern group)
+    minuses: list["Group"] = field(default_factory=list)
 
 
 @dataclass(frozen=True)
@@ -374,6 +377,9 @@ class _Parser:
                     self.expect("(")
                     g.filters.append(self.parse_or())
                     self.expect(")")
+            elif t.lower() == "minus":
+                self.next()
+                g.minuses.append(self.parse_group())
             elif t.lower() == "values":
                 self.next()
                 g.values.append(self.parse_values())
@@ -721,6 +727,18 @@ def _join_group(
         # whenever the EXISTS pattern is connected through those vars.
         sdf = sdf.select(*on)
         df = df.join(sdf, on=on, how="left_anti" if negated else "left_semi")
+    for sub in group.minuses:
+        sdf, svars = _join_group(triples, pos_triples, sub)
+        on = sorted(svars & bound)
+        if not on:
+            # SPARQL MINUS semantics: solutions with disjoint variable
+            # domains are never removed — a shared-variable-free MINUS is
+            # a no-op (unlike EXISTS, which would be a constant test)
+            continue
+        # anti join on the shared vars; a left row with a null shared var
+        # never matches in SQL, which coincides with MINUS's domain-overlap
+        # rule (an unbound variable makes the domains disjoint → row kept)
+        df = df.join(sdf.select(*on), on=on, how="left_anti")
     for fexpr in group.filters:
         df = df.filter(_compile_filter(fexpr, bound))
     return df, bound

@@ -261,6 +261,24 @@ def test_filter_not_exists_and_exists(spark, graph):
     assert "LeftAnti" in plan
 
 
+def test_minus(spark, graph):
+    got = sparql_select(
+        graph,
+        PREFIX
+        + "SELECT DISTINCT ?d WHERE { ?d ?p ?o . "
+        + "MINUS { ?d dcterms:references ?r } }",
+    ).collect()
+    assert sorted(r.d for r in got) == ["http://ex.org/d1"]
+    # no shared variables → nothing removed (SPARQL domain-overlap rule)
+    got2 = sparql_select(
+        graph,
+        PREFIX
+        + "SELECT DISTINCT ?d WHERE { ?d dcterms:title ?t . "
+        + "MINUS { ?x dcterms:language ?l } }",
+    )
+    assert got2.count() == 2
+
+
 def test_select_star_and_var_reuse(spark, graph):
     got = sparql_select(
         graph, PREFIX + "SELECT * WHERE { ?d dcterms:references ?r }"
