@@ -500,6 +500,29 @@ def _q_corpus_hash_split(spark, sf_dir):
 
 _SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
+# shared by the dedup_jaccard_pairs and dedup_components oracles — one
+# definition of the word-set Jaccard similarity graph (RECURSIVE so the
+# components oracle can extend it with the reachability CTE)
+_JACCARD_PAIRS_CTE = """
+            WITH RECURSIVE s AS (
+                SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+                FROM documents WHERE doc_id < 200
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM s a JOIN s b ON a.w = b.w AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT id_a, id_b, c / (sa.sz + sb.sz - c) AS jaccard
+                FROM common
+                JOIN sz sa ON sa.doc_id = id_a
+                JOIN sz sb ON sb.doc_id = id_b
+                WHERE c / (sa.sz + sb.sz - c) >= 0.5
+            )
+"""
+
 
 def _q_dedup_components(spark, sf_dir):
     """Near-dup pairs clustered into entities: connected components over the
@@ -1212,46 +1235,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) GROUP BY source
         """,
-        "dedup_jaccard_pairs": """
-            WITH s AS (
-                SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
-                FROM documents WHERE doc_id < 200
-            ),
-            sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
-            common AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-                FROM s a JOIN s b ON a.w = b.w AND a.doc_id < b.doc_id
-                GROUP BY a.doc_id, b.doc_id
-            )
-            SELECT id_a, id_b,
-                   round(c / (sa.sz + sb.sz - c), 6) AS jaccard
-            FROM common
-            JOIN sz sa ON sa.doc_id = id_a
-            JOIN sz sb ON sb.doc_id = id_b
-            WHERE c / (sa.sz + sb.sz - c) >= 0.5
+        "dedup_jaccard_pairs": _JACCARD_PAIRS_CTE + """
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs
         """,
         "corpus_hash_split": f"""
             SELECT {_split_case} AS split, lang,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY 1, 2
         """,
-        "dedup_components": """
-            WITH RECURSIVE s AS (
-                SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
-                FROM documents WHERE doc_id < 200
-            ),
-            sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
-            common AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-                FROM s a JOIN s b ON a.w = b.w AND a.doc_id < b.doc_id
-                GROUP BY a.doc_id, b.doc_id
-            ),
-            pairs AS (
-                SELECT id_a, id_b FROM common
-                JOIN sz sa ON sa.doc_id = id_a
-                JOIN sz sb ON sb.doc_id = id_b
-                WHERE c / (sa.sz + sb.sz - c) >= 0.5
-            ),
+        "dedup_components": _JACCARD_PAIRS_CTE + """,
             und AS (
                 SELECT id_a AS a, id_b AS b FROM pairs
                 UNION SELECT id_b, id_a FROM pairs

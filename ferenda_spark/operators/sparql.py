@@ -395,6 +395,8 @@ class _Parser:
                     g.filters.extend(branches[0].filters)
                     g.unions.extend(branches[0].unions)
                     g.values.extend(branches[0].values)
+                    g.exists.extend(branches[0].exists)
+                    g.minuses.extend(branches[0].minuses)
                 else:
                     g.unions.append(branches)
             else:
@@ -609,7 +611,14 @@ def _scan(
 
 def _join_group(
     triples: DataFrame, pos_triples: DataFrame | None, group: Group
-) -> tuple[DataFrame, set[str]]:
+) -> tuple[DataFrame, set[str], set[str]]:
+    """Compile a group to (df, bound_vars, maybe_null_vars).
+
+    ``maybe_null_vars`` ⊆ bound_vars: variables a row can carry as SQL NULL
+    (introduced by OPTIONAL, or private to some UNION branch). SPARQL's
+    unbound-is-compatible join rule cannot be expressed as an equi-join on
+    such a variable — every join site below raises SparqlUnsupportedError
+    rather than silently dropping/keeping rows the spec wouldn't."""
     if not (group.patterns or group.optionals or group.unions or group.values):
         raise SparqlUnsupportedError("empty group pattern")
 
@@ -621,6 +630,7 @@ def _join_group(
     )
     df: DataFrame | None = None
     bound: set[str] = set()
+    nullable: set[str] = set()
     while remaining:
         nxt_i = 0
         if df is not None:
@@ -656,14 +666,14 @@ def _join_group(
             bound |= pvars
 
     for branches in group.unions:
-        bdfs: list[tuple[DataFrame, set[str]]] = [
-            _join_group(triples, pos_triples, b) for b in branches
-        ]
-        uvars: set[str] = set().union(*(v for _, v in bdfs))
-        certain: set[str] = set.intersection(*(v for _, v in bdfs))
+        bdfs = [_join_group(triples, pos_triples, b) for b in branches]
+        uvars: set[str] = set().union(*(v for _, v, _n in bdfs))
+        # certain = definitely non-null in EVERY branch (bound there and
+        # not maybe-null inside the branch)
+        certain: set[str] = set.intersection(*(v - n for _, v, n in bdfs))
         # branch-private variables pad with nulls (SPARQL: unbound)
         udf = bdfs[0][0]
-        for extra, _ in bdfs[1:]:
+        for extra, _v, _n in bdfs[1:]:
             udf = udf.unionByName(extra, allowMissingColumns=True)
         if df is None:
             df, bound = udf, uvars
@@ -674,21 +684,40 @@ def _join_group(
                     "UNION join variable must be bound in every branch "
                     f"(got {sorted(set(on) - certain)})"
                 )
+            if set(on) & nullable:
+                raise SparqlUnsupportedError(
+                    "UNION joined on a variable that may be unbound in the "
+                    f"outer group: {sorted(set(on) & nullable)}"
+                )
             for v in on:
                 udf = udf.drop(f"{v}__uri", f"{v}__lang")
             df = df.join(udf, on=on, how="inner") if on else df.crossJoin(udf)
             bound |= uvars
+        nullable |= uvars - certain
 
     for vars_, rows in group.values:
         vdf = _values_frame(triples.sparkSession, vars_, rows)
         if df is None:
             df, bound = vdf, set(vars_)
+            nullable |= {
+                v for v in vars_ if any(r[vars_.index(v)] is None for r in rows)
+            }
             continue
         on = sorted(set(vars_) & bound)
+        if set(on) & nullable:
+            raise SparqlUnsupportedError(
+                "VALUES joined on a variable that may be unbound in the "
+                f"outer group: {sorted(set(on) & nullable)}"
+            )
         if on and any(r[vars_.index(v)] is None for r in rows for v in on):
             raise SparqlUnsupportedError(
                 "UNDEF in a VALUES join column not supported"
             )
+        nullable |= {
+            v
+            for v in set(vars_) - bound
+            if any(r[vars_.index(v)] is None for r in rows)
+        }
         for v in on:
             vdf = vdf.drop(f"{v}__uri", f"{v}__lang")
         # inline data is tiny by construction → broadcast hash join
@@ -702,46 +731,66 @@ def _join_group(
     for opt in group.optionals:
         if opt.optionals:
             raise SparqlUnsupportedError("nested OPTIONAL not supported")
-        odf, ovars = _join_group(triples, pos_triples, opt)
+        odf, ovars, onull = _join_group(triples, pos_triples, opt)
         if df is None:
-            df, bound = odf, ovars
+            df, bound, nullable = odf, ovars, set(onull)
             continue
         on = sorted(ovars & bound)
         if not on:
             raise SparqlUnsupportedError("OPTIONAL sharing no variables not supported")
+        if set(on) & (nullable | onull):
+            raise SparqlUnsupportedError(
+                "OPTIONAL joined on a variable that may be unbound: "
+                f"{sorted(set(on) & (nullable | onull))}"
+            )
         for v in on:
             odf = odf.drop(f"{v}__uri", f"{v}__lang")
         df = df.join(odf, on=on, how="left")
+        # every variable the OPTIONAL introduces can be null on non-match
+        nullable |= ovars - bound
         bound |= ovars
 
     assert df is not None
     for negated, sub in group.exists:
-        sdf, svars = _join_group(triples, pos_triples, sub)
+        sdf, svars, snull = _join_group(triples, pos_triples, sub)
         on = sorted(svars & bound)
         if not on:
             raise SparqlUnsupportedError(
                 "EXISTS sharing no variables not supported"
             )
+        if set(on) & (nullable | snull):
+            raise SparqlUnsupportedError(
+                "EXISTS correlated on a variable that may be unbound: "
+                f"{sorted(set(on) & (nullable | snull))}"
+            )
         # correlated on the shared variables → semi/anti join (the J6
-        # skeleton shape). Equivalent to SPARQL's binding substitution
-        # whenever the EXISTS pattern is connected through those vars.
+        # skeleton shape). Equivalent to SPARQL's binding substitution —
+        # the maybe-null guard above keeps it so (an unbound variable
+        # would be a free variable in the EXISTS pattern, not a key).
         sdf = sdf.select(*on)
         df = df.join(sdf, on=on, how="left_anti" if negated else "left_semi")
     for sub in group.minuses:
-        sdf, svars = _join_group(triples, pos_triples, sub)
+        sdf, svars, snull = _join_group(triples, pos_triples, sub)
         on = sorted(svars & bound)
         if not on:
             # SPARQL MINUS semantics: solutions with disjoint variable
             # domains are never removed — a shared-variable-free MINUS is
             # a no-op (unlike EXISTS, which would be a constant test)
             continue
-        # anti join on the shared vars; a left row with a null shared var
-        # never matches in SQL, which coincides with MINUS's domain-overlap
-        # rule (an unbound variable makes the domains disjoint → row kept)
+        if len(on) > 1 and set(on) & (nullable | snull):
+            # with ONE shared variable, null-never-matches coincides with
+            # the domain-overlap rule (an unbound side → disjoint domains →
+            # row kept); with several, a row can still be removed via its
+            # other shared vars, which is not an equi-join — refuse rather
+            # than keep rows the spec removes
+            raise SparqlUnsupportedError(
+                "multi-variable MINUS correlated on a variable that may be "
+                f"unbound: {sorted(set(on) & (nullable | snull))}"
+            )
         df = df.join(sdf.select(*on), on=on, how="left_anti")
     for fexpr in group.filters:
         df = df.filter(_compile_filter(fexpr, bound))
-    return df, bound
+    return df, bound, nullable
 
 
 def _values_frame(spark, vars_: list[str], rows) -> DataFrame:
@@ -874,19 +923,26 @@ def sparql_select(
     q = parse_sparql(query)
     if q.form != "select":
         raise SparqlUnsupportedError("use sparql_construct for CONSTRUCT")
-    df, bound = _join_group(triples, pos_triples, q.where)
+    df, bound, _nullable = _join_group(triples, pos_triples, q.where)
     if q.aggregates or q.group_by:
         needed = set(q.group_by) | {a.var for a in q.aggregates if a.var}
         missing = sorted(needed - bound)
         if missing:
             raise SparqlUnsupportedError(f"vars not bound in WHERE: {missing}")
-        out = df.groupBy(*q.group_by).agg(
-            *[_agg_column(a) for a in q.aggregates]
-        )
+        if q.aggregates:
+            out = df.groupBy(*q.group_by).agg(
+                *[_agg_column(a) for a in q.aggregates]
+            )
+        else:
+            # GROUP BY with no aggregate in SELECT: one row per group
+            out = df.select(*q.group_by).distinct()
         bound_after = set(q.group_by) | {a.alias for a in q.aggregates}
         for h in q.having:
             out = out.filter(_compile_filter(h, bound_after))
         out = out.select(*q.select_order)
+        if q.distinct:
+            # projection can be narrower than the grouping keys
+            out = out.distinct()
     else:
         out_vars = q.select_vars or sorted(bound)
         missing = [v for v in out_vars if v not in bound]
@@ -915,7 +971,7 @@ def sparql_construct(
     q = parse_sparql(query)
     if q.form != "construct":
         raise SparqlUnsupportedError("use sparql_select for SELECT")
-    df, bound = _join_group(triples, pos_triples, q.where)
+    df, bound, _nullable = _join_group(triples, pos_triples, q.where)
 
     outs = []
     for pat in q.template:

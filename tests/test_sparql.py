@@ -279,6 +279,75 @@ def test_minus(spark, graph):
     assert got2.count() == 2
 
 
+def test_nested_group_splice_keeps_exists_and_minus(spark, graph):
+    # regression: splicing a single-branch nested group must not drop its
+    # EXISTS/MINUS constraints
+    q = parse_sparql(
+        PREFIX
+        + "SELECT ?d WHERE { { ?d ?p ?o . "
+        + "FILTER NOT EXISTS { ?d dcterms:title ?t } MINUS { ?d a ?c } } }"
+    )
+    assert len(q.where.exists) == 1 and len(q.where.minuses) == 1
+    got = sparql_select(
+        graph,
+        PREFIX
+        + "SELECT DISTINCT ?d WHERE { { ?d ?p ?o . "
+        + "FILTER NOT EXISTS { ?d dcterms:title ?t } } }",
+    ).collect()
+    assert [r.d for r in got] == ["http://ex.org/d3"]
+
+
+def test_maybe_null_correlation_refused(spark, graph):
+    # EXISTS correlated on an OPTIONAL-introduced variable: SPARQL treats
+    # the unbound var as free inside EXISTS — not expressible as an
+    # equi-join, must refuse instead of silently dropping rows
+    with pytest.raises(SparqlUnsupportedError):
+        sparql_select(
+            graph,
+            PREFIX
+            + "SELECT ?d WHERE { ?d dcterms:references ?r . "
+            + "OPTIONAL { ?d dcterms:title ?t } "
+            + "FILTER EXISTS { ?x dcterms:title ?t } }",
+        )
+    # VALUES joined on a union-padded (maybe-null) variable: same refusal
+    with pytest.raises(SparqlUnsupportedError):
+        sparql_select(
+            graph,
+            PREFIX
+            + "SELECT ?d ?v WHERE { { ?d dcterms:title ?v } "
+            + 'UNION { ?d dcterms:language ?l } VALUES ?v { "Alpha doc" } }',
+        )
+    # single-var MINUS on a maybe-null var stays supported (null-never-
+    # matches coincides with the domain-overlap rule): d3 has no title →
+    # ?t unbound → domains disjoint → kept; d1/d2 titles never match "X"
+    got = sparql_select(
+        graph,
+        PREFIX
+        + "SELECT DISTINCT ?d WHERE { ?d ?p ?o . "
+        + "OPTIONAL { ?d dcterms:title ?t } "
+        + 'MINUS { ?x dcterms:title ?t . FILTER(?t = "Alpha doc") } }',
+    ).collect()
+    assert sorted(r.d for r in got) == ["http://ex.org/d2", "http://ex.org/d3"]
+
+
+def test_group_by_without_aggregates_and_distinct(spark, graph):
+    # GROUP BY with no aggregate in SELECT = one row per group
+    got = sparql_select(
+        graph,
+        PREFIX + "SELECT ?d WHERE { ?d dcterms:title ?t } GROUP BY ?d",
+    ).collect()
+    assert sorted(r.d for r in got) == ["http://ex.org/d1", "http://ex.org/d2"]
+    # DISTINCT applies when the projection is narrower than the grouping
+    got2 = sparql_select(
+        graph,
+        PREFIX
+        + "SELECT DISTINCT ?p (COUNT(*) AS ?n) "
+        + "WHERE { ?s ?p ?o } GROUP BY ?p ?s HAVING(?n >= 1)",
+    ).collect()
+    rows = sorted((r.p, r.n) for r in got2)
+    assert len(rows) == len(set(rows))
+
+
 def test_select_star_and_var_reuse(spark, graph):
     got = sparql_select(
         graph, PREFIX + "SELECT * WHERE { ?d dcterms:references ?r }"
