@@ -111,3 +111,16 @@ def test_canonicalize_dictionary_repoints_aliases(spark):
     # broadcast rewrite: the physical plan must not shuffle the dictionary
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_checkpoint_blocks_freed_per_round(spark):
+    """Each round's localCheckpoint must free the previous round's blocks —
+    otherwise 50-round runs pin O(rounds × nodes) executor storage."""
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    connected_components(df, max_iter=12).count()
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # at most the final round's checkpoint survives (plus whatever the
+    # session already had persisted before the call)
+    assert after - before <= 1
