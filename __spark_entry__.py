@@ -622,23 +622,31 @@ def _doc_triples_view(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     subj = F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("subj")
 
-    def leg(pred, obj_col):
+    def leg(pred, obj_col, is_uri=False):
         return d.select(
             subj,
             F.lit(pred).alias("pred"),
             obj_col.alias("obj"),
-            F.lit(False).alias("obj_is_uri"),
+            F.lit(is_uri).alias("obj_is_uri"),
         )
 
+    # chain edges doc N → N-1 within blocks of 50 (the property-path leg)
+    prev = d.filter((F.col("doc_id") % 50) != 0).select(
+        subj,
+        F.lit("doc:prev").alias("pred"),
+        F.concat(F.lit("doc://"), (F.col("doc_id") - 1).cast("string")).alias("obj"),
+        F.lit(True).alias("obj_is_uri"),
+    )
     return (
         leg("doc:source", F.col("source"))
         .unionByName(leg("doc:lang", F.col("lang")))
         .unionByName(leg("doc:nchars", F.col("n_chars").cast("string")))
+        .unionByName(prev)
     )
 
 
 _DOC_TRIPLES_SQL = """
-            WITH t AS (
+            WITH RECURSIVE t AS (
                 SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS subj,
                        'doc:source' AS pred, source AS obj FROM documents
                 UNION ALL
@@ -647,6 +655,10 @@ _DOC_TRIPLES_SQL = """
                 UNION ALL
                 SELECT 'doc://' || CAST(doc_id AS VARCHAR),
                        'doc:nchars', CAST(n_chars AS VARCHAR) FROM documents
+                UNION ALL
+                SELECT 'doc://' || CAST(doc_id AS VARCHAR),
+                       'doc:prev', 'doc://' || CAST(doc_id - 1 AS VARCHAR)
+                FROM documents WHERE doc_id % 50 <> 0
             )
 """
 
@@ -732,6 +744,18 @@ def _q_sparql_triple_count(spark, sf_dir):
                (COUNT(DISTINCT ?p) AS ?n_preds)
         WHERE { ?s ?p ?o }
         """,
+    )
+
+
+def _q_sparql_path_closure(spark, sf_dir):
+    """Property path <doc:prev>+ — transitive closure by iterative doubling
+    (O(log chain-length) checkpointed self-joins). Oracle = DuckDB
+    recursive CTE over the same chain edges."""
+    from ferenda_spark.operators.sparql import sparql_select
+
+    return sparql_select(
+        _doc_triples_view(spark, sf_dir),
+        "SELECT ?d ?anc WHERE { ?d <doc:prev>+ ?anc }",
     )
 
 
@@ -1003,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_groupby": _q_sparql_groupby,
         "sparql_union_values": _q_sparql_union_values,
         "sparql_triple_count": _q_sparql_triple_count,
+        "sparql_path_closure": _q_sparql_path_closure,
         "fulltext_search": _q_fulltext_search,
         "fulltext_facets": _q_fulltext_facets,
         "atom_feeds": _q_atom_feeds,
@@ -1395,6 +1420,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
                    CAST(count(DISTINCT pred) AS BIGINT) AS n_preds
             FROM t
+        """,
+        "sparql_path_closure": _DOC_TRIPLES_SQL + """,
+            reach(a, b) AS (
+                SELECT subj, obj FROM t WHERE pred = 'doc:prev'
+                UNION
+                SELECT r.a, t2.obj FROM reach r
+                JOIN t t2 ON t2.pred = 'doc:prev' AND r.b = t2.subj
+            )
+            SELECT a AS d, b AS anc FROM reach
         """,
         "sparql_optional": _DOC_TRIPLES_SQL + """
             SELECT a.subj AS d, a.obj AS nc, b.obj AS de

@@ -18,6 +18,10 @@ Supported subset — the shapes the reference's shipped ``.rq`` files use:
   predicate-object lists and ``,`` object lists
 - terms: ``?var``, ``<iri>``, ``prefixed:name``, ``"literal"``,
   ``"literal"@lang``, numeric literals, ``a`` (= rdf:type)
+- property paths in predicate position: ``p1/p2`` (midpoint join), ``p1|p2``
+  (bag union), ``^p`` (endpoint swap), ``p+`` (transitive closure by
+  iterative doubling — O(log path-length) checkpointed self-join rounds);
+  ``*`` is refused (its zero-length case relates every term to itself)
 - ``OPTIONAL { … }`` → left outer join on the shared variables
 - ``{ … } UNION { … }`` → unionByName with null padding for
   branch-private variables (join keys must be bound in every branch)
@@ -80,7 +84,7 @@ _TOKEN_RE = re.compile(
     | (?P<num>[+-]?\d+(?:\.\d+)?)
     | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
     | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<punct>&&|\|\||!=|<=|>=|[{}().;,=<>!*])
+    | (?P<punct>&&|\|\||!=|<=|>=|[{}().;,=<>!*/|^+])
     """,
     re.VERBOSE,
 )
@@ -240,6 +244,8 @@ class _Parser:
             self.expect("{")
             template = self.parse_pattern_list(stop="}")
             self.expect("}")
+            if any(not isinstance(p.p, Term) for p in template):
+                raise SparqlSyntaxError("property paths not allowed in CONSTRUCT templates")
         else:
             raise SparqlUnsupportedError(f"unsupported query form {form!r}")
 
@@ -452,7 +458,7 @@ class _Parser:
         s = self.parse_term()
         pats: list[Pattern] = []
         while True:
-            p = self.parse_term(pred=True)
+            p = self.parse_path()
             while True:
                 o = self.parse_term()
                 pats.append(Pattern(s, p, o))
@@ -467,6 +473,48 @@ class _Parser:
                 continue
             break
         return pats
+
+    # -- property paths (predicate position): alt < seq < elt
+    def parse_path(self):
+        left = self.parse_path_seq()
+        while self.peek() == "|":
+            self.next()
+            left = ("alt", left, self.parse_path_seq())
+        return left
+
+    def parse_path_seq(self):
+        left = self.parse_path_elt()
+        while self.peek() == "/":
+            self.next()
+            left = ("seq", left, self.parse_path_elt())
+        return left
+
+    def parse_path_elt(self):
+        inverted = False
+        if self.peek() == "^":
+            self.next()
+            inverted = True
+        if self.peek() == "(":
+            self.next()
+            p = self.parse_path()
+            self.expect(")")
+        else:
+            p = self.parse_term(pred=True)
+        if self.peek() == "+":
+            self.next()
+            if isinstance(p, Term) and p.kind == "var":
+                raise SparqlSyntaxError("path modifier over a variable")
+            p = ("plus", p)
+        elif self.peek() == "*" and not (isinstance(p, Term) and p.kind == "var"):
+            raise SparqlUnsupportedError(
+                "zero-or-more path (*) not supported (the zero-length case "
+                "relates every graph term to itself)"
+            )
+        if inverted:
+            if isinstance(p, Term) and p.kind == "var":
+                raise SparqlUnsupportedError("inverse of a variable predicate")
+            p = ("inv", p)
+        return p
 
     def parse_term(self, pred: bool = False) -> Term:
         t = self.next()
@@ -559,9 +607,129 @@ def parse_sparql(query: str) -> Query:
 # ----------------------------------------------------------------- compiler
 
 
+def _pat_vars(pat: Pattern) -> set[str]:
+    ts = [pat.s, pat.o] + ([pat.p] if isinstance(pat.p, Term) else [])
+    return {t.value for t in ts if t.kind == "var"}
+
+
+def _pat_const_count(pat: Pattern) -> int:
+    ts = [pat.s, pat.o] + ([pat.p] if isinstance(pat.p, Term) else [])
+    n = sum(t.is_const for t in ts)
+    if not isinstance(pat.p, Term):
+        n += 1  # a path predicate is itself a constant filter on the edges
+    return n
+
+
+_CLOSURE_MAX_DOUBLINGS = 40  # paths up to length 2**40 — a loop backstop
+
+
+def _path_closure(edges: DataFrame) -> DataFrame:
+    """Transitive closure of an (a, a_uri, b, b_uri) edge frame by iterative
+    doubling: each round joins the reach set with itself, so path length
+    covered doubles — O(log longest-path) rounds, each a self-join +
+    distinct, localCheckpoint-truncated like connected components. The
+    closure's size is a property of the queried graph (bounded by component
+    sizes), not of the algorithm."""
+    from ferenda_spark.operators.graph import _unpersist_checkpoint
+
+    reach = edges.distinct().localCheckpoint(eager=True)
+    n = reach.count()
+    for _ in range(_CLOSURE_MAX_DOUBLINGS):
+        left = reach.select(
+            F.col("a"), F.col("a_uri"), F.col("b").alias("_mid")
+        )
+        right = reach.select(
+            F.col("a").alias("_mid"), F.col("b"), F.col("b_uri")
+        )
+        stepped = left.join(right, "_mid").select("a", "a_uri", "b", "b_uri")
+        new = reach.unionByName(stepped).distinct().localCheckpoint(eager=True)
+        m = new.count()
+        if m == n:
+            _unpersist_checkpoint(new)
+            return reach
+        _unpersist_checkpoint(reach)
+        reach, n = new, m
+    raise RuntimeError("path closure did not converge (cycle bookkeeping bug?)")
+
+
+def _path_edges(
+    triples: DataFrame, pos_triples: DataFrame | None, path
+) -> DataFrame:
+    """Path expression → (a, a_uri, b, b_uri) edge frame. Leaf predicates
+    scan the POS layout when available (partition-pruned); seq is a join on
+    the midpoint, alt a bag union, inv an endpoint swap, plus a transitive
+    closure."""
+    if isinstance(path, Term):
+        if path.kind == "var":
+            raise SparqlUnsupportedError("variable predicate inside a path")
+        src = pos_triples if pos_triples is not None else triples
+        return src.filter(F.col("pred") == F.lit(path.value)).select(
+            F.col("subj").alias("a"),
+            F.lit(True).alias("a_uri"),
+            F.col("obj").alias("b"),
+            F.col("obj_is_uri").alias("b_uri"),
+        )
+    kind = path[0]
+    if kind == "inv":
+        e = _path_edges(triples, pos_triples, path[1])
+        return e.select(
+            F.col("b").alias("a"),
+            F.col("b_uri").alias("a_uri"),
+            F.col("a").alias("b"),
+            F.col("a_uri").alias("b_uri"),
+        )
+    if kind == "alt":
+        return _path_edges(triples, pos_triples, path[1]).unionByName(
+            _path_edges(triples, pos_triples, path[2])
+        )
+    if kind == "seq":
+        e1 = _path_edges(triples, pos_triples, path[1]).select(
+            "a", "a_uri", F.col("b").alias("_mid")
+        )
+        e2 = _path_edges(triples, pos_triples, path[2]).select(
+            F.col("a").alias("_mid"), "b", "b_uri"
+        )
+        return e1.join(e2, "_mid").select("a", "a_uri", "b", "b_uri")
+    if kind == "plus":
+        return _path_closure(_path_edges(triples, pos_triples, path[1]))
+    raise SparqlUnsupportedError(f"unsupported path {kind!r}")
+
+
+def _path_scan(
+    triples: DataFrame, pos_triples: DataFrame | None, pat: Pattern
+) -> tuple[DataFrame, set[str]]:
+    """Pattern with a path predicate → scan over the path's edge frame,
+    mirroring _scan's contract (var columns + __uri/__lang flags)."""
+    e = _path_edges(triples, pos_triples, pat.p)
+    cond = F.lit(True)
+    cols: dict[str, F.Column] = {}
+    uri_flags: dict[str, F.Column] = {}
+    for term, val_col, uri_col in (
+        (pat.s, F.col("a"), F.col("a_uri")),
+        (pat.o, F.col("b"), F.col("b_uri")),
+    ):
+        if term.is_const:
+            cond = cond & (val_col == F.lit(term.value)) & (
+                uri_col == F.lit(term.kind == "iri")
+            )
+        elif term.value in cols:  # ?x path ?x → endpoint equality
+            cond = cond & (val_col == cols[term.value])
+        else:
+            cols[term.value] = val_col
+            uri_flags[term.value] = uri_col
+    out = e.filter(cond).select(
+        *[c.alias(v) for v, c in cols.items()],
+        *[uri_flags[v].alias(f"{v}__uri") for v in cols],
+        *[F.lit(None).cast("string").alias(f"{v}__lang") for v in cols],
+    )
+    return out, set(cols)
+
+
 def _scan(
     triples: DataFrame, pos_triples: DataFrame | None, pat: Pattern
 ) -> tuple[DataFrame, set[str]]:
+    if not isinstance(pat.p, Term):
+        return _path_scan(triples, pos_triples, pat)
     """One triple pattern → a filtered scan projected to its variables.
 
     Variable columns carry the raw lexical value; ``<var>__uri`` carries the
@@ -624,10 +792,7 @@ def _join_group(
 
     # order: most constants first (selectivity), then greedily pick patterns
     # sharing a variable with the joined set — avoids cross products.
-    remaining = sorted(
-        group.patterns,
-        key=lambda p: -sum(t.is_const for t in (p.s, p.p, p.o)),
-    )
+    remaining = sorted(group.patterns, key=lambda p: -_pat_const_count(p))
     df: DataFrame | None = None
     bound: set[str] = set()
     nullable: set[str] = set()
@@ -635,7 +800,7 @@ def _join_group(
         nxt_i = 0
         if df is not None:
             for i, pat in enumerate(remaining):
-                pvars = {t.value for t in (pat.s, pat.p, pat.o) if not t.is_const}
+                pvars = _pat_vars(pat)
                 if pvars & bound:
                     nxt_i = i
                     break

@@ -348,6 +348,58 @@ def test_group_by_without_aggregates_and_distinct(spark, graph):
     assert len(rows) == len(set(rows))
 
 
+@pytest.fixture(scope="module")
+def chain(spark):
+    """d1→d2→d3→d4 reference chain + titles + a self-loop (d5→d5)."""
+    rows = [
+        ("d1", "ref", "d2", True), ("d2", "ref", "d3", True),
+        ("d3", "ref", "d4", True), ("d4", "t", "T4", False),
+        ("d2", "t", "T2", False), ("d5", "ref", "d5", True),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_uri boolean"
+    )
+
+
+def test_property_path_seq_alt_inv(spark, chain):
+    got = sparql_select(chain, "SELECT ?s ?v WHERE { ?s <ref>/<t> ?v }").collect()
+    assert sorted((r.s, r.v) for r in got) == [("d1", "T2"), ("d3", "T4")]
+    got2 = sparql_select(chain, "SELECT ?s ?v WHERE { ?s <t>|<ref> ?v }")
+    assert got2.count() == 6
+    got3 = sparql_select(chain, "SELECT ?o ?s WHERE { ?o ^<ref> ?s }").collect()
+    assert ("d2", "d1") in {(r.o, r.s) for r in got3}
+
+
+def test_property_path_transitive_closure(spark, chain):
+    # closure from a constant endpoint
+    got = sparql_select(chain, "SELECT ?x WHERE { <d1> <ref>+ ?x }").collect()
+    assert sorted(r.x for r in got) == ["d2", "d3", "d4"]
+    # cycles terminate (the self-loop must not spin the doubling loop)
+    got2 = sparql_select(chain, "SELECT ?x WHERE { <d5> <ref>+ ?x }").collect()
+    assert [r.x for r in got2] == ["d5"]
+    # a path pattern joins with ordinary patterns on its endpoint vars
+    got3 = sparql_select(
+        chain, "SELECT ?s ?v WHERE { ?s <ref>+ ?m . ?m <t> ?v }"
+    ).collect()
+    assert sorted((r.s, r.v) for r in got3) == [
+        ("d1", "T2"), ("d1", "T4"), ("d2", "T4"), ("d3", "T4"),
+    ]
+    # grouped paths compose with modifiers
+    got4 = sparql_select(
+        chain, "SELECT ?x WHERE { <d1> (<ref>/<ref>)+ ?x }"
+    ).collect()
+    assert [r.x for r in got4] == ["d3"]
+
+
+def test_property_path_star_and_template_rejected(spark, chain):
+    with pytest.raises(SparqlUnsupportedError):
+        parse_sparql("SELECT ?x WHERE { <d1> <ref>* ?x }")
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "CONSTRUCT { ?s <a>/<b> ?o } WHERE { ?s <p> ?o }"
+        )
+
+
 def test_select_star_and_var_reuse(spark, graph):
     got = sparql_select(
         graph, PREFIX + "SELECT * WHERE { ?d dcterms:references ?r }"
