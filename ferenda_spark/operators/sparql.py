@@ -13,23 +13,43 @@ text compiles to a DataFrame plan over the ``triples`` tables, so Catalyst
 Supported subset — the shapes the reference's shipped ``.rq`` files use:
 
 - ``PREFIX`` declarations; ``SELECT [DISTINCT] ?v … | * | (AGG(?v) AS ?a)``;
-  ``CONSTRUCT { template }``
+  ``CONSTRUCT { template }``; ``ASK`` (→ one boolean row, LIMIT-1 probe);
+  ``DESCRIBE ?v…/<iri>…`` (→ subject-rows of the described resources —
+  simplification vs the spec's implementation-defined CBD: no blank-node
+  recursion, the engine mints no blank nodes)
 - basic graph patterns with ``.``-separated triple patterns, ``;``
   predicate-object lists and ``,`` object lists
 - terms: ``?var``, ``<iri>``, ``prefixed:name``, ``"literal"``,
   ``"literal"@lang``, numeric literals, ``a`` (= rdf:type)
 - property paths in predicate position: ``p1/p2`` (midpoint join), ``p1|p2``
   (bag union), ``^p`` (endpoint swap), ``p+`` (transitive closure by
-  iterative doubling — O(log path-length) checkpointed self-join rounds);
-  ``*`` is refused (its zero-length case relates every term to itself)
+  iterative doubling — O(log path-length) checkpointed self-join rounds),
+  ``p*``/``p?`` (zero-or-more / zero-or-one — the zero-length leg is the
+  identity over the graph's term set per the spec's ZeroOrMorePath, a
+  distinct over a two-column union scan; a constant endpoint that does not
+  occur in the graph yields no zero-length row, a documented departure),
+  ``!p`` / ``!(p1|p2…)`` (negated property set, forward arcs only — an
+  exclusion scan, inherently unprunable)
 - ``OPTIONAL { … }`` → left outer join on the shared variables
 - ``{ … } UNION { … }`` → unionByName with null padding for
   branch-private variables (join keys must be bound in every branch)
 - ``VALUES ?v { … }`` / ``VALUES (?v …) { (…) … }`` → inline broadcast
   table joined on its variables (``UNDEF`` → null, non-join columns only)
-- ``FILTER`` with ``= != < > <= >=``, ``regex(?v, "pat")``, ``bound(?v)``,
-  ``isIRI/isURI(?v)``, ``str(?v)``, ``lang(?v)``, ``!``, ``&&``, ``||``,
-  parentheses
+- ``{ SELECT … }`` subqueries (one standalone group element — not usable as
+  a UNION branch) → the subquery's full solution pipeline compiled with its
+  variables' term-kind flags retained, joined on the shared variables;
+  aggregate aliases keep their native Spark type (long/double)
+- ``BIND(expr AS ?v)`` → ``withColumn`` after the group's joins (documented
+  simplification: triple patterns of the same group must not reference the
+  bound variable; the bound term is a plain literal, lexical/string-typed)
+- ``FILTER`` with ``= != < > <= >=``, arithmetic ``+ - * /`` and unary
+  ``-`` (operands promoted to double), ``?v IN (…)``/``NOT IN`` (compiled
+  as an ``=``-chain, so Catalyst folds it to an ``In``), ``regex(?v,
+  "pat")``, ``bound(?v)``, ``isIRI/isURI/isLiteral(?v)``, ``str(?v)``,
+  ``lang(?v)``, ``contains/strstarts/strends``, ``ucase/lcase/strlen``,
+  ``concat``, ``substr`` (constant positions), ``replace`` (constant
+  pattern), ``coalesce``, ``IF(cond, then, else)``,
+  ``abs/round/floor/ceil``, ``!``, ``&&``, ``||``, parentheses
 - ``FILTER [NOT] EXISTS { … }`` → left semi / left anti join correlated on
   the shared variables (the J6 skeleton negation shape)
 - ``MINUS { … }`` → left anti join on the shared variables; with no shared
@@ -57,9 +77,9 @@ Compilation strategy (scale notes):
 
 Deliberate departures from full SPARQL semantics (documented, not bugs):
 unbound-variable comparisons are SQL-NULL (row dropped) rather than
-type-error; numeric comparison applies when the literal side is numeric
-(objects cast to double); no named graphs / property paths / subqueries
-(the reference's shipped queries use none of these).
+type-error; numeric comparison applies when an operand side is numeric
+(both cast to double); no named graphs and no SPARQL Update (the
+reference's shipped queries use neither); subqueries nest one level.
 """
 
 from __future__ import annotations
@@ -81,10 +101,10 @@ _TOKEN_RE = re.compile(
     | (?P<string>"(?:[^"\\]|\\.)*")
     | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
     | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
-    | (?P<num>[+-]?\d+(?:\.\d+)?)
+    | (?P<num>\d+(?:\.\d+)?)
     | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
     | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<punct>&&|\|\||!=|<=|>=|[{}().;,=<>!*/|^+])
+    | (?P<punct>&&|\|\||!=|<=|>=|[{}().;,=<>!*/|^+?-])
     """,
     re.VERBOSE,
 )
@@ -144,6 +164,8 @@ class Group:
         default_factory=list
     )  # (negated, pattern group)
     minuses: list["Group"] = field(default_factory=list)
+    binds: list[tuple[str, tuple]] = field(default_factory=list)  # (var, expr)
+    subqueries: list["Query"] = field(default_factory=list)
 
 
 @dataclass(frozen=True)
@@ -159,7 +181,7 @@ class AggItem:
 
 @dataclass
 class Query:
-    form: str  # 'select' | 'construct'
+    form: str  # 'select' | 'construct' | 'ask' | 'describe'
     select_vars: list[str]  # empty = '*'
     distinct: bool
     where: Group
@@ -171,6 +193,7 @@ class Query:
     group_by: list[str] = field(default_factory=list)
     having: list[tuple] = field(default_factory=list)
     select_order: list[str] = field(default_factory=list)  # projection order
+    describe_targets: list[Term] = field(default_factory=list)
 
 
 class _Parser:
@@ -211,10 +234,16 @@ class _Parser:
             if not (iri.startswith("<") and iri.endswith(">")):
                 raise SparqlSyntaxError(f"bad prefix IRI {iri!r}")
             self.prefixes[pname[:-1]] = iri[1:-1]
+        return self.parse_query_body()
 
+    def parse_query_body(self) -> Query:
+        """One query form + WHERE + solution modifiers. Called at top level
+        (stops at end of input) and for ``{ SELECT … }`` subqueries (stops at
+        the enclosing ``}``)."""
         form = self.next().lower()
         aggregates: list[AggItem] = []
         select_order: list[str] = []
+        describe_targets: list[Term] = []
         if form == "select":
             distinct = False
             if self.at_kw("distinct"):
@@ -246,17 +275,39 @@ class _Parser:
             self.expect("}")
             if any(not isinstance(p.p, Term) for p in template):
                 raise SparqlSyntaxError("property paths not allowed in CONSTRUCT templates")
+        elif form == "ask":
+            distinct, sel, template = False, [], []
+        elif form == "describe":
+            distinct, sel, template = True, [], []
+            while True:
+                t = self.peek()
+                if t is not None and t.startswith("?") and len(t) > 1:
+                    describe_targets.append(Term("var", self.next()[1:]))
+                elif t is not None and (t.startswith("<") or ":" in t):
+                    describe_targets.append(self.parse_term())
+                else:
+                    break
+            if not describe_targets:
+                raise SparqlSyntaxError("DESCRIBE needs ?vars or IRIs")
         else:
             raise SparqlUnsupportedError(f"unsupported query form {form!r}")
 
-        self.expect("where")
-        where = self.parse_group()
+        if form in ("select", "construct"):
+            self.expect("where")
+            where = self.parse_group()
+        elif self.at_kw("where"):  # ask/describe: WHERE keyword optional
+            self.next()
+            where = self.parse_group()
+        elif self.peek() == "{":
+            where = self.parse_group()
+        else:  # DESCRIBE <iri> with no pattern
+            where = Group()
 
         group_by: list[str] = []
         having: list[tuple] = []
         order_by: list[tuple[str, bool]] = []
         limit = offset = None
-        while self.peek() is not None:
+        while self.peek() is not None and self.peek() != "}":
             if self.at_kw("group"):
                 self.next()
                 self.expect("by")
@@ -313,7 +364,7 @@ class _Parser:
             raise SparqlSyntaxError("HAVING without aggregation")
         return Query(
             form, sel, distinct, where, template, order_by, limit, offset,
-            aggregates, group_by, having, select_order,
+            aggregates, group_by, having, select_order, describe_targets,
         )
 
     def parse_agg_item(self) -> AggItem:
@@ -389,6 +440,27 @@ class _Parser:
             elif t.lower() == "values":
                 self.next()
                 g.values.append(self.parse_values())
+            elif t.lower() == "bind":
+                self.next()
+                self.expect("(")
+                expr = self.parse_or()
+                self.expect("as")
+                v = self.next()
+                if not v.startswith("?"):
+                    raise SparqlSyntaxError("BIND needs AS ?var")
+                self.expect(")")
+                g.binds.append((v[1:], expr))
+            elif (
+                t == "{"
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1].lower() == "select"
+            ):
+                self.next()
+                sub = self.parse_query_body()
+                if sub.form != "select":  # pragma: no cover
+                    raise SparqlUnsupportedError("only SELECT subqueries")
+                self.expect("}")
+                g.subqueries.append(sub)
             elif t == "{":
                 branches = [self.parse_group()]
                 while self.at_kw("union"):
@@ -403,6 +475,8 @@ class _Parser:
                     g.values.extend(branches[0].values)
                     g.exists.extend(branches[0].exists)
                     g.minuses.extend(branches[0].minuses)
+                    g.binds.extend(branches[0].binds)
+                    g.subqueries.extend(branches[0].subqueries)
                 else:
                     g.unions.append(branches)
             else:
@@ -494,31 +568,57 @@ class _Parser:
         if self.peek() == "^":
             self.next()
             inverted = True
-        if self.peek() == "(":
+        if self.peek() == "!":
+            # negated property set: !iri or !(iri1|iri2|…), forward arcs only
+            self.next()
+            if self.peek() == "(":
+                self.next()
+                preds = [self.parse_nps_pred()]
+                while self.peek() == "|":
+                    self.next()
+                    preds.append(self.parse_nps_pred())
+                self.expect(")")
+            else:
+                preds = [self.parse_nps_pred()]
+            p = ("nps", tuple(t.value for t in preds))
+        elif self.peek() == "(":
             self.next()
             p = self.parse_path()
             self.expect(")")
         else:
             p = self.parse_term(pred=True)
-        if self.peek() == "+":
+        mod = self.peek()
+        if mod in ("+", "*", "?") and not (isinstance(p, Term) and p.kind == "var"):
             self.next()
-            if isinstance(p, Term) and p.kind == "var":
-                raise SparqlSyntaxError("path modifier over a variable")
-            p = ("plus", p)
-        elif self.peek() == "*" and not (isinstance(p, Term) and p.kind == "var"):
-            raise SparqlUnsupportedError(
-                "zero-or-more path (*) not supported (the zero-length case "
-                "relates every graph term to itself)"
-            )
+            p = ({"+": "plus", "*": "star", "?": "quest"}[mod], p)
+        elif mod == "+":
+            raise SparqlSyntaxError("path modifier over a variable")
         if inverted:
             if isinstance(p, Term) and p.kind == "var":
                 raise SparqlUnsupportedError("inverse of a variable predicate")
             p = ("inv", p)
         return p
 
+    def parse_nps_pred(self) -> Term:
+        if self.peek() == "^":
+            raise SparqlUnsupportedError(
+                "reverse arcs inside a negated property set"
+            )
+        t = self.parse_term(pred=True)
+        if t.kind != "iri":
+            raise SparqlSyntaxError("negated property set needs IRIs")
+        return t
+
     def parse_term(self, pred: bool = False) -> Term:
         t = self.next()
-        if t.startswith("?"):
+        if t in ("+", "-"):
+            # signs lex as their own tokens (they are also arithmetic
+            # operators); a signed numeric literal re-joins here
+            mag = self.next()
+            if not re.fullmatch(r"\d+(?:\.\d+)?", mag):
+                raise SparqlSyntaxError(f"bad term {t!r} {mag!r}")
+            return Term("lit", ("-" + mag) if t == "-" else mag)
+        if t.startswith("?") and len(t) > 1:
             return Term("var", t[1:])
         if t.startswith("<") and t.endswith(">"):
             return Term("iri", t[1:-1])
@@ -560,12 +660,61 @@ class _Parser:
         return self.parse_cmp()
 
     def parse_cmp(self):
-        left = self.parse_primary()
+        left = self.parse_add()
         t = self.peek()
         if t in ("=", "!=", "<", ">", "<=", ">="):
             self.next()
-            return ("cmp", t, left, self.parse_primary())
+            return ("cmp", t, left, self.parse_add())
+        if t is not None and t.lower() == "in":
+            self.next()
+            return ("in", False, left, self.parse_in_list())
+        if t is not None and t.lower() == "not":
+            self.next()
+            self.expect("in")
+            return ("in", True, left, self.parse_in_list())
         return left
+
+    def parse_in_list(self) -> list[Term]:
+        self.expect("(")
+        terms: list[Term] = []
+        if self.peek() != ")":
+            terms.append(self.parse_term())
+            while self.peek() == ",":
+                self.next()
+                terms.append(self.parse_term())
+        self.expect(")")
+        return terms
+
+    # arithmetic: + - below * /; unary - on primaries
+    def parse_add(self):
+        left = self.parse_mul()
+        while self.peek() in ("+", "-"):
+            op = self.next()
+            left = ("arith", op, left, self.parse_mul())
+        return left
+
+    def parse_mul(self):
+        left = self.parse_unary()
+        while self.peek() in ("*", "/"):
+            op = self.next()
+            left = ("arith", op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        if self.peek() == "-":
+            self.next()
+            return ("neg", self.parse_unary())
+        if self.peek() == "+":
+            self.next()
+            return self.parse_unary()
+        return self.parse_primary()
+
+    _FILTER_FNS = (
+        "regex", "bound", "isiri", "isuri", "isliteral", "str", "lang",
+        "contains", "strstarts", "strends", "ucase", "lcase", "strlen",
+        "concat", "substr", "replace", "coalesce", "if",
+        "abs", "round", "floor", "ceil",
+    )
 
     def parse_primary(self):
         t = self.peek()
@@ -574,9 +723,7 @@ class _Parser:
             e = self.parse_or()
             self.expect(")")
             return e
-        if t is not None and t.lower() in (
-            "regex", "bound", "isiri", "isuri", "str", "lang",
-        ):
+        if t is not None and t.lower() in self._FILTER_FNS:
             fn = self.next().lower()
             self.expect("(")
             args = [self.parse_or()]
@@ -692,7 +839,47 @@ def _path_edges(
         return e1.join(e2, "_mid").select("a", "a_uri", "b", "b_uri")
     if kind == "plus":
         return _path_closure(_path_edges(triples, pos_triples, path[1]))
+    if kind == "nps":
+        # negated property set: exclusion over predicates — inherently a
+        # full scan (no POS pruning possible; the excluded set is small,
+        # the kept set is everything else)
+        return triples.filter(~F.col("pred").isin(*path[1])).select(
+            F.col("subj").alias("a"),
+            F.lit(True).alias("a_uri"),
+            F.col("obj").alias("b"),
+            F.col("obj_is_uri").alias("b_uri"),
+        )
+    if kind == "quest":
+        # zero-or-one: the zero-length path relates every graph term to
+        # itself (SPARQL 18.4 ZeroOrOnePath over the queried graph)
+        e = _path_edges(triples, pos_triples, path[1])
+        return _graph_identity(triples).unionByName(e).distinct()
+    if kind == "star":
+        # zero-or-more = identity over graph terms ∪ one-or-more closure.
+        # The identity leg costs a distinct over the graph's term set — that
+        # is what the spec's zero-length semantics means; constant endpoints
+        # still prune (Catalyst pushes the endpoint filter into both union
+        # legs, under the distinct).
+        plus = _path_closure(_path_edges(triples, pos_triples, path[1]))
+        return _graph_identity(triples).unionByName(plus).distinct()
     raise SparqlUnsupportedError(f"unsupported path {kind!r}")
+
+
+def _graph_identity(triples: DataFrame) -> DataFrame:
+    """(t, t) for every RDF term t occurring in the graph — the zero-length
+    path relation of SPARQL's ZeroOrMorePath/ZeroOrOnePath."""
+    terms = (
+        triples.select(F.col("subj").alias("a"), F.lit(True).alias("a_uri"))
+        .unionByName(
+            triples.select(
+                F.col("obj").alias("a"), F.col("obj_is_uri").alias("a_uri")
+            )
+        )
+        .distinct()
+    )
+    return terms.select(
+        "a", "a_uri", F.col("a").alias("b"), F.col("a_uri").alias("b_uri")
+    )
 
 
 def _path_scan(
@@ -787,7 +974,13 @@ def _join_group(
     unbound-is-compatible join rule cannot be expressed as an equi-join on
     such a variable — every join site below raises SparqlUnsupportedError
     rather than silently dropping/keeping rows the spec wouldn't."""
-    if not (group.patterns or group.optionals or group.unions or group.values):
+    if not (
+        group.patterns
+        or group.optionals
+        or group.unions
+        or group.values
+        or group.subqueries
+    ):
         raise SparqlUnsupportedError("empty group pattern")
 
     # order: most constants first (selectivity), then greedily pick patterns
@@ -829,6 +1022,23 @@ def _join_group(
                 # triples; Catalyst plans it as a broadcast nested loop.
                 df = df.crossJoin(scan)
             bound |= pvars
+
+    for sq in group.subqueries:
+        sdf, svars, snull = _solutions(triples, pos_triples, sq)
+        if df is None:
+            df, bound, nullable = sdf, set(svars), set(snull)
+            continue
+        on = sorted(set(svars) & bound)
+        if set(on) & (nullable | snull):
+            raise SparqlUnsupportedError(
+                "subquery joined on a variable that may be unbound: "
+                f"{sorted(set(on) & (nullable | snull))}"
+            )
+        for v in on:
+            sdf = sdf.drop(f"{v}__uri", f"{v}__lang")
+        df = df.join(sdf, on=on, how="inner") if on else df.crossJoin(sdf)
+        bound |= set(svars)
+        nullable |= snull - set(on)
 
     for branches in group.unions:
         bdfs = [_join_group(triples, pos_triples, b) for b in branches]
@@ -953,6 +1163,22 @@ def _join_group(
                 f"unbound: {sorted(set(on) & (nullable | snull))}"
             )
         df = df.join(sdf.select(*on), on=on, how="left_anti")
+    for v, expr in group.binds:
+        # BIND is applied after the group's joins (documented simplification:
+        # triple patterns in the same group must not reference the bound
+        # variable). The value column keeps the engine's all-lexical model —
+        # the expression result is cast to string; the term is a plain
+        # literal (__uri false, no language tag).
+        if v in bound:
+            raise SparqlSyntaxError(f"BIND would rebind ?{v}")
+        col, _ = _value(expr, bound)
+        df = (
+            df.withColumn(v, col.cast("string"))
+            .withColumn(f"{v}__uri", F.lit(False))
+            .withColumn(f"{v}__lang", F.lit(None).cast("string"))
+        )
+        bound.add(v)
+        nullable.add(v)  # the expression may evaluate to NULL (unbound)
     for fexpr in group.filters:
         df = df.filter(_compile_filter(fexpr, bound))
     return df, bound, nullable
@@ -1002,21 +1228,83 @@ def _compile_filter(ast, bound: set[str]) -> F.Column:
     if kind == "bound":
         col, _ = _value(ast[1], bound)
         return col.isNotNull()
-    if kind in ("isiri", "isuri"):
+    if kind in ("isiri", "isuri", "isliteral"):
         t = ast[1]
         if t[0] != "term" or t[1].kind != "var":
-            raise SparqlUnsupportedError("isIRI over non-variable")
-        return F.col(f"{t[1].value}__uri")
+            raise SparqlUnsupportedError(f"{kind} over non-variable")
+        flag = F.col(f"{t[1].value}__uri")
+        return ~flag if kind == "isliteral" else flag
+    if kind == "in":
+        # ?x IN (a, b, …) ≡ ?x = a || ?x = b || … (SPARQL 17.4.1.9) —
+        # compiled exactly so, reusing =’s numeric-operand typing; Catalyst
+        # folds same-typed chains into an In. NOT IN over an unbound (NULL)
+        # operand drops the row (the module-wide unbound-is-NULL departure).
+        _, negated, expr, terms = ast
+        c = F.lit(False)
+        for t in terms:
+            c = c | _compile_filter(("cmp", "=", expr, ("term", t)), bound)
+        return ~c if negated else c
+    if kind in ("contains", "strstarts", "strends"):
+        col, _ = _value(ast[1], bound)
+        arg, _ = _value(ast[2], bound)
+        return {
+            "contains": col.contains(arg),
+            "strstarts": col.startswith(arg),
+            "strends": col.endswith(arg),
+        }[kind]
     if kind == "str":
         return _value(ast, bound)[0]
     raise SparqlUnsupportedError(f"unsupported filter {kind!r}")
 
 
 def _value(ast, bound: set[str]) -> tuple[F.Column, bool]:
-    """expr → (column, is_numeric_literal)."""
-    if ast[0] == "str":
+    """expr → (column, is_numeric). ``is_numeric`` drives =/< operand
+    typing: a numeric side makes the comparison numeric (both sides cast to
+    double), mirroring SPARQL's operand-type promotion over our all-lexical
+    columns."""
+    kind = ast[0]
+    if kind == "str":
         return _value(ast[1], bound)[0], False
-    if ast[0] == "lang":
+    if kind == "arith":
+        _, op, lt, rt = ast
+        lc = _value(lt, bound)[0].cast("double")
+        rc = _value(rt, bound)[0].cast("double")
+        return {
+            "+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc,
+        }[op], True
+    if kind == "neg":
+        return -_value(ast[1], bound)[0].cast("double"), True
+    if kind in ("ucase", "lcase"):
+        c, _ = _value(ast[1], bound)
+        return (F.upper if kind == "ucase" else F.lower)(c), False
+    if kind == "strlen":
+        return F.length(_value(ast[1], bound)[0]), True
+    if kind == "concat":
+        return F.concat(*[_value(a, bound)[0] for a in ast[1:]]), False
+    if kind == "substr":
+        # SPARQL SUBSTR(source, start[, length]) — 1-based like Spark
+        c, _ = _value(ast[1], bound)
+        start = int(float(_const_num(ast[2])))
+        if len(ast) > 3:
+            return F.substring(c, start, int(float(_const_num(ast[3])))), False
+        return F.substring(c, start, 2**31 - 1), False
+    if kind == "replace":
+        c, _ = _value(ast[1], bound)
+        return F.regexp_replace(c, _const_str(ast[2]), _const_str(ast[3])), False
+    if kind == "coalesce":
+        vals = [_value(a, bound) for a in ast[1:]]
+        return F.coalesce(*[v for v, _ in vals]), all(n for _, n in vals)
+    if kind == "if":
+        cond = _compile_filter(ast[1], bound)
+        tc, tn = _value(ast[2], bound)
+        ec, en = _value(ast[3], bound)
+        return F.when(cond, tc).otherwise(ec), tn and en
+    if kind in ("abs", "round", "floor", "ceil"):
+        c = _value(ast[1], bound)[0].cast("double")
+        return {
+            "abs": F.abs, "round": F.round, "floor": F.floor, "ceil": F.ceil,
+        }[kind](c), True
+    if kind == "lang":
         t = ast[1]
         if t[0] != "term" or t[1].kind != "var":
             raise SparqlUnsupportedError("lang() over non-variable")
@@ -1039,6 +1327,16 @@ def _const_str(ast) -> str:
     if ast[0] == "term" and ast[1].kind == "lit":
         return ast[1].value
     raise SparqlUnsupportedError("expected string literal")
+
+
+def _const_num(ast) -> str:
+    if (
+        ast[0] == "term"
+        and ast[1].kind == "lit"
+        and re.fullmatch(r"[+-]?\d+(?:\.\d+)?", ast[1].value)
+    ):
+        return ast[1].value
+    raise SparqlUnsupportedError("expected numeric literal")
 
 
 def _agg_column(a: AggItem) -> F.Column:
@@ -1076,6 +1374,71 @@ def _agg_column(a: AggItem) -> F.Column:
     return c.alias(a.alias)
 
 
+def _flags(vars_: list[str]) -> list[str]:
+    return [f"{v}__{suffix}" for v in vars_ for suffix in ("uri", "lang")]
+
+
+def _solutions(
+    triples: DataFrame, pos_triples: DataFrame | None, q: Query
+) -> tuple[DataFrame, list[str], set[str]]:
+    """Full SELECT pipeline (WHERE → agg → HAVING → project → DISTINCT →
+    ORDER/OFFSET/LIMIT) keeping each output variable's ``__uri``/``__lang``
+    flag columns, so the result can re-enter a pattern join — the shape a
+    ``{ SELECT … }`` subquery needs. Returns (df, projection order,
+    maybe-null vars). Aggregate aliases are plain literals (flags
+    false/null); their value column keeps its native Spark type (long/
+    double/string), which only shows if the outer query joins on one."""
+    df, bound, nullable = _join_group(triples, pos_triples, q.where)
+    if q.aggregates or q.group_by:
+        needed = set(q.group_by) | {a.var for a in q.aggregates if a.var}
+        missing = sorted(needed - bound)
+        if missing:
+            raise SparqlUnsupportedError(f"vars not bound in WHERE: {missing}")
+        if q.aggregates:
+            out = df.groupBy(*q.group_by, *_flags(q.group_by)).agg(
+                *[_agg_column(a) for a in q.aggregates]
+            )
+        else:
+            # GROUP BY with no aggregate in SELECT: one row per group
+            out = df.select(*q.group_by, *_flags(q.group_by)).distinct()
+        for a in q.aggregates:
+            out = out.withColumn(f"{a.alias}__uri", F.lit(False)).withColumn(
+                f"{a.alias}__lang", F.lit(None).cast("string")
+            )
+        bound_after = set(q.group_by) | {a.alias for a in q.aggregates}
+        for h in q.having:
+            out = out.filter(_compile_filter(h, bound_after))
+        out = out.select(*q.select_order, *_flags(q.select_order))
+        if q.distinct:
+            # projection can be narrower than the grouping keys
+            out = out.distinct()
+        out_vars = list(q.select_order)
+        out_null = (nullable & set(q.group_by)) | {
+            a.alias
+            for a in q.aggregates
+            if a.var is not None and a.var in nullable and a.fn != "count"
+        }
+        out_null &= set(out_vars)
+    else:
+        out_vars = q.select_vars or sorted(bound)
+        missing = [v for v in out_vars if v not in bound]
+        if missing:
+            raise SparqlUnsupportedError(f"SELECT vars not bound in WHERE: {missing}")
+        out = df.select(*out_vars, *_flags(out_vars))
+        if q.distinct:
+            out = out.distinct()
+        out_null = nullable & set(out_vars)
+    if q.order_by:
+        out = out.orderBy(
+            *[F.asc(v) if asc else F.desc(v) for v, asc in q.order_by]
+        )
+    if q.offset is not None:
+        out = out.offset(q.offset)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out, out_vars, out_null
+
+
 def sparql_select(
     triples: DataFrame, query: str, pos_triples: DataFrame | None = None
 ) -> DataFrame:
@@ -1087,44 +1450,11 @@ def sparql_select(
     it instead (partition-pruned to one predicate)."""
     q = parse_sparql(query)
     if q.form != "select":
-        raise SparqlUnsupportedError("use sparql_construct for CONSTRUCT")
-    df, bound, _nullable = _join_group(triples, pos_triples, q.where)
-    if q.aggregates or q.group_by:
-        needed = set(q.group_by) | {a.var for a in q.aggregates if a.var}
-        missing = sorted(needed - bound)
-        if missing:
-            raise SparqlUnsupportedError(f"vars not bound in WHERE: {missing}")
-        if q.aggregates:
-            out = df.groupBy(*q.group_by).agg(
-                *[_agg_column(a) for a in q.aggregates]
-            )
-        else:
-            # GROUP BY with no aggregate in SELECT: one row per group
-            out = df.select(*q.group_by).distinct()
-        bound_after = set(q.group_by) | {a.alias for a in q.aggregates}
-        for h in q.having:
-            out = out.filter(_compile_filter(h, bound_after))
-        out = out.select(*q.select_order)
-        if q.distinct:
-            # projection can be narrower than the grouping keys
-            out = out.distinct()
-    else:
-        out_vars = q.select_vars or sorted(bound)
-        missing = [v for v in out_vars if v not in bound]
-        if missing:
-            raise SparqlUnsupportedError(f"SELECT vars not bound in WHERE: {missing}")
-        out = df.select(*out_vars)
-        if q.distinct:
-            out = out.distinct()
-    if q.order_by:
-        out = out.orderBy(
-            *[F.asc(v) if asc else F.desc(v) for v, asc in q.order_by]
+        raise SparqlUnsupportedError(
+            f"use the sparql_{q.form} entry point for {q.form.upper()}"
         )
-    if q.offset is not None:
-        out = out.offset(q.offset)
-    if q.limit is not None:
-        out = out.limit(q.limit)
-    return out
+    out, out_vars, _null = _solutions(triples, pos_triples, q)
+    return out.select(*out_vars)
 
 
 def sparql_construct(
@@ -1170,3 +1500,70 @@ def sparql_construct(
             & F.col("obj").isNotNull()
         ).distinct()
     )
+
+
+def sparql_ask(
+    triples: DataFrame, query: str, pos_triples: DataFrame | None = None
+) -> DataFrame:
+    """SPARQL ASK → a one-row DataFrame ``(ask: boolean)``. The WHERE group
+    compiles exactly as for SELECT; the existence test is a LIMIT 1 over the
+    solution frame (Catalyst stops the scan at the first match — a
+    CollectLimit, not a full count)."""
+    q = parse_sparql(query)
+    if q.form != "ask":
+        raise SparqlUnsupportedError(
+            f"use the sparql_{q.form} entry point for {q.form.upper()}"
+        )
+    df, _bound, _null = _join_group(triples, pos_triples, q.where)
+    return (
+        df.select(F.lit(1).alias("__one"))
+        .limit(1)
+        .agg((F.count("__one") > F.lit(0)).alias("ask"))
+    )
+
+
+def sparql_describe(
+    triples: DataFrame, query: str, pos_triples: DataFrame | None = None
+) -> DataFrame:
+    """SPARQL DESCRIBE → every triple whose SUBJECT is a described resource
+    (the resources named by IRI plus the bindings of the described
+    variables). Output has the TRIPLES shape of the input frame.
+
+    Documented simplification vs the spec's implementation-defined Concise
+    Bounded Description: subject rows only, no blank-node recursion (the
+    engine's graphs have no blank nodes — every subject is a minted URI)."""
+    q = parse_sparql(query)
+    if q.form != "describe":
+        raise SparqlUnsupportedError(
+            f"use the sparql_{q.form} entry point for {q.form.upper()}"
+        )
+    iris = [t.value for t in q.describe_targets if t.kind != "var"]
+    vars_ = [t.value for t in q.describe_targets if t.kind == "var"]
+    nodes: DataFrame | None = None
+    if vars_:
+        df, bound, _null = _join_group(triples, pos_triples, q.where)
+        missing = [v for v in vars_ if v not in bound]
+        if missing:
+            raise SparqlUnsupportedError(
+                f"DESCRIBE vars not bound in WHERE: {missing}"
+            )
+        # solution modifiers scope the set of described resources
+        if q.order_by:
+            df = df.orderBy(
+                *[F.asc(v) if asc else F.desc(v) for v, asc in q.order_by]
+            )
+        if q.offset is not None:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        nodes = df.select(F.col(vars_[0]).alias("subj"))
+        for v in vars_[1:]:
+            nodes = nodes.unionByName(df.select(F.col(v).alias("subj")))
+    if iris:
+        idf = triples.sparkSession.createDataFrame(
+            [(i,) for i in iris], "subj string"
+        )
+        nodes = idf if nodes is None else nodes.unionByName(idf)
+    assert nodes is not None  # parser guarantees ≥1 target
+    # left semi against the (small) resource set — broadcast by Catalyst
+    return triples.join(nodes.distinct(), on="subj", how="left_semi")

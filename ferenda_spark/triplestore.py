@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ferenda_spark.operators.sparql import sparql_construct, sparql_select
+from ferenda_spark.operators.sparql import (
+    sparql_ask,
+    sparql_construct,
+    sparql_describe,
+    sparql_select,
+)
 from ferenda_spark.operators.triples import write_pos, write_spo
 from ferenda_spark.sources import catalog
 
@@ -70,6 +75,19 @@ class SparkTripleStore:
         """SPARQL CONSTRUCT → graph as a (subj, pred, obj, obj_is_uri)
         DataFrame (TripleStore.construct returned an rdflib.Graph)."""
         return sparql_construct(self.triples(context), query, self._pos(context))
+
+    def ask(self, query: str, context: str | None = None) -> bool:
+        """SPARQL ASK → bool (rdflib-backed stores answer ASK queries the
+        same way; this is a LIMIT-1 existence probe, not a full count)."""
+        return sparql_ask(
+            self.triples(context), query, self._pos(context)
+        ).collect()[0]["ask"]
+
+    def describe(self, query: str, context: str | None = None) -> DataFrame:
+        """SPARQL DESCRIBE → the described resources' subject-rows as a
+        triples DataFrame (subject-only CBD; the engine mints no blank
+        nodes, so there is nothing to recurse into)."""
+        return sparql_describe(self.triples(context), query, self._pos(context))
 
     def triple_count(self, context: str | None = None) -> int:
         return self.triples(context).count()

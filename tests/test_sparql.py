@@ -64,7 +64,7 @@ def test_parse_errors():
     with pytest.raises(SparqlSyntaxError):
         parse_sparql("SELECT ?s WHERE { ?s undeclared:x ?o }")
     with pytest.raises(SparqlUnsupportedError):
-        parse_sparql("ASK WHERE { ?s ?p ?o }")
+        parse_sparql('INSERT { ?s ?p "x" } WHERE { ?s ?p ?o }')
 
 
 # ------------------------------------------------------------------- select
@@ -391,9 +391,26 @@ def test_property_path_transitive_closure(spark, chain):
     assert [r.x for r in got4] == ["d3"]
 
 
-def test_property_path_star_and_template_rejected(spark, chain):
+def test_property_path_star_quest_nps(spark, chain):
+    # zero-or-more: identity over graph terms ∪ transitive closure
+    got = sparql_select(chain, "SELECT ?x WHERE { <d1> <ref>* ?x }").collect()
+    assert sorted(r.x for r in got) == ["d1", "d2", "d3", "d4"]
+    # zero-or-one
+    got2 = sparql_select(chain, "SELECT ?x WHERE { <d2> <ref>? ?x }").collect()
+    assert sorted(r.x for r in got2) == ["d2", "d3"]
+    # the zero-length leg relates literal terms too (T2 occurs in the graph)
+    got3 = sparql_select(chain, 'SELECT ?x WHERE { ?x <t>? "T2" }').collect()
+    assert sorted(r.x for r in got3) == ["T2", "d2"]
+    # negated property set
+    got4 = sparql_select(
+        chain, "SELECT ?s ?o WHERE { ?s !(<ref>|<x:nope>) ?o }"
+    ).collect()
+    assert sorted((r.s, r.o) for r in got4) == [("d2", "T2"), ("d4", "T4")]
     with pytest.raises(SparqlUnsupportedError):
-        parse_sparql("SELECT ?x WHERE { <d1> <ref>* ?x }")
+        parse_sparql("SELECT ?s WHERE { ?s !(^<ref>) ?o }")
+
+
+def test_construct_template_path_rejected():
     with pytest.raises(SparqlSyntaxError):
         parse_sparql(
             "CONSTRUCT { ?s <a>/<b> ?o } WHERE { ?s <p> ?o }"
@@ -486,3 +503,143 @@ def test_annotations_query_matches_dataframe_form(spark):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     triples.unpersist()
+
+
+# ------------------------------------------- expressions / BIND / forms
+
+
+def test_expression_builtins(spark, graph):
+    got = sparql_select(
+        graph,
+        PREFIX + 'SELECT ?t WHERE { ?d dcterms:title ?t . '
+        'FILTER(contains(?t, "doc") && strstarts(?t, "A")) }',
+    ).collect()
+    assert [r.t for r in got] == ["Alpha doc"]
+
+    got2 = sparql_select(
+        graph,
+        PREFIX + 'SELECT ?t WHERE { ?d dcterms:title ?t . '
+        'FILTER(strends(ucase(?t), "DOC")) }',
+    ).collect()
+    assert sorted(r.t for r in got2) == ["Alpha doc", "Beta doc"]
+
+    # arithmetic over strlen, with a negative literal on the right
+    got3 = sparql_select(
+        graph,
+        PREFIX + "SELECT ?t WHERE { ?d dcterms:title ?t . "
+        "FILTER(strlen(?t) + 1 = 10) }",
+    ).collect()
+    assert [r.t for r in got3] == ["Alpha doc"]
+    got4 = sparql_select(
+        graph,
+        PREFIX + "SELECT ?t WHERE { ?d dcterms:title ?t . "
+        "FILTER(8 - strlen(?t) < -1 && strlen(?t) * 2 > 17) }",
+    ).collect()
+    assert sorted(r.t for r in got4) == ["Beta-Dokument"]
+
+    # IN / NOT IN
+    got5 = sparql_select(
+        graph,
+        PREFIX + 'SELECT ?l WHERE { ?d dcterms:language ?l . '
+        'FILTER(?l IN ("en", "sv")) }',
+    ).collect()
+    assert [r.l for r in got5] == ["en"]
+    got6 = sparql_select(
+        graph,
+        PREFIX + 'SELECT ?t WHERE { ?d dcterms:title ?t . '
+        'FILTER(lang(?t) NOT IN ("de")) }',
+    ).collect()
+    assert sorted(r.t for r in got6) == ["Alpha doc", "Beta doc"]
+
+    # IF / COALESCE / REPLACE / SUBSTR / isLiteral
+    got7 = sparql_select(
+        graph,
+        PREFIX + 'SELECT ?d ?k WHERE { ?d dcterms:title ?t . '
+        'FILTER(isLiteral(?t)) '
+        'BIND(IF(lang(?t) = "de", "translated", substr(replace(?t, " doc", ""), 1, 4)) AS ?k) }',
+    ).collect()
+    assert sorted((r.d, r.k) for r in got7) == [
+        ("http://ex.org/d1", "Alph"),
+        ("http://ex.org/d2", "Beta"),
+        ("http://ex.org/d2", "translated"),
+    ]
+
+
+def test_bind(spark, graph):
+    got = sparql_select(
+        graph,
+        PREFIX + 'SELECT ?d ?u WHERE { ?d dcterms:title ?t . '
+        'FILTER(lang(?t) = "de") BIND(ucase(?t) AS ?u) }',
+    ).collect()
+    assert [(r.d, r.u) for r in got] == [("http://ex.org/d2", "BETA-DOKUMENT")]
+    # the bound var is usable in a later FILTER of the same group
+    got2 = sparql_select(
+        graph,
+        PREFIX + "SELECT ?t ?n WHERE { ?d dcterms:title ?t . "
+        "BIND(strlen(?t) AS ?n) FILTER(?n < 9) }",
+    ).collect()
+    assert [(r.t, r.n) for r in got2] == [("Beta doc", "8")]
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(
+            graph,
+            PREFIX + "SELECT ?t WHERE { ?d dcterms:title ?t . BIND(1 AS ?t) }",
+        )
+
+
+def test_ask(spark, graph):
+    from ferenda_spark.operators.sparql import sparql_ask
+
+    t = sparql_ask(
+        graph, PREFIX + "ASK { ?d dcterms:references <http://ex.org/d1> }"
+    ).collect()
+    assert len(t) == 1 and t[0].ask is True
+    f = sparql_ask(
+        graph, PREFIX + 'ASK WHERE { ?d dcterms:title "Nope" }'
+    ).collect()
+    assert len(f) == 1 and f[0].ask is False
+
+
+def test_describe(spark, graph):
+    from ferenda_spark.operators.sparql import sparql_describe
+
+    got = sparql_describe(graph, "DESCRIBE <http://ex.org/d1>").collect()
+    assert len(got) == 3 and all(r.subj == "http://ex.org/d1" for r in got)
+    got2 = sparql_describe(
+        graph,
+        PREFIX + "DESCRIBE ?d WHERE { ?d dcterms:references <http://ex.org/d2> }",
+    ).collect()
+    assert {r.subj for r in got2} == {"http://ex.org/d3"} and len(got2) == 2
+    got3 = sparql_describe(
+        graph,
+        PREFIX + "DESCRIBE ?d <http://ex.org/d1> "
+        "WHERE { ?d dcterms:references <http://ex.org/d2> }",
+    ).collect()
+    assert {r.subj for r in got3} == {"http://ex.org/d1", "http://ex.org/d3"}
+    # solution modifiers scope the described-resource set
+    got4 = sparql_describe(
+        graph,
+        PREFIX + "DESCRIBE ?d WHERE { ?d dcterms:references ?r } "
+        "ORDER BY ?d ?r LIMIT 1",
+    ).collect()
+    assert {r.subj for r in got4} == {"http://ex.org/d2"} and len(got4) == 3
+
+
+def test_subquery(spark, graph):
+    got = sparql_select(
+        graph,
+        PREFIX + "SELECT ?d ?n WHERE { "
+        '?d dcterms:title ?t . FILTER(lang(?t) = "en") '
+        "{ SELECT ?d (COUNT(?r) AS ?n) WHERE { ?d dcterms:references ?r } "
+        "GROUP BY ?d } }",
+    ).collect()
+    assert [(r.d, r.n) for r in got] == [("http://ex.org/d2", 1)]
+
+    # ORDER/LIMIT scoped inside the subquery
+    got2 = sparql_select(
+        graph,
+        PREFIX + "SELECT ?t WHERE { "
+        "{ SELECT ?d WHERE { ?d dcterms:references <http://ex.org/d1> } "
+        "ORDER BY ?d LIMIT 1 } "
+        "?d dcterms:title ?t . }",
+    ).collect()
+    assert sorted(r.t for r in got2) == ["Beta doc", "Beta-Dokument"]

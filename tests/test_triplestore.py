@@ -84,3 +84,16 @@ def test_clear_context_drops_exclusive_partition(store):
     assert store.select(
         f'SELECT ?s WHERE {{ ?s <{P_TITLE}> "One" }}'
     ).count() == 0
+
+
+def test_ask_and_describe(store):
+    assert store.ask(f"ASK {{ ?s <{P_REFS}> ?o }}") is True
+    assert store.ask(f'ASK {{ ?s <{P_TITLE}> "Three" }}') is False
+    # context scoping applies to ASK like select
+    assert store.ask(f"ASK {{ ?s <{P_REFS}> ?o }}", context="b.example") is False
+    got = store.describe(
+        f"DESCRIBE ?d WHERE {{ ?d <{P_REFS}> <https://b.example/2> }}"
+    ).collect()
+    assert len(got) == 2 and {r.subj for r in got} == {"https://a.example/1"}
+    got2 = store.describe("DESCRIBE <https://b.example/2>").collect()
+    assert [(r.subj, r.obj) for r in got2] == [("https://b.example/2", "Two")]
