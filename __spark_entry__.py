@@ -759,6 +759,91 @@ def _q_sparql_path_closure(spark, sf_dir):
     )
 
 
+def _q_sparql_bind_if(spark, sf_dir):
+    """BIND + IF/concat/ucase expression surface, with an IN filter — all
+    compiled to column expressions (no UDFs)."""
+    from ferenda_spark.operators.sparql import sparql_select
+
+    return sparql_select(
+        _doc_triples_view(spark, sf_dir),
+        """
+        SELECT ?d ?tag WHERE {
+          ?d <doc:lang> ?l . FILTER(?l IN ("en", "de"))
+          ?d <doc:nchars> ?nc .
+          BIND(IF(?nc >= 500, concat(ucase(?l), "-LONG"), ?l) AS ?tag)
+        }
+        """,
+    )
+
+
+def _q_sparql_ask(spark, sf_dir):
+    """ASK form: LIMIT-1 existence probes (one hit, one guaranteed miss),
+    labeled and unioned so both outcomes are oracle-checked."""
+    from pyspark.sql import functions as F
+
+    from ferenda_spark.operators.sparql import sparql_ask
+
+    g = _doc_triples_view(spark, sf_dir)
+    hit = sparql_ask(
+        g, 'ASK { ?d <doc:source> ?s . FILTER(strstarts(?s, "src")) }'
+    ).withColumn("probe", F.lit("hit"))
+    miss = sparql_ask(g, 'ASK { ?d <doc:lang> "xx-nope" }').withColumn(
+        "probe", F.lit("miss")
+    )
+    return hit.unionByName(miss)
+
+
+def _q_sparql_describe(spark, sf_dir):
+    """DESCRIBE form: subject-rows of the resources bound by the WHERE
+    pattern (subject-only CBD — the graph mints no blank nodes)."""
+    from ferenda_spark.operators.sparql import sparql_describe
+
+    return sparql_describe(
+        _doc_triples_view(spark, sf_dir),
+        "DESCRIBE ?d WHERE { ?d <doc:prev> <doc://41> }",
+    )
+
+
+def _q_sparql_subquery(spark, sf_dir):
+    """{ SELECT … } subquery: per-source doc counts aggregated in the inner
+    query, joined to the outer English-doc pattern on ?src."""
+    from ferenda_spark.operators.sparql import sparql_select
+
+    return sparql_select(
+        _doc_triples_view(spark, sf_dir),
+        """
+        SELECT DISTINCT ?src ?n WHERE {
+          ?d <doc:source> ?src . ?d <doc:lang> "en" .
+          { SELECT ?src (COUNT(?d2) AS ?n)
+            WHERE { ?d2 <doc:source> ?src } GROUP BY ?src }
+        }
+        """,
+    )
+
+
+def _q_sparql_path_star(spark, sf_dir):
+    """Zero-or-more path <doc:prev>* from a constant endpoint — identity
+    over the graph's term set ∪ transitive closure; oracle = recursive CTE
+    seeded with the endpoint itself."""
+    from ferenda_spark.operators.sparql import sparql_select
+
+    return sparql_select(
+        _doc_triples_view(spark, sf_dir),
+        "SELECT ?x WHERE { <doc://45> <doc:prev>* ?x }",
+    )
+
+
+def _q_sparql_nps(spark, sf_dir):
+    """Negated property set !(p1|p2|p3) — predicate-exclusion scan keeping
+    only the n_chars leg of the doc graph."""
+    from ferenda_spark.operators.sparql import sparql_select
+
+    return sparql_select(
+        _doc_triples_view(spark, sf_dir),
+        "SELECT ?s ?o WHERE { ?s !(<doc:source>|<doc:lang>|<doc:prev>) ?o }",
+    )
+
+
 def _q_fulltext_search(spark, sf_dir):
     """FulltextIndex.query parity: inverted-index build + tf-idf ranked
     AND-search, top-10 deterministic by (score desc, id)."""
@@ -1028,6 +1113,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_union_values": _q_sparql_union_values,
         "sparql_triple_count": _q_sparql_triple_count,
         "sparql_path_closure": _q_sparql_path_closure,
+        "sparql_bind_if": _q_sparql_bind_if,
+        "sparql_ask": _q_sparql_ask,
+        "sparql_describe": _q_sparql_describe,
+        "sparql_subquery": _q_sparql_subquery,
+        "sparql_path_star": _q_sparql_path_star,
+        "sparql_nps": _q_sparql_nps,
         "fulltext_search": _q_fulltext_search,
         "fulltext_facets": _q_fulltext_facets,
         "atom_feeds": _q_atom_feeds,
@@ -1429,6 +1520,53 @@ def oracle_sql() -> dict[str, str]:
                 JOIN t t2 ON t2.pred = 'doc:prev' AND r.b = t2.subj
             )
             SELECT a AS d, b AS anc FROM reach
+        """,
+        "sparql_bind_if": _DOC_TRIPLES_SQL + """
+            SELECT a.subj AS d,
+                   CASE WHEN CAST(b.obj AS DOUBLE) >= 500
+                        THEN upper(a.obj) || '-LONG' ELSE a.obj END AS tag
+            FROM t a
+            JOIN t b ON a.subj = b.subj
+            WHERE a.pred = 'doc:lang' AND a.obj IN ('en', 'de')
+              AND b.pred = 'doc:nchars'
+        """,
+        "sparql_ask": _DOC_TRIPLES_SQL + """
+            SELECT EXISTS(SELECT 1 FROM t
+                          WHERE pred = 'doc:source' AND obj LIKE 'src%') AS ask,
+                   'hit' AS probe
+            UNION ALL
+            SELECT EXISTS(SELECT 1 FROM t
+                          WHERE pred = 'doc:lang' AND obj = 'xx-nope') AS ask,
+                   'miss' AS probe
+        """,
+        "sparql_describe": _DOC_TRIPLES_SQL + """
+            SELECT subj, pred, obj, (pred = 'doc:prev') AS obj_is_uri
+            FROM t
+            WHERE subj IN (SELECT subj FROM t
+                           WHERE pred = 'doc:prev' AND obj = 'doc://41')
+        """,
+        "sparql_subquery": _DOC_TRIPLES_SQL + """
+            SELECT DISTINCT a.obj AS src, cnt.n AS n
+            FROM t a
+            JOIN t b ON a.subj = b.subj
+            JOIN (SELECT obj AS src, CAST(count(*) AS BIGINT) AS n
+                  FROM t WHERE pred = 'doc:source' GROUP BY obj) cnt
+              ON cnt.src = a.obj
+            WHERE a.pred = 'doc:source'
+              AND b.pred = 'doc:lang' AND b.obj = 'en'
+        """,
+        "sparql_path_star": _DOC_TRIPLES_SQL + """,
+            r(x) AS (
+                SELECT 'doc://45'
+                UNION
+                SELECT t2.obj FROM r
+                JOIN t t2 ON t2.pred = 'doc:prev' AND t2.subj = r.x
+            )
+            SELECT x FROM r
+        """,
+        "sparql_nps": _DOC_TRIPLES_SQL + """
+            SELECT subj AS s, obj AS o FROM t
+            WHERE pred NOT IN ('doc:source', 'doc:lang', 'doc:prev')
         """,
         "sparql_optional": _DOC_TRIPLES_SQL + """
             SELECT a.subj AS d, a.obj AS nc, b.obj AS de

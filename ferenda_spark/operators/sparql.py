@@ -30,6 +30,13 @@ Supported subset — the shapes the reference's shipped ``.rq`` files use:
   occur in the graph yields no zero-length row, a documented departure),
   ``!p`` / ``!(p1|p2…)`` (negated property set, forward arcs only — an
   exclusion scan, inherently unprunable)
+- ``GRAPH <label> { … }`` / ``GRAPH ?g { … }`` — named-graph scoping over
+  the store's per-repo contexts ([ref: ferenda/triplestore.py] keeps one
+  named-graph context per repo): the graph label of a triple is its source
+  domain (``src_url``), a constant label is a pushed-down filter, a
+  variable binds the label per pattern and equi-joins across the body's
+  patterns. Body restricted to triple patterns + FILTERs; paths allowed
+  under a constant graph only
 - ``OPTIONAL { … }`` → left outer join on the shared variables
 - ``{ … } UNION { … }`` → unionByName with null padding for
   branch-private variables (join keys must be bound in every branch)
@@ -149,6 +156,7 @@ class Pattern:
     s: Term
     p: Term
     o: Term
+    graph: Term | None = None  # set inside GRAPH <g> / GRAPH ?g groups
 
 
 @dataclass
@@ -440,6 +448,29 @@ class _Parser:
             elif t.lower() == "values":
                 self.next()
                 g.values.append(self.parse_values())
+            elif t.lower() == "graph":
+                # GRAPH <label> { … } / GRAPH ?g { … } — the reference keeps
+                # one named-graph context per repo ([ref: ferenda/
+                # triplestore.py]); our context label is the source domain.
+                # The body is restricted to a plain BGP (+ FILTERs): the
+                # graph term is stamped onto each pattern and the body
+                # spliced into the parent, so ?g joins across the patterns.
+                self.next()
+                gterm = self.parse_term()
+                if gterm.kind == "lit":
+                    raise SparqlSyntaxError("GRAPH needs a variable or IRI")
+                sub = self.parse_group()
+                if (
+                    sub.optionals or sub.unions or sub.values or sub.exists
+                    or sub.minuses or sub.binds or sub.subqueries
+                ):
+                    raise SparqlUnsupportedError(
+                        "GRAPH body supports only triple patterns and FILTERs"
+                    )
+                for pat in sub.patterns:
+                    pat.graph = gterm
+                g.patterns.extend(sub.patterns)
+                g.filters.extend(sub.filters)
             elif t.lower() == "bind":
                 self.next()
                 self.expect("(")
@@ -756,6 +787,8 @@ def parse_sparql(query: str) -> Query:
 
 def _pat_vars(pat: Pattern) -> set[str]:
     ts = [pat.s, pat.o] + ([pat.p] if isinstance(pat.p, Term) else [])
+    if pat.graph is not None:
+        ts.append(pat.graph)
     return {t.value for t in ts if t.kind == "var"}
 
 
@@ -764,7 +797,19 @@ def _pat_const_count(pat: Pattern) -> int:
     n = sum(t.is_const for t in ts)
     if not isinstance(pat.p, Term):
         n += 1  # a path predicate is itself a constant filter on the edges
+    if pat.graph is not None and pat.graph.is_const:
+        n += 1
     return n
+
+
+def _graph_label_col(src: DataFrame) -> F.Column:
+    """The named-graph label of a triple row — the source domain, matching
+    SparkTripleStore's per-repo context convention."""
+    if "src_url" not in src.columns:
+        raise SparqlUnsupportedError(
+            "GRAPH requires triples with provenance (src_url column)"
+        )
+    return F.lower(F.regexp_extract(F.col("src_url"), r"^[a-z][a-z0-9+.\-]*://([^/]+)", 1))
 
 
 _CLOSURE_MAX_DOUBLINGS = 40  # paths up to length 2**40 — a loop backstop
@@ -887,6 +932,23 @@ def _path_scan(
 ) -> tuple[DataFrame, set[str]]:
     """Pattern with a path predicate → scan over the path's edge frame,
     mirroring _scan's contract (var columns + __uri/__lang flags)."""
+    if pat.graph is not None:
+        if pat.graph.kind == "var":
+            raise SparqlUnsupportedError(
+                "GRAPH ?var over a property path (per-graph path evaluation)"
+            )
+        # a path inside GRAPH <g> evaluates entirely within that graph —
+        # restrict the edge source before building the path relation
+        triples = triples.filter(
+            _graph_label_col(triples) == F.lit(pat.graph.value)
+        )
+        pos_triples = (
+            pos_triples.filter(
+                _graph_label_col(pos_triples) == F.lit(pat.graph.value)
+            )
+            if pos_triples is not None and "src_url" in pos_triples.columns
+            else None
+        )
     e = _path_edges(triples, pos_triples, pat.p)
     cond = F.lit(True)
     cols: dict[str, F.Column] = {}
@@ -925,6 +987,8 @@ def _scan(
     language tag (null off the object position). A constant predicate routes
     the scan to the POS layout when provided (partition pruning, SURVEY P4)."""
     src = pos_triples if (pos_triples is not None and pat.p.is_const) else triples
+    if pat.graph is not None and "src_url" not in src.columns:
+        src = triples  # fall back to the provenance-carrying layout
     has_lang = "obj_lang" in src.columns
     cond = F.lit(True)
     cols: dict[str, F.Column] = {}
@@ -956,6 +1020,17 @@ def _scan(
                     if (pos == "o" and has_lang)
                     else F.lit(None).cast("string")
                 )
+    if pat.graph is not None:
+        label = _graph_label_col(src)
+        if pat.graph.is_const:
+            cond = cond & (label == F.lit(pat.graph.value))
+        elif pat.graph.value in cols:  # GRAPH ?g { … ?g … } → equality
+            cond = cond & (label == cols[pat.graph.value])
+        else:
+            v = pat.graph.value
+            cols[v] = label
+            uri_flags[v] = F.lit(True)  # a graph name names a graph
+            lang_flags[v] = F.lit(None).cast("string")
     out = src.filter(cond).select(
         *[c.alias(v) for v, c in cols.items()],
         *[uri_flags[v].alias(f"{v}__uri") for v in cols],

@@ -643,3 +643,44 @@ def test_subquery(spark, graph):
         "?d dcterms:title ?t . }",
     ).collect()
     assert sorted(r.t for r in got2) == ["Beta doc", "Beta-Dokument"]
+
+
+def test_graph_clause(spark):
+    from ferenda_spark.operators.sparql import sparql_select
+
+    rows = [
+        ("d1", "p:t", "One", False, "https://a.example/1"),
+        ("d2", "p:t", "Two", False, "https://b.example/2"),
+        ("d2", "p:r", "d1", True, "https://b.example/2"),
+    ]
+    g = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_uri boolean, src_url string",
+    )
+    # constant graph label prunes to that context
+    got = sparql_select(
+        g, 'SELECT ?t WHERE { GRAPH <a.example> { ?d <p:t> ?t } }'
+    ).collect()
+    assert [r.t for r in got] == ["One"]
+    # variable graph binds the label and joins across the body's patterns
+    got2 = sparql_select(
+        g, "SELECT ?g ?t WHERE { GRAPH ?g { ?d <p:t> ?t . ?d <p:r> ?r } }"
+    ).collect()
+    assert [(r.g, r.t) for r in got2] == [("b.example", "Two")]
+    # the graph var is joinable with patterns outside the GRAPH group
+    got3 = sparql_select(
+        g,
+        "SELECT ?g WHERE { GRAPH ?g { ?d <p:r> ?r } }",
+    ).collect()
+    assert [r.g for r in got3] == ["b.example"]
+    # frames without provenance refuse GRAPH instead of guessing
+    bare = g.drop("src_url")
+    with pytest.raises(SparqlUnsupportedError):
+        sparql_select(
+            bare, "SELECT ?t WHERE { GRAPH ?g { ?d <p:t> ?t } }"
+        ).collect()
+    # unsupported body shapes raise at parse time
+    with pytest.raises(SparqlUnsupportedError):
+        parse_sparql(
+            "SELECT ?t WHERE { GRAPH ?g { OPTIONAL { ?d <p:t> ?t } } }"
+        )

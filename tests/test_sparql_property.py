@@ -307,3 +307,109 @@ def test_group_by_count_matches_naive_eval(_spark, graph, pats):
     got = {(r[key], r["n"]) for r in sel(df, q).collect()}
     want = set(Counter(b[key] for b in _naive(graph, pats)).items())
     assert got == want
+
+
+# --------------------------------------------- subquery / BIND / star path
+
+
+@given(graph=graph_st, main=bgp_st(), data=st.data())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_subquery_matches_naive_eval(_spark, graph, main, data):
+    """{ SELECT * { sub } } joined to the outer BGP ≡ bag-join of the two
+    solution multisets on their shared variables."""
+    from ferenda_spark.operators.sparql import sparql_select as sel
+
+    main_vars = sorted(
+        {t.value for p in main for t in (p.s, p.p, p.o) if t.kind == "var"}
+    )
+    sub = data.draw(bgp_connected_st(used_seed=tuple(main_vars)))
+    sub_vars = sorted(
+        {t.value for p in sub for t in (p.s, p.p, p.o) if t.kind == "var"}
+    )
+    q = f"SELECT * WHERE {{ {_body(main)} {{ SELECT * WHERE {{ {_body(sub)} }} }} }}"
+    all_vars = sorted(set(main_vars) | set(sub_vars))
+    df = _spark.createDataFrame(
+        graph or [("x", "x", "x", True)],
+        "subj string, pred string, obj string, obj_is_uri boolean",
+    )
+    if not graph:
+        df = df.filter("1=0")
+    got = sorted(
+        tuple(r[v] for v in all_vars) for r in sel(df, q).collect()
+    )
+    shared = set(main_vars) & set(sub_vars)
+    want = sorted(
+        tuple({**sb, **mb}[v] for v in all_vars)
+        for mb in _naive(graph, main)
+        for sb in _naive(graph, sub)
+        if all(mb[v] == sb[v] for v in shared)
+    )
+    assert got == want
+
+
+@given(graph=graph_st, k=st.integers(0, 4))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bind_strlen_filter_matches_naive(_spark, graph, k):
+    """BIND(strlen(?o) AS ?n) then FILTER(?n >= k) ≡ python len filter;
+    the bound var is string-typed (lexical model) but compares numerically."""
+    from ferenda_spark.operators.sparql import sparql_select as sel
+
+    q = (
+        "SELECT ?s ?o ?n WHERE { ?s ?p ?o . "
+        f"BIND(strlen(?o) AS ?n) FILTER(?n >= {k}) }}"
+    )
+    df = _spark.createDataFrame(
+        graph or [("x", "x", "x", True)],
+        "subj string, pred string, obj string, obj_is_uri boolean",
+    )
+    if not graph:
+        df = df.filter("1=0")
+    got = sorted((r.s, r.o, r.n) for r in sel(df, q).collect())
+    want = sorted(
+        (s, o, str(len(o)))
+        for (s, p, o, _u) in graph
+        if len(o) >= k
+    )
+    assert got == want
+
+
+@given(graph=graph_st)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_star_path_matches_naive_closure(_spark, graph):
+    """?x <p0>* ?y ≡ identity over the graph's term set ∪ transitive
+    closure of the p0 edges (set semantics)."""
+    from ferenda_spark.operators.sparql import sparql_select as sel
+
+    df = _spark.createDataFrame(
+        graph or [("x", "x", "x", True)],
+        "subj string, pred string, obj string, obj_is_uri boolean",
+    )
+    if not graph:
+        df = df.filter("1=0")
+    got = {
+        (r.x, r.y)
+        for r in sel(df, "SELECT ?x ?y WHERE { ?x <p0>* ?y }").collect()
+    }
+    terms = {s for (s, _p, _o, _u) in graph} | {o for (_s, _p, o, _u) in graph}
+    want = {(t, t) for t in terms}
+    edges = {(s, o) for (s, p, o, _u) in graph if p == "p0"}
+    reach = set(edges)
+    while True:
+        nxt = reach | {(a, d) for (a, b) in reach for (c, d) in reach if b == c}
+        if nxt == reach:
+            break
+        reach = nxt
+    want |= reach
+    assert got == want
