@@ -92,6 +92,23 @@ def main() -> None:
         pos_triples=pos,
     )
 
+    sparql_graph_plan = sparql_select(
+        spark.read.parquet(spo_dir),
+        "PREFIX dcterms: <http://purl.org/dc/terms/> "
+        "SELECT ?src ?t WHERE { GRAPH <a0.example> "
+        "{ ?src dcterms:references ?t } }",
+        pos_triples=pos,
+    )
+
+    sparql_subq_plan = sparql_select(
+        spark.read.parquet(spo_dir),
+        "PREFIX dcterms: <http://purl.org/dc/terms/> "
+        "SELECT DISTINCT ?src ?n WHERE { ?src dcterms:title ?ti . "
+        "{ SELECT ?src (COUNT(?t) AS ?n) "
+        "WHERE { ?src dcterms:references ?t } GROUP BY ?src } }",
+        pos_triples=pos,
+    )
+
     # one connected-components round over the reference edges: the per-round
     # shape is what repeats log(diameter) times at scale
     from ferenda_spark.operators.graph import _propagation_round
@@ -125,6 +142,14 @@ def main() -> None:
          "map-side before the exchange; HAVING folded into a post-agg "
          "Filter; POS scan partition-pruned on pred",
          plan_of(sparql_agg_plan)),
+        ("SPARQL GRAPH clause (constant label): the domain-of-src_url "
+         "filter sits directly on the partition-pruned POS scan, before "
+         "the join — graph scoping costs one column read, no shuffle",
+         plan_of(sparql_graph_plan)),
+        ("SPARQL subquery: inner GROUP BY aggregated before the join "
+         "(pre-aggregation shrinks the build side); DISTINCT of the outer "
+         "projection is one more HashAggregate",
+         plan_of(sparql_subq_plan)),
         ("connected-components round (repeats O(log diameter) times): "
          "min-label HashAggregate with partial_min map-side combine, two "
          "node-keyed joins; AQE re-plans each round since localCheckpoint "
