@@ -844,6 +844,102 @@ def _q_sparql_nps(spark, sf_dir):
     )
 
 
+def _pii_augmented_text():
+    """documents.text with synthetic PII appended (the corpus itself is
+    clean word-soup) — both the Spark query and the DuckDB oracle build the
+    same augmented column, so the redaction regexes are exercised for real."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+
+
+_PII_AUG_SQL = """
+            SELECT doc_id, lang,
+                   text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+                   '@mail.example or +1-555-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                   ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+            FROM documents
+"""
+
+
+def _q_pii_redact(spark, sf_dir):
+    """PII scrub pass: per-lang match counts (email/phone/IPv4) and the
+    total redacted length — all regexp column expressions, no UDFs."""
+    from ferenda_spark.functions.pii import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    aug = _pii_augmented_text()
+    c = pii_counts(aug)
+    return (
+        d.select(
+            "lang",
+            c["email"].alias("e"),
+            c["phone"].alias("p"),
+            c["ipv4"].alias("i"),
+            F.length(redact_pii(aug)).cast("bigint").alias("lr"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e").alias("n_emails"),
+            F.sum("p").alias("n_phones"),
+            F.sum("i").alias("n_ipv4"),
+            F.sum("lr").alias("sum_redacted_len"),
+        )
+    )
+
+
+def _q_chunk_dedup(spark, sf_dir):
+    """Chunk-level (boilerplate) dedup: per-lang total vs kept 8-token
+    chunks after global keep-first dedup — ONE skew-free shuffle on the
+    chunk fingerprint."""
+    from ferenda_spark.operators.dedup import chunk_rows, drop_duplicate_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    kept = (
+        drop_duplicate_chunks(d, "text", "doc_id", n=8)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("kept"))
+    )
+    tot = (
+        chunk_rows(d, "text", "doc_id", n=8)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("tot"))
+    )
+    per_doc = tot.join(kept, "id", "left").na.fill(0, ["kept"])
+    return (
+        per_doc.join(
+            d.select(F.col("doc_id").alias("id"), "lang"), "id"
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("tot").alias("n_chunks"),
+            F.sum("kept").alias("n_kept"),
+        )
+    )
+
+
+def _q_dup_chunk_topk(spark, sf_dir):
+    """Top-10 most boilerplate-heavy docs by duplicate-chunk fraction
+    (Gopher/C4-style repetition signal at chunk granularity)."""
+    from ferenda_spark.operators.dedup import duplicate_chunk_fraction
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        duplicate_chunk_fraction(d, "text", "doc_id", n=8)
+        .orderBy(F.desc("dup_fraction"), F.asc("id"))
+        .limit(10)
+    )
+
+
 def _q_fulltext_search(spark, sf_dir):
     """FulltextIndex.query parity: inverted-index build + tf-idf ranked
     AND-search, top-10 deterministic by (score desc, id)."""
@@ -1119,6 +1215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_subquery": _q_sparql_subquery,
         "sparql_path_star": _q_sparql_path_star,
         "sparql_nps": _q_sparql_nps,
+        "pii_redact": _q_pii_redact,
+        "chunk_dedup_stats": _q_chunk_dedup,
+        "dup_chunk_topk": _q_dup_chunk_topk,
         "fulltext_search": _q_fulltext_search,
         "fulltext_facets": _q_fulltext_facets,
         "atom_feeds": _q_atom_feeds,
@@ -1567,6 +1666,84 @@ def oracle_sql() -> dict[str, str]:
         "sparql_nps": _DOC_TRIPLES_SQL + """
             SELECT subj AS s, obj AS o FROM t
             WHERE pred NOT IN ('doc:source', 'doc:lang', 'doc:prev')
+        """,
+        "pii_redact": r"""
+            WITH aug AS (
+""" + _PII_AUG_SQL + r"""
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(t,
+                        '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')))
+                        AS BIGINT) AS n_emails,
+                   CAST(sum(len(regexp_extract_all(t,
+                        '\+\d{1,3}[-. ]\d{3}[-. ]\d{4}\b')))
+                        AS BIGINT) AS n_phones,
+                   CAST(sum(len(regexp_extract_all(t,
+                        '\b(?:\d{1,3}\.){3}\d{1,3}\b')))
+                        AS BIGINT) AS n_ipv4,
+                   CAST(sum(length(
+                        regexp_replace(regexp_replace(regexp_replace(t,
+                          '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                          '[PII]', 'g'),
+                          '\+\d{1,3}[-. ]\d{3}[-. ]\d{4}\b', '[PII]', 'g'),
+                          '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[PII]', 'g')))
+                        AS BIGINT) AS sum_redacted_len
+            FROM aug GROUP BY lang
+        """,
+        "chunk_dedup_stats": """
+            WITH base AS (
+                SELECT doc_id, lang, string_split(text, ' ') AS toks
+                FROM documents),
+            expl AS (
+                SELECT doc_id, lang, toks,
+                       unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)))
+                           AS pos
+                FROM base),
+            chunks AS (
+                SELECT doc_id, lang, pos,
+                       array_to_string(
+                           list_slice(toks, pos * 8 + 1, pos * 8 + 8), ' ')
+                           AS chunk
+                FROM expl),
+            ranked AS (
+                SELECT lang,
+                       row_number() OVER (PARTITION BY chunk
+                                          ORDER BY doc_id, pos) AS rn
+                FROM chunks)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept
+            FROM ranked GROUP BY lang
+        """,
+        "dup_chunk_topk": """
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents),
+            expl AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)))
+                           AS pos
+                FROM base),
+            chunks AS (
+                SELECT doc_id, pos,
+                       array_to_string(
+                           list_slice(toks, pos * 8 + 1, pos * 8 + 8), ' ')
+                           AS chunk
+                FROM expl),
+            counted AS (
+                SELECT doc_id,
+                       count(*) OVER (PARTITION BY chunk) AS cnt
+                FROM chunks),
+            per_doc AS (
+                SELECT doc_id AS id,
+                       CAST(count(*) AS BIGINT) AS n_chunks,
+                       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_dup_chunks
+                FROM counted GROUP BY doc_id)
+            SELECT id, n_chunks, n_dup_chunks,
+                   round(n_dup_chunks / CAST(n_chunks AS DOUBLE), 6)
+                       AS dup_fraction
+            FROM per_doc ORDER BY dup_fraction DESC, id LIMIT 10
         """,
         "sparql_optional": _DOC_TRIPLES_SQL + """
             SELECT a.subj AS d, a.obj AS nc, b.obj AS de

@@ -387,3 +387,84 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# -------------------------------------------------------- chunk-level dedup
+
+
+def token_chunks(col: F.Column, n: int = 64) -> F.Column:
+    """Consecutive n-token windows of a text column as array<string> — the
+    context-window chunking a training pipeline applies before example
+    packing, and the unit of chunk-level (boilerplate) dedup. Pure column
+    expressions (sequence + transform + slice); the last chunk may be
+    shorter than n."""
+    from ferenda_spark.functions.textstats import tokens
+
+    toks = tokens(col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(n))).cast("int")
+    return F.when(
+        F.size(toks) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * n + 1, n), " "),
+        )
+    )
+
+
+def chunk_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int = 64
+) -> DataFrame:
+    """One row per n-token window: (id, pos, chunk, fp). fp = xxhash64 of
+    the chunk — the 8-byte key every downstream shuffle/join uses."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(token_chunks(F.col(text_col), n)).alias("pos", "chunk"),
+    ).withColumn("fp", F.xxhash64(F.col("chunk")))
+
+
+def drop_duplicate_chunks(
+    df: DataFrame, text_col: str, id_col: str, n: int = 64
+) -> DataFrame:
+    """Global chunk-level dedup keeping the first occurrence — min (id, pos)
+    — of each distinct chunk: the boilerplate-removal pass (headers,
+    footers, nav blocks repeat across a crawl; doc-level dedup never sees
+    them). Returns kept (id, pos, chunk) rows.
+
+    Scale: ONE shuffle, partitioned by the 64-bit chunk fingerprint
+    (uniform → skew-free by construction). Chunk text rides the shuffle
+    (O(corpus bytes)) because the surviving copy must be re-emitted; the
+    window is a row_number over fp, so each reducer streams one group at a
+    time — no per-key buffering beyond the group."""
+    w = Window.partitionBy("fp").orderBy("id", "pos")
+    return (
+        chunk_rows(df, text_col, id_col, n)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+
+
+def duplicate_chunk_fraction(
+    df: DataFrame, text_col: str, id_col: str, n: int = 64
+) -> DataFrame:
+    """Per-doc boilerplate measure (the Gopher/C4-style repetition signal at
+    chunk granularity): fraction of a doc's n-token chunks whose
+    fingerprint occurs more than once in the corpus. Returns
+    (id, n_chunks, n_dup_chunks, dup_fraction) with dup_fraction rounded to
+    6 places (oracle float-parity convention)."""
+    w = Window.partitionBy("fp")
+    rows = chunk_rows(df, text_col, id_col, n).withColumn(
+        "_cnt", F.count(F.lit(1)).over(w)
+    )
+    return (
+        rows.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("_cnt") > 1).cast("bigint")).alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6),
+        )
+    )

@@ -1,3 +1,7 @@
+from ferenda_spark.streaming.dedup import (  # noqa: F401
+    dedup_stream,
+    run_dedup_stream,
+)
 from ferenda_spark.streaming.entries import (  # noqa: F401
     track_document_entries,
 )
