@@ -61,12 +61,16 @@ Supported subset — the shapes the reference's shipped ``.rq`` files use:
   the shared variables (the J6 skeleton negation shape)
 - ``MINUS { … }`` → left anti join on the shared variables; with no shared
   variables it is a no-op per SPARQL's domain-overlap rule
-- aggregates ``COUNT([DISTINCT] ?v | *)``, ``SUM/AVG/MIN/MAX/SAMPLE(?v)``,
-  ``GROUP_CONCAT(?v; SEPARATOR="…")`` with ``GROUP BY ?v …`` and
-  ``HAVING(expr)`` → ``groupBy().agg()`` (partial map-side aggregation for
-  free; GROUP_CONCAT output is sorted for determinism — documented
-  departure from SPARQL's unspecified order)
-- ``ORDER BY [ASC|DESC](?v) …``, ``LIMIT``, ``OFFSET``
+- aggregates ``COUNT([DISTINCT] expr | *)``,
+  ``SUM/AVG/MIN/MAX/SAMPLE(expr)``, ``GROUP_CONCAT(expr; SEPARATOR="…")``
+  over plain variables or full expressions (``SUM(strlen(?t))``), with
+  ``GROUP BY ?v …`` and ``HAVING(expr)`` → ``groupBy().agg()`` (partial
+  map-side aggregation for free; GROUP_CONCAT output is sorted for
+  determinism — documented departure from SPARQL's unspecified order)
+- ``ORDER BY [ASC|DESC](expr) …`` with bare ``?v`` / function /
+  parenthesized expression sort keys (restricted to projected variables),
+  ``LIMIT``, ``OFFSET``; a trailing ``VALUES`` clause joins the WHERE
+  solutions (refused under aggregation)
 
 Compilation strategy (scale notes):
 
@@ -178,13 +182,14 @@ class Group:
 
 @dataclass(frozen=True)
 class AggItem:
-    """One ``(AGG(?v) AS ?alias)`` projection in a SELECT clause."""
+    """One ``(AGG(expr) AS ?alias)`` projection in a SELECT clause."""
 
     fn: str  # count | sum | avg | min | max | sample | group_concat
-    var: str | None  # None = COUNT(*)
+    var: str | None  # the variable when expr is a plain ?v; None otherwise
     alias: str
     distinct: bool = False
     separator: str = " "  # GROUP_CONCAT only
+    expr: tuple | None = None  # general expression AST (None = COUNT(*))
 
 
 @dataclass
@@ -194,7 +199,7 @@ class Query:
     distinct: bool
     where: Group
     template: list[Pattern]  # construct template
-    order_by: list[tuple[str, bool]]  # (var, ascending)
+    order_by: list[tuple[tuple, bool]]  # (expression AST, ascending)
     limit: int | None
     offset: int | None
     aggregates: list[AggItem] = field(default_factory=list)
@@ -313,7 +318,7 @@ class _Parser:
 
         group_by: list[str] = []
         having: list[tuple] = []
-        order_by: list[tuple[str, bool]] = []
+        order_by: list[tuple[tuple, bool]] = []
         limit = offset = None
         while self.peek() is not None and self.peek() != "}":
             if self.at_kw("group"):
@@ -333,22 +338,35 @@ class _Parser:
                 self.expect("by")
                 while True:
                     t = self.peek()
-                    if t is None:
+                    if t is None or t == "}":
                         break
                     asc = True
                     if t.lower() in ("asc", "desc"):
                         asc = t.lower() == "asc"
                         self.next()
                         self.expect("(")
-                        v = self.next()
+                        e = self.parse_or()
                         self.expect(")")
-                    elif t.startswith("?"):
-                        v = self.next()
+                    elif t.startswith("?") and len(t) > 1:
+                        e = ("term", Term("var", self.next()[1:]))
+                    elif t == "(":
+                        self.next()
+                        e = self.parse_or()
+                        self.expect(")")
+                    elif t.lower() in self._FILTER_FNS:
+                        e = self.parse_primary()
                     else:
                         break
-                    if not v.startswith("?"):
-                        raise SparqlUnsupportedError("ORDER BY supports plain ?vars only")
-                    order_by.append((v[1:], asc))
+                    order_by.append((e, asc))
+            elif self.at_kw("values"):
+                # trailing VALUES (SPARQL 'ValuesClause'): joins the WHERE
+                # solutions — same compilation as an in-group VALUES block
+                self.next()
+                if aggregates or group_by:
+                    raise SparqlUnsupportedError(
+                        "trailing VALUES with aggregation"
+                    )
+                where.values.append(self.parse_values())
             elif self.at_kw("limit"):
                 self.next()
                 limit = int(self.next())
@@ -386,14 +404,15 @@ class _Parser:
             self.next()
             distinct = True
         var: str | None = None
-        t = self.next()
-        if t == "*":
+        expr: tuple | None = None
+        if self.peek() == "*":
+            self.next()
             if fn != "count":
                 raise SparqlSyntaxError(f"{fn.upper()}(*) is not SPARQL")
-        elif t.startswith("?"):
-            var = t[1:]
         else:
-            raise SparqlUnsupportedError("aggregate over non-variable expression")
+            expr = self.parse_or()
+            if expr[0] == "term" and expr[1].kind == "var":
+                var = expr[1].value
         separator = " "
         if self.peek() == ";":
             self.next()
@@ -410,7 +429,7 @@ class _Parser:
         if not alias.startswith("?"):
             raise SparqlSyntaxError("aggregate needs AS ?alias")
         self.expect(")")
-        return AggItem(fn, var, alias[1:], distinct, separator)
+        return AggItem(fn, var, alias[1:], distinct, separator, expr)
 
     # -- group / patterns
     def parse_group(self) -> Group:
@@ -1414,14 +1433,30 @@ def _const_num(ast) -> str:
     raise SparqlUnsupportedError("expected numeric literal")
 
 
-def _agg_column(a: AggItem) -> F.Column:
-    """AggItem → Spark aggregate expression. SUM/AVG follow SPARQL numeric
-    semantics (operands treated as numbers); MIN/MAX compare lexically over
-    the string column (matches rdflib's behavior for plain literals);
-    GROUP_CONCAT sorts elements for determinism (SPARQL leaves the order
-    unspecified — a distributed engine must pin it or break idempotent
-    re-runs)."""
-    col = F.col(a.var) if a.var is not None else None
+def _expr_vars(ast) -> set[str]:
+    """All variables referenced by an expression AST."""
+    if not isinstance(ast, tuple):
+        return set()
+    if ast[0] == "term":
+        return {ast[1].value} if ast[1].kind == "var" else set()
+    if ast[0] == "in":  # ('in', negated, expr, [terms])
+        return _expr_vars(ast[2])
+    out: set[str] = set()
+    for part in ast[1:]:
+        if isinstance(part, tuple):
+            out |= _expr_vars(part)
+    return out
+
+
+def _agg_column(a: AggItem, bound: set[str]) -> F.Column:
+    """AggItem → Spark aggregate expression over a variable or a general
+    expression (``SUM(?a * ?b)``). SUM/AVG follow SPARQL numeric semantics
+    (operands treated as numbers); MIN/MAX compare the expression's native
+    column — lexically for plain variables (matches rdflib's behavior for
+    plain literals), numerically for arithmetic; GROUP_CONCAT sorts
+    elements for determinism (SPARQL leaves the order unspecified — a
+    distributed engine must pin it or break idempotent re-runs)."""
+    col = _value(a.expr, bound)[0] if a.expr is not None else None
     if a.fn == "count":
         if col is None:
             c = F.count(F.lit(1))
@@ -1465,13 +1500,16 @@ def _solutions(
     double/string), which only shows if the outer query joins on one."""
     df, bound, nullable = _join_group(triples, pos_triples, q.where)
     if q.aggregates or q.group_by:
-        needed = set(q.group_by) | {a.var for a in q.aggregates if a.var}
+        needed = set(q.group_by)
+        for a in q.aggregates:
+            if a.expr is not None:
+                needed |= _expr_vars(a.expr)
         missing = sorted(needed - bound)
         if missing:
             raise SparqlUnsupportedError(f"vars not bound in WHERE: {missing}")
         if q.aggregates:
             out = df.groupBy(*q.group_by, *_flags(q.group_by)).agg(
-                *[_agg_column(a) for a in q.aggregates]
+                *[_agg_column(a, bound) for a in q.aggregates]
             )
         else:
             # GROUP BY with no aggregate in SELECT: one row per group
@@ -1491,7 +1529,9 @@ def _solutions(
         out_null = (nullable & set(q.group_by)) | {
             a.alias
             for a in q.aggregates
-            if a.var is not None and a.var in nullable and a.fn != "count"
+            if a.expr is not None
+            and (_expr_vars(a.expr) & nullable)
+            and a.fn != "count"
         }
         out_null &= set(out_vars)
     else:
@@ -1504,14 +1544,27 @@ def _solutions(
             out = out.distinct()
         out_null = nullable & set(out_vars)
     if q.order_by:
-        out = out.orderBy(
-            *[F.asc(v) if asc else F.desc(v) for v, asc in q.order_by]
-        )
+        out = out.orderBy(*_order_cols(q.order_by, set(out_vars)))
     if q.offset is not None:
         out = out.offset(q.offset)
     if q.limit is not None:
         out = out.limit(q.limit)
     return out, out_vars, out_null
+
+
+def _order_cols(order_by, bound: set[str]) -> list[F.Column]:
+    """ORDER BY items → sort columns. Expressions may reference projected
+    variables only (ordering happens on the projected solution frame)."""
+    cols = []
+    for e, asc in order_by:
+        missing = sorted(_expr_vars(e) - bound)
+        if missing:
+            raise SparqlUnsupportedError(
+                f"ORDER BY references unprojected vars: {missing}"
+            )
+        c, _ = _value(e, bound)
+        cols.append(c.asc() if asc else c.desc())
+    return cols
 
 
 def sparql_select(
@@ -1624,9 +1677,7 @@ def sparql_describe(
             )
         # solution modifiers scope the set of described resources
         if q.order_by:
-            df = df.orderBy(
-                *[F.asc(v) if asc else F.desc(v) for v, asc in q.order_by]
-            )
+            df = df.orderBy(*_order_cols(q.order_by, bound))
         if q.offset is not None:
             df = df.offset(q.offset)
         if q.limit is not None:

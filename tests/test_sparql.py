@@ -684,3 +684,47 @@ def test_graph_clause(spark):
         parse_sparql(
             "SELECT ?t WHERE { GRAPH ?g { OPTIONAL { ?d <p:t> ?t } } }"
         )
+
+
+def test_aggregate_expressions_and_order_expr(spark, graph):
+    got = sparql_select(
+        graph,
+        PREFIX + "SELECT ?d (SUM(strlen(?t)) AS ?chars) "
+        "(MAX(strlen(?t) * 2) AS ?mx) "
+        "WHERE { ?d dcterms:title ?t } GROUP BY ?d "
+        "ORDER BY DESC(?chars) LIMIT 1",
+    ).collect()
+    assert [(r.d, r.chars, r.mx) for r in got] == [("http://ex.org/d2", 21.0, 26.0)]
+    # bare function expression as a sort key
+    got2 = sparql_select(
+        graph,
+        PREFIX + "SELECT ?t WHERE { ?d dcterms:title ?t } "
+        "ORDER BY strlen(?t) LIMIT 1",
+    ).collect()
+    assert [r.t for r in got2] == ["Beta doc"]
+    # parenthesized arithmetic sort key
+    got3 = sparql_select(
+        graph,
+        PREFIX + "SELECT ?t WHERE { ?d dcterms:title ?t } "
+        "ORDER BY (strlen(?t) * -1) LIMIT 1",
+    ).collect()
+    assert [r.t for r in got3] == ["Beta-Dokument"]
+    with pytest.raises(SparqlUnsupportedError):
+        sparql_select(
+            graph,
+            PREFIX + "SELECT ?d WHERE { ?d dcterms:title ?t } ORDER BY strlen(?t)",
+        )
+
+
+def test_trailing_values(spark, graph):
+    got = sparql_select(
+        graph,
+        PREFIX + "SELECT ?d ?t WHERE { ?d dcterms:title ?t } "
+        'VALUES ?t { "Alpha doc" }',
+    ).collect()
+    assert [(r.d, r.t) for r in got] == [("http://ex.org/d1", "Alpha doc")]
+    with pytest.raises(SparqlUnsupportedError):
+        parse_sparql(
+            PREFIX + "SELECT (COUNT(*) AS ?n) WHERE { ?d dcterms:title ?t } "
+            'VALUES ?t { "x" }'
+        )
