@@ -844,6 +844,21 @@ def _q_sparql_nps(spark, sf_dir):
     )
 
 
+def _q_sparql_construct(spark, sf_dir):
+    """TripleStore.construct parity: template instantiation with graph
+    (set) semantics — forward + inverse neighbor edges from the prev
+    chain, deduplicated."""
+    from ferenda_spark.operators.sparql import sparql_construct
+
+    return sparql_construct(
+        _doc_triples_view(spark, sf_dir),
+        """
+        CONSTRUCT { ?d <doc:neighbor> ?p . ?p <doc:neighborOf> ?d }
+        WHERE { ?d <doc:prev> ?p }
+        """,
+    )
+
+
 def _pii_augmented_text():
     """documents.text with synthetic PII appended (the corpus itself is
     clean word-soup) — both the Spark query and the DuckDB oracle build the
@@ -1215,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_subquery": _q_sparql_subquery,
         "sparql_path_star": _q_sparql_path_star,
         "sparql_nps": _q_sparql_nps,
+        "sparql_construct_graph": _q_sparql_construct,
         "pii_redact": _q_pii_redact,
         "chunk_dedup_stats": _q_chunk_dedup,
         "dup_chunk_topk": _q_dup_chunk_topk,
@@ -1666,6 +1682,17 @@ def oracle_sql() -> dict[str, str]:
         "sparql_nps": _DOC_TRIPLES_SQL + """
             SELECT subj AS s, obj AS o FROM t
             WHERE pred NOT IN ('doc:source', 'doc:lang', 'doc:prev')
+        """,
+        "sparql_construct_graph": _DOC_TRIPLES_SQL + """,
+            edges AS (SELECT subj AS d, obj AS p FROM t
+                      WHERE pred = 'doc:prev')
+            SELECT d AS subj, 'doc:neighbor' AS pred, p AS obj,
+                   TRUE AS obj_is_uri
+            FROM edges
+            UNION
+            SELECT p AS subj, 'doc:neighborOf' AS pred, d AS obj,
+                   TRUE AS obj_is_uri
+            FROM edges
         """,
         "pii_redact": r"""
             WITH aug AS (
