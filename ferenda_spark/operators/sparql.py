@@ -12,7 +12,10 @@ text compiles to a DataFrame plan over the ``triples`` tables, so Catalyst
 
 Supported subset — the shapes the reference's shipped ``.rq`` files use:
 
-- ``PREFIX`` declarations; ``SELECT [DISTINCT] ?v … | * | (AGG(?v) AS ?a)``;
+- ``PREFIX`` declarations; ``SELECT [DISTINCT] ?v … | * | (AGG(?v) AS ?a)
+  | (expr AS ?a)`` (non-aggregate projection expressions follow the BIND
+  model: plain literal, lexical/string-typed; under aggregation they may
+  reference group keys and aggregate aliases);
   ``CONSTRUCT { template }``; ``ASK`` (→ one boolean row, LIMIT-1 probe);
   ``DESCRIBE ?v…/<iri>…`` (→ subject-rows of the described resources —
   simplification vs the spec's implementation-defined CBD: no blank-node
@@ -207,6 +210,9 @@ class Query:
     having: list[tuple] = field(default_factory=list)
     select_order: list[str] = field(default_factory=list)  # projection order
     describe_targets: list[Term] = field(default_factory=list)
+    select_exprs: list[tuple[str, tuple]] = field(
+        default_factory=list
+    )  # non-aggregate (alias, expression AST) projections
 
 
 class _Parser:
@@ -257,6 +263,8 @@ class _Parser:
         aggregates: list[AggItem] = []
         select_order: list[str] = []
         describe_targets: list[Term] = []
+        select_exprs: list[tuple[str, tuple]] = []
+        _AGG_FNS = ("count", "sum", "avg", "min", "max", "sample", "group_concat")
         if form == "select":
             distinct = False
             if self.at_kw("distinct"):
@@ -272,10 +280,24 @@ class _Parser:
                         v = self.next()[1:]
                         sel.append(v)
                         select_order.append(v)
-                    elif t == "(":
+                    elif t == "(" and (
+                        self.i + 1 < len(self.toks)
+                        and self.toks[self.i + 1].lower() in _AGG_FNS
+                    ):
                         agg = self.parse_agg_item()
                         aggregates.append(agg)
                         select_order.append(agg.alias)
+                    elif t == "(":
+                        # non-aggregate projection: (expr AS ?alias)
+                        self.next()
+                        e = self.parse_or()
+                        self.expect("as")
+                        v = self.next()
+                        if not v.startswith("?"):
+                            raise SparqlSyntaxError("expression needs AS ?alias")
+                        self.expect(")")
+                        select_exprs.append((v[1:], e))
+                        select_order.append(v[1:])
                     else:
                         break
                 if not select_order:
@@ -378,6 +400,8 @@ class _Parser:
 
         if form == "construct" and (aggregates or group_by or having):
             raise SparqlUnsupportedError("aggregates in CONSTRUCT not supported")
+        if len(set(select_order)) != len(select_order):
+            raise SparqlSyntaxError("duplicate name in SELECT projection")
         if aggregates or group_by:
             # SPARQL projection rule: non-aggregate SELECT vars must be
             # grouped; bare aggregates without GROUP BY = global aggregation
@@ -391,6 +415,7 @@ class _Parser:
         return Query(
             form, sel, distinct, where, template, order_by, limit, offset,
             aggregates, group_by, having, select_order, describe_targets,
+            select_exprs,
         )
 
     def parse_agg_item(self) -> AggItem:
@@ -1521,6 +1546,7 @@ def _solutions(
         bound_after = set(q.group_by) | {a.alias for a in q.aggregates}
         for h in q.having:
             out = out.filter(_compile_filter(h, bound_after))
+        out = _apply_select_exprs(out, q.select_exprs, bound_after)
         out = out.select(*q.select_order, *_flags(q.select_order))
         if q.distinct:
             # projection can be narrower than the grouping keys
@@ -1533,16 +1559,19 @@ def _solutions(
             and (_expr_vars(a.expr) & nullable)
             and a.fn != "count"
         }
+        out_null |= {alias for alias, _e in q.select_exprs}
         out_null &= set(out_vars)
     else:
-        out_vars = q.select_vars or sorted(bound)
-        missing = [v for v in out_vars if v not in bound]
+        df = _apply_select_exprs(df, q.select_exprs, bound)
+        out_vars = q.select_order or q.select_vars or sorted(bound)
+        aliases = {alias for alias, _e in q.select_exprs}
+        missing = [v for v in out_vars if v not in bound and v not in aliases]
         if missing:
             raise SparqlUnsupportedError(f"SELECT vars not bound in WHERE: {missing}")
         out = df.select(*out_vars, *_flags(out_vars))
         if q.distinct:
             out = out.distinct()
-        out_null = nullable & set(out_vars)
+        out_null = (nullable | aliases) & set(out_vars)
     if q.order_by:
         out = out.orderBy(*_order_cols(q.order_by, set(out_vars)))
     if q.offset is not None:
@@ -1550,6 +1579,27 @@ def _solutions(
     if q.limit is not None:
         out = out.limit(q.limit)
     return out, out_vars, out_null
+
+
+def _apply_select_exprs(
+    df: DataFrame, select_exprs: list[tuple[str, tuple]], bound: set[str]
+) -> DataFrame:
+    """Non-aggregate ``(expr AS ?alias)`` projections → withColumn, same
+    lexical/plain-literal model as BIND (value cast to string, flags
+    false/null). Under aggregation ``bound`` is the post-agg name set
+    (group keys + aggregate aliases)."""
+    for alias, e in select_exprs:
+        missing = sorted(_expr_vars(e) - bound)
+        if missing:
+            raise SparqlUnsupportedError(
+                f"SELECT expression references unbound vars: {missing}"
+            )
+        df = (
+            df.withColumn(alias, _value(e, bound)[0].cast("string"))
+            .withColumn(f"{alias}__uri", F.lit(False))
+            .withColumn(f"{alias}__lang", F.lit(None).cast("string"))
+        )
+    return df
 
 
 def _order_cols(order_by, bound: set[str]) -> list[F.Column]:

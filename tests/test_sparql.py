@@ -728,3 +728,32 @@ def test_trailing_values(spark, graph):
             PREFIX + "SELECT (COUNT(*) AS ?n) WHERE { ?d dcterms:title ?t } "
             'VALUES ?t { "x" }'
         )
+
+
+def test_select_expressions(spark, graph):
+    got = sparql_select(
+        graph,
+        PREFIX + "SELECT ?d (ucase(?t) AS ?u) (strlen(?t) + 1 AS ?n) "
+        'WHERE { ?d dcterms:title ?t . FILTER(lang(?t) = "de") }',
+    ).collect()
+    assert [(r.d, r.u, r.n) for r in got] == [
+        ("http://ex.org/d2", "BETA-DOKUMENT", "14.0")
+    ]
+    # post-aggregation expression over group keys / aggregate aliases
+    got2 = sparql_select(
+        graph,
+        PREFIX + 'SELECT ?d (COUNT(?t) AS ?n) (concat(?d, "#x") AS ?k) '
+        "WHERE { ?d dcterms:title ?t } GROUP BY ?d HAVING(?n >= 2)",
+    ).collect()
+    assert [(r.d, r.n, r.k) for r in got2] == [
+        ("http://ex.org/d2", 2, "http://ex.org/d2#x")
+    ]
+    # expression over an ungrouped variable is refused
+    with pytest.raises(SparqlUnsupportedError):
+        sparql_select(
+            graph,
+            PREFIX + "SELECT (ucase(?t) AS ?u) (COUNT(*) AS ?n) "
+            "WHERE { ?d dcterms:title ?t } GROUP BY ?d",
+        )
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("SELECT ?d (str(?d) AS ?d) WHERE { ?d <p:x> ?o }")
