@@ -1,0 +1,113 @@
+"""Incremental rollup maintenance (operators/incremental.py): the
+incrementally-updated toc/feeds tables must be row-identical to a full
+recompute over the post-change corpus — inserts, updates that move docs
+between buckets, and deletes all exercised."""
+
+from __future__ import annotations
+
+from ferenda_spark.operators.incremental import (
+    affected_buckets,
+    incremental_feeds,
+    incremental_toc,
+    invalidated_docs,
+)
+from ferenda_spark.operators.rollups import feeds_topk, toc_rollup
+
+SCHEMA = "uri string, title string, issued string, lang string"
+
+BASE = [
+    (f"u{i}", f"T{i % 7}{i}", f"20{10 + i % 5}-01-01", ["en", "de", "fr"][i % 3])
+    for i in range(30)
+]
+# updates that move docs across letter/year/lang buckets, one delete (u11),
+# two inserts
+CHANGED_OLD = [BASE[2], BASE[5], BASE[8], BASE[11]]
+NEW_ROWS = [
+    ("u2", "X2", "2011-01-01", "zh"),
+    ("u5", "Y5", "2012-01-01", "en"),
+    ("u8", "T88", "2013-01-01", "de"),
+    ("u100", "New100", "2015-01-01", "es"),
+    ("u101", "Zz", "2014-01-01", "en"),
+]
+FULL_NEW = [
+    r for r in BASE if r[0] not in ("u2", "u5", "u8", "u11")
+] + NEW_ROWS
+
+
+def _dm(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_affected_buckets_cover_old_and_new_values(spark):
+    b = {
+        (r.facet, r.value)
+        for r in affected_buckets(
+            _dm(spark, CHANGED_OLD), _dm(spark, NEW_ROWS)
+        ).collect()
+    }
+    assert ("letter", "X") in b and ("letter", "T") in b  # new + old letters
+    assert ("lang", "zh") in b and ("lang", "fr") in b
+    assert ("year", "2015") in b
+
+
+def test_incremental_toc_matches_full_recompute(spark):
+    got = incremental_toc(
+        _dm(spark, FULL_NEW),
+        _dm(spark, CHANGED_OLD),
+        _dm(spark, NEW_ROWS),
+        toc_rollup(_dm(spark, BASE)),
+    )
+    want = toc_rollup(_dm(spark, FULL_NEW))
+    g = {
+        (r.facet, r.value): (r.n_docs, [tuple(d) for d in r.page_docs])
+        for r in got.collect()
+    }
+    w = {
+        (r.facet, r.value): (r.n_docs, [tuple(d) for d in r.page_docs])
+        for r in want.collect()
+    }
+    assert g == w
+
+
+def test_incremental_toc_pure_insert_and_pure_delete(spark):
+    # pure insert (no old rows)
+    ins = [("u200", "Q200", "2016-01-01", "it")]
+    got = incremental_toc(
+        _dm(spark, BASE + ins), _dm(spark, []), _dm(spark, ins),
+        toc_rollup(_dm(spark, BASE)),
+    )
+    want = toc_rollup(_dm(spark, BASE + ins))
+    assert sorted((r.facet, r.value, r.n_docs) for r in got.collect()) == \
+        sorted((r.facet, r.value, r.n_docs) for r in want.collect())
+    # pure delete (no new rows) — bucket that empties must disappear
+    rest = BASE[1:]
+    got2 = incremental_toc(
+        _dm(spark, rest), _dm(spark, [BASE[0]]), _dm(spark, []),
+        toc_rollup(_dm(spark, BASE)),
+    )
+    want2 = toc_rollup(_dm(spark, rest))
+    assert sorted((r.facet, r.value, r.n_docs) for r in got2.collect()) == \
+        sorted((r.facet, r.value, r.n_docs) for r in want2.collect())
+
+
+def test_incremental_feeds_matches_full_recompute(spark):
+    got = incremental_feeds(
+        _dm(spark, FULL_NEW),
+        _dm(spark, CHANGED_OLD),
+        _dm(spark, NEW_ROWS),
+        feeds_topk(_dm(spark, BASE), page_size=5),
+        page_size=5,
+    )
+    want = feeds_topk(_dm(spark, FULL_NEW), page_size=5)
+    key = lambda r: (r.feed, r.rn, r.page, r.uri, r.title, r.issued)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_invalidated_docs(spark):
+    deps = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "y"), ("c", "z")],
+        "src_doc string, dep_uri string",
+    )
+    changed = spark.createDataFrame([("y",)], "uri string")
+    got = sorted(r.uri for r in invalidated_docs(deps, changed).collect())
+    assert got == ["a", "b"]
