@@ -955,6 +955,32 @@ def _q_dup_chunk_topk(spark, sf_dir):
     )
 
 
+def _q_url_normalize(spark, sf_dir):
+    """Crawl URL canonicalization: messy synthetic URLs (mixed case,
+    default port, fragment) normalized then rolled up per domain. The
+    oracle derives the expected normalized form independently (string
+    construction, not the same regex) — a real cross-check."""
+    from ferenda_spark.functions.uris import domain_col, normalize_url
+
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTP://WWW.Site"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".Example.COM:80/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("#s"),
+    )
+    norm = normalize_url(messy)
+    return (
+        d.select(norm.alias("u"), domain_col(norm).alias("dom"))
+        .groupBy("dom")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(F.length("u")).alias("sum_len"),
+        )
+    )
+
+
 def _q_fulltext_search(spark, sf_dir):
     """FulltextIndex.query parity: inverted-index build + tf-idf ranked
     AND-search, top-10 deterministic by (score desc, id)."""
@@ -1234,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "chunk_dedup_stats": _q_chunk_dedup,
         "dup_chunk_topk": _q_dup_chunk_topk,
+        "url_normalize_stats": _q_url_normalize,
         "fulltext_search": _q_fulltext_search,
         "fulltext_facets": _q_fulltext_facets,
         "atom_feeds": _q_atom_feeds,
@@ -1693,6 +1720,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT p AS subj, 'doc:neighborOf' AS pred, d AS obj,
                    TRUE AS obj_is_uri
             FROM edges
+        """,
+        "url_normalize_stats": """
+            WITH n AS (
+                SELECT 'http://www.site' || CAST(doc_id % 5 AS VARCHAR) ||
+                       '.example.com/p/' || CAST(doc_id AS VARCHAR) AS u,
+                       'www.site' || CAST(doc_id % 5 AS VARCHAR) ||
+                       '.example.com' AS dom
+                FROM documents)
+            SELECT dom, CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(sum(length(u)) AS BIGINT) AS sum_len
+            FROM n GROUP BY dom
         """,
         "pii_redact": r"""
             WITH aug AS (

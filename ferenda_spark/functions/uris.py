@@ -87,3 +87,50 @@ def part_key_col(url: Column, n_parts: int) -> Column:
     (dedup, rollups) avoid a shuffle; xxhash64+pmod spreads domains evenly.
     """
     return F.pmod(F.xxhash64(domain_col(url)), F.lit(n_parts)).cast("int")
+
+
+# ------------------------------------------------------- URL normalization
+
+_URL_SPLIT_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^#]*)"
+
+
+def normalize_url(url: Column) -> Column:
+    """Crawl-grade URL canonicalization (the key for URL-level dedup and
+    per-domain grouping): lowercase scheme and host, strip the scheme's
+    default port (:80 http / :443 https), drop the fragment, drop a bare
+    trailing '?'. Path and query are otherwise preserved byte-for-byte —
+    their case and parameter order are semantically significant. A string
+    with no scheme://authority passes through unchanged.
+
+    Pure column expressions (regexp over three capture groups) — the
+    python twin below MUST agree (tests/test_uris.py cross-checks)."""
+    scheme = F.lower(F.regexp_extract(url, _URL_SPLIT_RE, 1))
+    host = F.lower(F.regexp_extract(url, _URL_SPLIT_RE, 2))
+    rest = F.regexp_replace(
+        F.regexp_extract(url, _URL_SPLIT_RE, 3), r"\?$", ""
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    return F.when(scheme == "", url).otherwise(
+        F.concat(scheme, F.lit("://"), host, rest)
+    )
+
+
+def normalize_url_py(url: str) -> str:
+    """Python twin of ``normalize_url`` for UDF-side use."""
+    m = re.match(_URL_SPLIT_RE, url)
+    if not m:
+        return url
+    scheme = m.group(1).lower()
+    host = m.group(2).lower()
+    rest = m.group(3)
+    if rest.endswith("?"):
+        rest = rest[:-1]
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    elif scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    return f"{scheme}://{host}{rest}"

@@ -87,3 +87,26 @@ def test_duplicate_chunk_fraction(spark):
     assert got[1] == (2, 1, 0.5)
     assert got[2] == (2, 2, 1.0)
     assert got[3] == (1, 0, 0.0)
+
+
+def test_normalize_url_column_and_python_twin_agree(spark):
+    from ferenda_spark.functions.uris import normalize_url, normalize_url_py
+
+    cases = [
+        "HTTP://Sub.Example.COM:80/Path/Q?a=1&B=2#frag",
+        "https://a.example:443/x?",
+        "https://a.example:8443/x",
+        "http://a.example:8080/y#z",
+        "ftp://Mixed.Case/z",
+        "no-scheme/relative?x#y",
+        "https://b.example/UPPER/case?Q=Mixed",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "u string")
+    got = [r.n for r in df.select(normalize_url(F.col("u")).alias("n")).collect()]
+    assert got == [normalize_url_py(c) for c in cases]
+    assert got[0] == "http://sub.example.com/Path/Q?a=1&B=2"
+    assert got[1] == "https://a.example/x"
+    assert got[2] == "https://a.example:8443/x"
+    assert got[3] == "http://a.example:8080/y"
+    assert got[4] == "ftp://mixed.case/z"
+    assert got[5] == "no-scheme/relative?x#y"

@@ -1,0 +1,106 @@
+"""WARC source (sources/warc.py): response records → corpus rows, HTTP
+envelope stripped, per-record-gzip archives handled, malformed tails
+surfaced as warc_error rows, and WARC→extract integration byte-identical."""
+
+from __future__ import annotations
+
+import gzip
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from ferenda_spark.sources.warc import read_warc
+
+
+def _rec(rtype, uri=None, date=None, payload=b"", http=True):
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
+        if http
+        else payload
+    )
+    hdrs = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + (f"WARC-Date: {date}\r\n" if date else "")
+        + f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return hdrs + body + b"\r\n\r\n"
+
+
+def _archive():
+    return (
+        _rec("warcinfo", payload=b"software: test\r\n", http=False)
+        + _rec("request", uri="https://a.example/1", payload=b"GET / HTTP/1.1", http=False)
+        + _rec(
+            "response", uri="https://a.example/1",
+            date="2026-03-04T05:06:07Z", payload=b"<html><p>one</p></html>",
+        )
+        + _rec(
+            "response", uri="https://b.example/2",
+            date="2026-03-04T06:00:00Z", payload=b"<html><p>two</p></html>",
+        )
+    )
+
+
+def test_plain_and_gzip_archives(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(_archive())
+    # Common-Crawl style: one gzip member per record, concatenated
+    gz = b"".join(
+        gzip.compress(r)
+        for r in (
+            _rec("response", uri="https://c.example/3",
+                 date="2026-03-04T07:00:00Z", payload=b"<html>three</html>"),
+        )
+    )
+    (tmp_path / "b.warc.gz").write_bytes(gz)
+    got = read_warc(spark, str(tmp_path)).collect()
+    rows = {r.url: r for r in got}
+    assert all(r.warc_error is None for r in got)
+    assert set(rows) == {
+        "https://a.example/1", "https://b.example/2", "https://c.example/3",
+    }
+    # HTTP envelope stripped; payload byte-exact
+    assert bytes(rows["https://a.example/1"].html) == b"<html><p>one</p></html>"
+    assert rows["https://a.example/1"].warc_ts == datetime(2026, 3, 4, 5, 6, 7)
+    assert bytes(rows["https://c.example/3"].html) == b"<html>three</html>"
+
+
+def test_truncated_archive_yields_error_row(spark, tmp_path):
+    good = _rec(
+        "response", uri="https://a.example/1",
+        date="2026-03-04T05:06:07Z", payload=b"<html>ok</html>",
+    )
+    bad = good + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort"
+    (tmp_path / "t.warc").write_bytes(bad)
+    got = read_warc(spark, str(tmp_path)).collect()
+    oks = [r for r in got if r.warc_error is None]
+    errs = [r for r in got if r.warc_error is not None]
+    assert len(oks) == 1 and oks[0].url == "https://a.example/1"
+    assert len(errs) == 1 and "truncated" in errs[0].warc_error
+
+
+def test_warc_to_extract_integration(spark, tmp_path):
+    """Corpus html wrapped in a WARC, read back, and parsed must match the
+    direct pipeline byte-for-byte (url, text_sha256)."""
+    from ferenda_spark.operators.parse import parse_stage, split_parsed
+    from ferenda_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(spark, 6).collect()
+    arch = b"".join(
+        _rec("response", uri=r.url,
+             date=r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+             payload=bytes(r.html))
+        for r in corpus
+    )
+    (tmp_path / "c.warc").write_bytes(arch)
+    warc_corpus = (
+        read_warc(spark, str(tmp_path))
+        .filter(F.col("warc_error").isNull())
+        .drop("warc_error")
+    )
+    got, _ = split_parsed(parse_stage(warc_corpus, n_parts=4))
+    want, _ = split_parsed(parse_stage(generate_corpus(spark, 6), n_parts=4))
+    g = {(r.url, r.text_sha256) for r in got.select("url", "text_sha256").collect()}
+    w = {(r.url, r.text_sha256) for r in want.select("url", "text_sha256").collect()}
+    assert g == w and len(g) == 6
