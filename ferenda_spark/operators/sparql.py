@@ -67,7 +67,9 @@ Supported subset — the shapes the reference's shipped ``.rq`` files use:
 - aggregates ``COUNT([DISTINCT] expr | *)``,
   ``SUM/AVG/MIN/MAX/SAMPLE(expr)``, ``GROUP_CONCAT(expr; SEPARATOR="…")``
   over plain variables or full expressions (``SUM(strlen(?t))``), with
-  ``GROUP BY ?v …`` and ``HAVING(expr)`` → ``groupBy().agg()`` (partial
+  ``GROUP BY ?v …`` and ``HAVING(expr)`` — incl. inline aggregate calls
+  (``HAVING(SUM(?x) > 3)``), computed as hidden columns of the same
+  groupBy and dropped by the projection → ``groupBy().agg()`` (partial
   map-side aggregation for free; GROUP_CONCAT output is sorted for
   determinism — documented departure from SPARQL's unspecified order)
 - ``ORDER BY [ASC|DESC](expr) …`` with bare ``?v`` / function /
@@ -220,6 +222,7 @@ class _Parser:
         self.toks = tokens
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self.in_having = False  # aggregate calls are legal in HAVING only
 
     # -- token plumbing
     def peek(self) -> str | None:
@@ -353,7 +356,11 @@ class _Parser:
             elif self.at_kw("having"):
                 self.next()
                 self.expect("(")
-                having.append(self.parse_or())
+                self.in_having = True
+                try:
+                    having.append(self.parse_or())
+                finally:
+                    self.in_having = False
                 self.expect(")")
             elif self.at_kw("order"):
                 self.next()
@@ -791,6 +798,10 @@ class _Parser:
         "abs", "round", "floor", "ceil",
     )
 
+    _AGG_FN_NAMES = (
+        "count", "sum", "avg", "min", "max", "sample", "group_concat",
+    )
+
     def parse_primary(self):
         t = self.peek()
         if t == "(":
@@ -798,6 +809,29 @@ class _Parser:
             e = self.parse_or()
             self.expect(")")
             return e
+        if (
+            t is not None
+            and self.in_having
+            and t.lower() in self._AGG_FN_NAMES
+            and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1] == "("
+        ):
+            # inline aggregate in HAVING: AGG([DISTINCT] expr | *)
+            fn = self.next().lower()
+            self.expect("(")
+            distinct = False
+            if self.at_kw("distinct"):
+                self.next()
+                distinct = True
+            if self.peek() == "*":
+                self.next()
+                if fn != "count":
+                    raise SparqlSyntaxError(f"{fn.upper()}(*) is not SPARQL")
+                e = None
+            else:
+                e = self.parse_or()
+            self.expect(")")
+            return ("hagg", fn, distinct, e)
         if t is not None and t.lower() in self._FILTER_FNS:
             fn = self.next().lower()
             self.expect("(")
@@ -1525,16 +1559,45 @@ def _solutions(
     double/string), which only shows if the outer query joins on one."""
     df, bound, nullable = _join_group(triples, pos_triples, q.where)
     if q.aggregates or q.group_by:
+        # aggregates used inline in HAVING (no AS alias) become hidden
+        # aggregate columns computed in the same groupBy, filtered on, then
+        # dropped by the projection
+        hidden: dict[tuple, AggItem] = {}
+
+        def _lift_haggs(ast):
+            if not isinstance(ast, tuple):
+                return ast
+            if ast[0] == "hagg":
+                _, fn, distinct, e = ast
+                item = hidden.get(ast)
+                if item is None:
+                    var = (
+                        e[1].value
+                        if e is not None and e[0] == "term" and e[1].kind == "var"
+                        else None
+                    )
+                    item = AggItem(
+                        fn, var, f"__having_{len(hidden)}", distinct, " ", e
+                    )
+                    hidden[ast] = item
+                return ("term", Term("var", item.alias))
+            return tuple(
+                _lift_haggs(p) if isinstance(p, tuple) else p for p in ast
+            )
+
+        having = [_lift_haggs(h) for h in q.having]
+        agg_items = list(q.aggregates) + list(hidden.values())
+
         needed = set(q.group_by)
-        for a in q.aggregates:
+        for a in agg_items:
             if a.expr is not None:
                 needed |= _expr_vars(a.expr)
         missing = sorted(needed - bound)
         if missing:
             raise SparqlUnsupportedError(f"vars not bound in WHERE: {missing}")
-        if q.aggregates:
+        if agg_items:
             out = df.groupBy(*q.group_by, *_flags(q.group_by)).agg(
-                *[_agg_column(a, bound) for a in q.aggregates]
+                *[_agg_column(a, bound) for a in agg_items]
             )
         else:
             # GROUP BY with no aggregate in SELECT: one row per group
@@ -1543,8 +1606,8 @@ def _solutions(
             out = out.withColumn(f"{a.alias}__uri", F.lit(False)).withColumn(
                 f"{a.alias}__lang", F.lit(None).cast("string")
             )
-        bound_after = set(q.group_by) | {a.alias for a in q.aggregates}
-        for h in q.having:
+        bound_after = set(q.group_by) | {a.alias for a in agg_items}
+        for h in having:
             out = out.filter(_compile_filter(h, bound_after))
         out = _apply_select_exprs(out, q.select_exprs, bound_after)
         out = out.select(*q.select_order, *_flags(q.select_order))

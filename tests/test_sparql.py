@@ -757,3 +757,22 @@ def test_select_expressions(spark, graph):
         )
     with pytest.raises(SparqlSyntaxError):
         parse_sparql("SELECT ?d (str(?d) AS ?d) WHERE { ?d <p:x> ?o }")
+
+
+def test_having_inline_aggregates(spark, graph):
+    got = sparql_select(
+        graph,
+        PREFIX + "SELECT ?d WHERE { ?d dcterms:title ?t } "
+        "GROUP BY ?d HAVING(COUNT(*) >= 2)",
+    ).collect()
+    assert [r.d for r in got] == ["http://ex.org/d2"]
+    # mixed: aliased aggregate in SELECT + two inline aggregates in HAVING
+    got2 = sparql_select(
+        graph,
+        PREFIX + "SELECT ?d (COUNT(?t) AS ?n) WHERE { ?d dcterms:title ?t } "
+        "GROUP BY ?d HAVING(SUM(strlen(?t)) > 20 && COUNT(*) >= 2)",
+    ).collect()
+    assert [(r.d, r.n) for r in got2] == [("http://ex.org/d2", 2)]
+    # aggregate calls outside HAVING stay illegal
+    with pytest.raises((SparqlSyntaxError, SparqlUnsupportedError)):
+        parse_sparql("SELECT ?s WHERE { ?s <p:x> ?o . FILTER(SUM(?o) > 1) }")
