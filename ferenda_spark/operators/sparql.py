@@ -308,9 +308,16 @@ class _Parser:
             template: list[Pattern] = []
         elif form == "construct":
             distinct, sel = True, []  # CONSTRUCT output is a graph → set semantics
-            self.expect("{")
-            template = self.parse_pattern_list(stop="}")
-            self.expect("}")
+            if self.at_kw("where") or self.peek() != "{":
+                # CONSTRUCT WHERE { … } shorthand: the WHERE's plain BGP is
+                # also the template (validated after the group is parsed)
+                construct_shorthand = True
+                template = []
+            else:
+                construct_shorthand = False
+                self.expect("{")
+                template = self.parse_pattern_list(stop="}")
+                self.expect("}")
             if any(not isinstance(p.p, Term) for p in template):
                 raise SparqlSyntaxError("property paths not allowed in CONSTRUCT templates")
         elif form == "ask":
@@ -333,6 +340,22 @@ class _Parser:
         if form in ("select", "construct"):
             self.expect("where")
             where = self.parse_group()
+            if form == "construct" and construct_shorthand:
+                # spec grammar: the short form's WHERE is a TriplesTemplate
+                # — triple patterns only
+                if (
+                    where.optionals or where.unions or where.values
+                    or where.exists or where.minuses or where.binds
+                    or where.subqueries or where.filters
+                ):
+                    raise SparqlUnsupportedError(
+                        "CONSTRUCT WHERE shorthand requires a plain BGP"
+                    )
+                if any(not isinstance(p.p, Term) for p in where.patterns):
+                    raise SparqlSyntaxError(
+                        "property paths not allowed in CONSTRUCT templates"
+                    )
+                template = [Pattern(p.s, p.p, p.o) for p in where.patterns]
         elif self.at_kw("where"):  # ask/describe: WHERE keyword optional
             self.next()
             where = self.parse_group()
@@ -795,6 +818,7 @@ class _Parser:
         "regex", "bound", "isiri", "isuri", "isliteral", "str", "lang",
         "contains", "strstarts", "strends", "ucase", "lcase", "strlen",
         "concat", "substr", "replace", "coalesce", "if",
+        "strbefore", "strafter",
         "abs", "round", "floor", "ceil",
     )
 
@@ -1444,6 +1468,24 @@ def _value(ast, bound: set[str]) -> tuple[F.Column, bool]:
     if kind == "replace":
         c, _ = _value(ast[1], bound)
         return F.regexp_replace(c, _const_str(ast[2]), _const_str(ast[3])), False
+    if kind in ("strbefore", "strafter"):
+        # constant needle (like substr/replace); SPARQL: "" when absent
+        c, _ = _value(ast[1], bound)
+        sub = _const_str(ast[2])
+        pos = F.instr(c, sub)
+        if kind == "strbefore":
+            return (
+                F.when(pos > 0, F.substring_index(c, sub, 1)).otherwise(
+                    F.lit("")
+                ),
+                False,
+            )
+        return (
+            F.when(
+                pos > 0, F.substring(c, pos + len(sub), 2**31 - 1)
+            ).otherwise(F.lit("")),
+            False,
+        )
     if kind == "coalesce":
         vals = [_value(a, bound) for a in ast[1:]]
         return F.coalesce(*[v for v, _ in vals]), all(n for _, n in vals)

@@ -776,3 +776,28 @@ def test_having_inline_aggregates(spark, graph):
     # aggregate calls outside HAVING stay illegal
     with pytest.raises((SparqlSyntaxError, SparqlUnsupportedError)):
         parse_sparql("SELECT ?s WHERE { ?s <p:x> ?o . FILTER(SUM(?o) > 1) }")
+
+
+def test_strbefore_strafter_and_construct_where(spark, graph):
+    got = sparql_select(
+        graph,
+        PREFIX + 'SELECT ?d (strbefore(?t, " ") AS ?w1) '
+        '(strafter(?t, "Beta") AS ?rest) WHERE { ?d dcterms:title ?t . '
+        'FILTER(lang(?t) = "en") } ORDER BY ?d',
+    ).collect()
+    assert [(r.d, r.w1, r.rest) for r in got] == [
+        ("http://ex.org/d1", "Alpha", ""),
+        ("http://ex.org/d2", "Beta", " doc"),
+    ]
+    got2 = sparql_construct(
+        graph,
+        PREFIX + "CONSTRUCT WHERE { ?d dcterms:references ?r }",
+    ).collect()
+    assert len(got2) == 3 and all(
+        r.pred == DCTERMS + "references" for r in got2
+    )
+    with pytest.raises(SparqlUnsupportedError):
+        parse_sparql(
+            PREFIX + "CONSTRUCT WHERE { ?d dcterms:title ?t . "
+            'FILTER(?t = "x") }'
+        )

@@ -207,6 +207,9 @@ def main() -> None:
     busy_4n = results[4 * n]["avg_busy_cores"]
     applicable = ceil_hi if busy_4n <= 4 * n * 1.25 else ceil_lo
     norm_pt = round(eff / applicable, 3) if applicable else "n/a"
+    # build the history BEFORE opening for write — open(..., "w") truncates,
+    # and the section reads the previous file's rows
+    history = history_section(ts, n_docs, n, t_n, t_4n, eff)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — measured numbers ({ts})
 
@@ -259,6 +262,7 @@ only corpus-sized shuffles are the vocabulary-sized alias-key distinct
 and the skinny entity-edge dedup (see tools/kg_job.py docstring);
 everything else is map-side.
 
+{history}
 Correctness at this corpus: identical triple counts at both parallelism
 levels; triple P/R = 1.0 vs golden truth triples
 (tests/test_pipeline_pr.py); extracted text byte-identical per url
@@ -266,6 +270,39 @@ levels; triple P/R = 1.0 vs golden truth triples
 times at sf0.1 are in BENCH_r*.json (driver-recorded, `bench.py`).
 """)
     print("wrote BENCH/BASELINE.md")
+
+
+_HISTORY_HEADER = "## Cross-config / cross-session history"
+
+
+def history_section(ts, n_docs, n, t_n, t_4n, eff) -> str:
+    """Carry the cross-session history table forward across rewrites,
+    prepending this run's row (only within-session ratios are meaningful —
+    the history is the audit trail showing the target met on every box)."""
+    rows = []
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    try:
+        with open(path) as f:
+            text = f.read()
+        if _HISTORY_HEADER in text:
+            block = text.split(_HISTORY_HEADER, 1)[1]
+            for line in block.splitlines():
+                if line.startswith("|") and not line.startswith(("|---", "| session box")):
+                    rows.append(line)
+    except OSError:
+        pass
+    new_row = (
+        f"| {ts} | {n_docs} | local[{n}]→local[{4 * n}] | {t_n} | {t_4n} "
+        f"| **{round(eff, 3)}** | best-of-legs; table above |"
+    )
+    return (
+        f"{_HISTORY_HEADER} (same job, same corpus spec)\n\n"
+        "| session box | corpus docs | legs | T_N (s) | T_4N (s) | raw eff | notes |\n"
+        "|---|---|---|---|---|---|---|\n"
+        + "\n".join([new_row] + rows)
+        + "\n\nBoxes differ ~2× in absolute speed between sessions — only\n"
+        "within-session ratios are meaningful.\n"
+    )
 
 
 if __name__ == "__main__":
