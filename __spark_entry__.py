@@ -981,6 +981,22 @@ def _q_url_normalize(spark, sf_dir):
     )
 
 
+def _q_curation_report(spark, sf_dir):
+    """Composite curation filter audit: reason histogram over the documents
+    table at a strict quality threshold (rows-only — quality_score composes
+    array-aggregate HOFs DuckDB does not reproduce 1:1; the operator's
+    correctness lives in tests/test_curation_jsonl.py)."""
+    from ferenda_spark.operators.curation import (
+        apply_curation,
+        reason_histogram,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return reason_histogram(
+        apply_curation(d, "text", min_quality=0.9)
+    ).orderBy("reason")
+
+
 def _q_fulltext_search(spark, sf_dir):
     """FulltextIndex.query parity: inverted-index build + tf-idf ranked
     AND-search, top-10 deterministic by (score desc, id)."""
@@ -1265,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_facets": _q_fulltext_facets,
         "atom_feeds": _q_atom_feeds,
         # rows-only (non-SQL-expressible) below
+        "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
         "kg_entity_links": _q_kg_entity_links,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
