@@ -30,6 +30,7 @@ storage behind one seam, here table-addressed instead of file-addressed.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 CONF_KEY = "spark.ferenda.tableFormat"
 _SUPPORTED = ("parquet", "iceberg")
@@ -101,3 +102,65 @@ def overwrite_partitions(
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
     write_table(out, path, partition_by=partition_by, mode="overwrite")
+
+
+def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of a parquet table WITHOUT reading row data:
+    the binaryFile source lists paths/lengths and its content column is
+    never selected, so this is a pure listing."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "length")
+    )
+    row = files.selectExpr(
+        "count(*) AS n", "coalesce(sum(length), 0) AS b"
+    ).collect()[0]
+    return int(row["n"]), int(row["b"])
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Small-file compaction (the maintenance pass incremental writes need:
+    every AvailableNow drain / resumed partition append adds files; at
+    scale a stage table degrades into millions of tiny files and scan
+    planning dominates). Parquet mode rewrites in place:
+
+    - partitioned tables: one shuffle hashed on the partition columns → one
+      file per partition value (stage partitions are bounded by design —
+      the part_key layout exists precisely so a partition fits a task);
+    - unpartitioned tables: repartition to ceil(bytes / target_file_bytes).
+
+    The rewrite goes through the same dynamic-partition-overwrite path as
+    stage writes, so a crash mid-compaction leaves every partition either
+    old or compacted — never missing. With the iceberg format this should
+    instead call the engine-native ``rewrite_data_files`` procedure; this
+    helper refuses rather than guessing at snapshot semantics.
+
+    Returns {files_before, files_after, bytes}."""
+    if table_format(spark) == "iceberg":
+        raise NotImplementedError(
+            "use Iceberg's rewrite_data_files procedure for iceberg tables"
+        )
+    n_before, total = table_file_stats(spark, path)
+    # cut the plan's lineage to the path being rewritten (Spark refuses to
+    # overwrite a path it is reading from); the checkpoint materialization
+    # is the same cost class as the rewrite itself
+    df = spark.read.parquet(path).localCheckpoint(eager=True)
+    try:
+        if partition_by:
+            out = df.repartition(*[F.col(c) for c in partition_by])
+            out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+        else:
+            n_target = max(1, -(-total // target_file_bytes))
+            df.repartition(n_target).write.mode("overwrite").parquet(path)
+    finally:
+        df.unpersist()
+    n_after, _ = table_file_stats(spark, path)
+    return {"files_before": n_before, "files_after": n_after, "bytes": total}

@@ -73,3 +73,35 @@ def test_append_unpartitioned(spark, tmp_path):
         for r in catalog.read_table(spark, path).collect()
     )
     assert got == [(1, "x"), (2, "y")]
+
+
+def test_compact_table_partitioned_and_flat(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ferenda_spark.sources.catalog import compact_table, table_file_stats
+
+    # fragmented partitioned table: 6 appends × 4 partitions = many files
+    p = str(tmp_path / "frag")
+    base = spark.range(200).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("part_key")
+    )
+    for i in range(6):
+        base.filter((F.col("id") % 6) == i).repartition(3).write.mode(
+            "append"
+        ).partitionBy("part_key").parquet(p)
+    before, _ = table_file_stats(spark, p)
+    assert before > 4
+
+    stats = compact_table(spark, p, partition_by=("part_key",))
+    assert stats["files_before"] == before
+    assert stats["files_after"] == 4  # one file per partition value
+    got = spark.read.parquet(p)
+    assert got.count() == 200
+    assert got.select(F.sum("id")).collect()[0][0] == sum(range(200))
+
+    # unpartitioned table collapses to one file at the default target
+    q = str(tmp_path / "flat")
+    spark.range(1000).repartition(16).write.parquet(q)
+    stats2 = compact_table(spark, q)
+    assert stats2["files_before"] == 16 and stats2["files_after"] == 1
+    assert spark.read.parquet(q).count() == 1000
