@@ -56,10 +56,12 @@ Supported subset — the shapes the reference's shipped ``.rq`` files use:
   ``-`` (operands promoted to double), ``?v IN (…)``/``NOT IN`` (compiled
   as an ``=``-chain, so Catalyst folds it to an ``In``), ``regex(?v,
   "pat")``, ``bound(?v)``, ``isIRI/isURI/isLiteral(?v)``, ``str(?v)``,
-  ``lang(?v)``, ``contains/strstarts/strends``, ``ucase/lcase/strlen``,
+  ``lang(?v)``, ``langMatches(lang(?v), "range")``, ``sameTerm``,
+  ``contains/strstarts/strends``, ``ucase/lcase/strlen``,
   ``concat``, ``substr`` (constant positions), ``replace`` (constant
-  pattern), ``coalesce``, ``IF(cond, then, else)``,
-  ``abs/round/floor/ceil``, ``!``, ``&&``, ``||``, parentheses
+  pattern), ``strbefore/strafter`` (constant needle), ``coalesce``,
+  ``IF(cond, then, else)``, ``abs/round/floor/ceil``, ``!``, ``&&``,
+  ``||``, parentheses
 - ``FILTER [NOT] EXISTS { … }`` → left semi / left anti join correlated on
   the shared variables (the J6 skeleton negation shape)
 - ``MINUS { … }`` → left anti join on the shared variables; with no shared
@@ -818,7 +820,7 @@ class _Parser:
         "regex", "bound", "isiri", "isuri", "isliteral", "str", "lang",
         "contains", "strstarts", "strends", "ucase", "lcase", "strlen",
         "concat", "substr", "replace", "coalesce", "if",
-        "strbefore", "strafter",
+        "strbefore", "strafter", "langmatches", "sameterm",
         "abs", "round", "floor", "ceil",
     )
 
@@ -1429,6 +1431,39 @@ def _compile_filter(ast, bound: set[str]) -> F.Column:
             "strstarts": col.startswith(arg),
             "strends": col.endswith(arg),
         }[kind]
+    if kind == "langmatches":
+        # langMatches(lang(?t), "range"): '*' = any non-empty tag; otherwise
+        # case-insensitive basic range match (exact or subtag prefix)
+        tag, _ = _value(ast[1], bound)
+        rng = _const_str(ast[2])
+        if rng == "*":
+            return tag != F.lit("")
+        low = F.lower(tag)
+        return (low == F.lit(rng.lower())) | low.startswith(rng.lower() + "-")
+    if kind == "sameterm":
+        # term identity: lexical value AND term kind AND language tag
+        def parts(a):
+            if a[0] == "term" and a[1].kind == "var":
+                v = a[1].value
+                if v not in bound:
+                    return (
+                        F.lit(None).cast("string"),
+                        F.lit(None).cast("boolean"),
+                        F.lit(None).cast("string"),
+                    )
+                return F.col(v), F.col(f"{v}__uri"), F.col(f"{v}__lang")
+            if a[0] == "term":
+                t = a[1]
+                return (
+                    F.lit(t.value),
+                    F.lit(t.kind == "iri"),
+                    F.lit(t.lang).cast("string"),
+                )
+            raise SparqlUnsupportedError("sameTerm over expressions")
+
+        lv, lu, ll = parts(ast[1])
+        rv, ru, rl = parts(ast[2])
+        return (lv == rv) & (lu == ru) & ll.eqNullSafe(rl)
     if kind == "str":
         return _value(ast, bound)[0]
     raise SparqlUnsupportedError(f"unsupported filter {kind!r}")

@@ -801,3 +801,41 @@ def test_strbefore_strafter_and_construct_where(spark, graph):
             PREFIX + "CONSTRUCT WHERE { ?d dcterms:title ?t . "
             'FILTER(?t = "x") }'
         )
+
+
+def test_langmatches_and_sameterm(spark, graph):
+    got = sparql_select(
+        graph,
+        PREFIX + "SELECT ?t WHERE { ?d dcterms:title ?t . "
+        'FILTER(langMatches(lang(?t), "DE")) }',
+    ).collect()
+    assert [r.t for r in got] == ["Beta-Dokument"]
+    got2 = sparql_select(
+        graph,
+        PREFIX + "SELECT ?t WHERE { ?d dcterms:title ?t . "
+        'FILTER(langMatches(lang(?t), "*")) }',
+    ).collect()
+    assert len(got2) == 3  # every title is lang-tagged
+
+    # sameTerm distinguishes a URI from a literal with the same lexical form
+    rows = [
+        ("s1", "p:x", "v", True, None),
+        ("s2", "p:x", "v", False, None),
+        ("s3", "p:x", "v", False, "en"),
+    ]
+    g = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_uri boolean, obj_lang string",
+    )
+    same_uri = sparql_select(
+        g, "SELECT ?s WHERE { ?s <p:x> ?o . FILTER(sameTerm(?o, <v>)) }"
+    ).collect()
+    assert [r.s for r in same_uri] == ["s1"]
+    same_lit = sparql_select(
+        g, 'SELECT ?s WHERE { ?s <p:x> ?o . FILTER(sameTerm(?o, "v")) }'
+    ).collect()
+    assert [r.s for r in same_lit] == ["s2"]  # plain literal, no lang tag
+    same_tagged = sparql_select(
+        g, 'SELECT ?s WHERE { ?s <p:x> ?o . FILTER(sameTerm(?o, "v"@en)) }'
+    ).collect()
+    assert [r.s for r in same_tagged] == ["s3"]
