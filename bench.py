@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "dedup_components",
     "fulltext_search",
     "atom_feeds",
+    "chunk_dedup_stats",
+    "pii_redact",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs

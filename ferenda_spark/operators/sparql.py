@@ -60,7 +60,9 @@ Supported subset — the shapes the reference's shipped ``.rq`` files use:
   ``contains/strstarts/strends``, ``ucase/lcase/strlen``,
   ``concat``, ``substr`` (constant positions), ``replace`` (constant
   pattern), ``strbefore/strafter`` (constant needle), ``coalesce``,
-  ``IF(cond, then, else)``, ``abs/round/floor/ceil``, ``!``, ``&&``,
+  ``IF(cond, then, else)``, ``IRI/URI(expr)`` (mints an IRI term — the
+  COIN idiom ``BIND(IRI(concat(base, ?slug)) AS ?u)``),
+  ``md5/sha1/sha256``, ``abs/round/floor/ceil``, ``!``, ``&&``,
   ``||``, parentheses
 - ``FILTER [NOT] EXISTS { … }`` → left semi / left anti join correlated on
   the shared variables (the J6 skeleton negation shape)
@@ -821,6 +823,7 @@ class _Parser:
         "contains", "strstarts", "strends", "ucase", "lcase", "strlen",
         "concat", "substr", "replace", "coalesce", "if",
         "strbefore", "strafter", "langmatches", "sameterm",
+        "iri", "uri", "md5", "sha1", "sha256",
         "abs", "round", "floor", "ceil",
     )
 
@@ -1353,7 +1356,7 @@ def _join_group(
         col, _ = _value(expr, bound)
         df = (
             df.withColumn(v, col.cast("string"))
-            .withColumn(f"{v}__uri", F.lit(False))
+            .withColumn(f"{v}__uri", F.lit(_expr_is_iri(expr)))
             .withColumn(f"{v}__lang", F.lit(None).cast("string"))
         )
         bound.add(v)
@@ -1521,6 +1524,16 @@ def _value(ast, bound: set[str]) -> tuple[F.Column, bool]:
             ).otherwise(F.lit("")),
             False,
         )
+    if kind in ("iri", "uri"):
+        # IRI(expr): the minting idiom (BIND(IRI(concat(base, ?slug)) AS
+        # ?u)) — the value is the string; BIND/SELECT-expr sites consult
+        # _expr_is_iri to set the term-kind flag
+        return _value(ast[1], bound)[0], False
+    if kind in ("md5", "sha1", "sha256"):
+        c, _ = _value(ast[1], bound)
+        if kind == "sha256":
+            return F.sha2(c, 256), False
+        return (F.md5 if kind == "md5" else F.sha1)(c), False
     if kind == "coalesce":
         vals = [_value(a, bound) for a in ast[1:]]
         return F.coalesce(*[v for v, _ in vals]), all(n for _, n in vals)
@@ -1736,10 +1749,16 @@ def _apply_select_exprs(
             )
         df = (
             df.withColumn(alias, _value(e, bound)[0].cast("string"))
-            .withColumn(f"{alias}__uri", F.lit(False))
+            .withColumn(f"{alias}__uri", F.lit(_expr_is_iri(e)))
             .withColumn(f"{alias}__lang", F.lit(None).cast("string"))
         )
     return df
+
+
+def _expr_is_iri(ast) -> bool:
+    """True when an expression's result is an IRI term (the IRI()/URI()
+    constructor) rather than a plain literal."""
+    return isinstance(ast, tuple) and ast[0] in ("iri", "uri")
 
 
 def _order_cols(order_by, bound: set[str]) -> list[F.Column]:

@@ -839,3 +839,26 @@ def test_langmatches_and_sameterm(spark, graph):
         g, 'SELECT ?s WHERE { ?s <p:x> ?o . FILTER(sameTerm(?o, "v"@en)) }'
     ).collect()
     assert [r.s for r in same_tagged] == ["s3"]
+
+
+def test_iri_constructor_and_hashes(spark, graph):
+    import hashlib
+
+    got = sparql_select(
+        graph,
+        PREFIX + 'SELECT ?d ?u ?h WHERE { ?d dcterms:language "en" . '
+        'BIND(IRI(concat(str(?d), "#meta")) AS ?u) '
+        "BIND(sha256(?d) AS ?h) FILTER(isIRI(?u)) }",
+    ).collect()
+    assert [(r.d, r.u) for r in got] == [
+        ("http://ex.org/d1", "http://ex.org/d1#meta")
+    ]
+    assert got[0].h == hashlib.sha256(b"http://ex.org/d1").hexdigest()
+    # a minted IRI is term-identical to the equivalent constant IRI
+    got2 = sparql_select(
+        graph,
+        PREFIX + 'SELECT ?d WHERE { ?d dcterms:language "en" . '
+        'BIND(IRI(concat(str(?d), "#meta")) AS ?u) '
+        "FILTER(sameTerm(?u, <http://ex.org/d1#meta>)) }",
+    ).collect()
+    assert [r.d for r in got2] == ["http://ex.org/d1"]
