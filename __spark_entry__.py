@@ -981,6 +981,45 @@ def _q_url_normalize(spark, sf_dir):
     )
 
 
+def _q_incremental_toc(spark, sf_dir):
+    """Incremental toc maintenance vs full recompute: every 25th doc is
+    'updated' (title prefixed, lang moved to pt); the incremental result's
+    bucket counts must equal DuckDB's independent GROUPING SETS rollup of
+    the post-change corpus."""
+    from ferenda_spark.operators.incremental import incremental_toc
+    from ferenda_spark.operators.rollups import toc_rollup
+
+    d = _t(spark, sf_dir, "documents")
+
+    def dm(df, changed):
+        title = F.substring("text", 1, 16)
+        if changed:
+            title = F.concat(F.lit("X"), title)
+        return df.select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
+                "uri"
+            ),
+            title.alias("title"),
+            F.concat(
+                F.lit("20"),
+                F.lpad((F.col("doc_id") % 20 + 5).cast("string"), 2, "0"),
+                F.lit("-01-01"),
+            ).alias("issued"),
+            (F.lit("pt") if changed else F.col("lang")).alias("lang"),
+        )
+
+    is_changed = (F.col("doc_id") % 25) == 0
+    out = incremental_toc(
+        dm(d.filter(~is_changed), False).unionByName(
+            dm(d.filter(is_changed), True)
+        ),
+        dm(d.filter(is_changed), False),
+        dm(d.filter(is_changed), True),
+        toc_rollup(dm(d, False)),
+    )
+    return out.select("facet", "value", "n_docs")
+
+
 def _q_curation_report(spark, sf_dir):
     """Composite curation filter audit: reason histogram over the documents
     table at a strict quality threshold (rows-only — quality_score composes
@@ -1277,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup_stats": _q_chunk_dedup,
         "dup_chunk_topk": _q_dup_chunk_topk,
         "url_normalize_stats": _q_url_normalize,
+        "incremental_toc_counts": _q_incremental_toc,
         "fulltext_search": _q_fulltext_search,
         "fulltext_facets": _q_fulltext_facets,
         "atom_feeds": _q_atom_feeds,
@@ -1748,6 +1788,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT dom, CAST(count(*) AS BIGINT) AS n_urls,
                    CAST(sum(length(u)) AS BIGINT) AS sum_len
             FROM n GROUP BY dom
+        """,
+        "incremental_toc_counts": """
+            WITH dm AS (
+                SELECT CASE WHEN doc_id % 25 = 0
+                            THEN 'X' || substring(text, 1, 16)
+                            ELSE substring(text, 1, 16) END AS title,
+                       CASE WHEN doc_id % 25 = 0 THEN 'pt' ELSE lang END
+                           AS lang,
+                       '20' || lpad(CAST(doc_id % 20 + 5 AS VARCHAR), 2, '0')
+                           || '-01-01' AS issued
+                FROM documents),
+            f AS (SELECT upper(substring(title, 1, 1)) AS letter,
+                         CAST(substring(issued, 1, 4) AS INT) AS year,
+                         lang
+                  FROM dm)
+            SELECT CASE WHEN letter IS NOT NULL THEN 'letter'
+                        WHEN year IS NOT NULL THEN 'year'
+                        WHEN lang IS NOT NULL THEN 'lang'
+                        ELSE 'all' END AS facet,
+                   coalesce(letter, CAST(year AS VARCHAR), lang, '*')
+                       AS value,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM f GROUP BY GROUPING SETS ((letter), (year), (lang), ())
         """,
         "pii_redact": r"""
             WITH aug AS (
