@@ -413,3 +413,48 @@ def test_star_path_matches_naive_closure(_spark, graph):
         reach = nxt
     want |= reach
     assert got == want
+
+
+@given(
+    graph=graph_st,
+    needle=st.sampled_from(["0", "s", "o1", "x"]),
+    k=st.integers(-2, 3),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_string_expressions_match_python(_spark, graph, needle, k):
+    """The expression layer (BIND + string/arith builtins) agrees with
+    plain-Python evaluation over arbitrary object values."""
+    from ferenda_spark.operators.sparql import sparql_select as sel
+
+    q = (
+        "SELECT ?o ?u ?b ?a ?n WHERE { ?s ?p ?o . "
+        f'BIND(ucase(?o) AS ?u) BIND(strbefore(?o, "{needle}") AS ?b) '
+        f'BIND(strafter(?o, "{needle}") AS ?a) '
+        f"BIND(strlen(?o) * 2 - {k} AS ?n) "
+        f'FILTER(contains(?o, "{needle}") || strlen(?o) >= 1) }}'
+    )
+    df = _spark.createDataFrame(
+        graph or [("x", "x", "x", True)],
+        "subj string, pred string, obj string, obj_is_uri boolean",
+    )
+    if not graph:
+        df = df.filter("1=0")
+    got = sorted(
+        (r.o, r.u, r.b, r.a, r.n)
+        for r in sel(df, q).collect()
+    )
+    def pyrow(o):
+        i = o.find(needle)
+        before = o[:i] if i >= 0 else ""
+        after = o[i + len(needle):] if i >= 0 else ""
+        return (o, o.upper(), before, after, str(float(len(o) * 2 - k)))
+    want = sorted(
+        pyrow(o)
+        for (_s, _p, o, _u) in graph
+        if needle in o or len(o) >= 1
+    )
+    assert got == want

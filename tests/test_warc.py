@@ -104,3 +104,42 @@ def test_warc_to_extract_integration(spark, tmp_path):
     g = {(r.url, r.text_sha256) for r in got.select("url", "text_sha256").collect()}
     w = {(r.url, r.text_sha256) for r in want.select("url", "text_sha256").collect()}
     assert g == w and len(g) == 6
+
+
+def test_cdx_index_and_fetch_plan(spark, tmp_path):
+    from ferenda_spark.sources.cdx import cdx_fetch_plan, read_cdx_index
+
+    lines = [
+        'com,example,a)/1 20260301120000 {"url": "https://a.example/1", '
+        '"mime": "text/html", "status": "200", "digest": "AAA", '
+        '"length": "500", "offset": "0", "filename": "crawl-00.warc.gz"}',
+        'com,example,a)/2 20260301120500 {"url": "https://a.example/2", '
+        '"mime": "text/html", "status": "200", "digest": "BBB", '
+        '"length": "700", "offset": "900", "filename": "crawl-00.warc.gz"}',
+        'com,example,b)/ 20260301121000 {"url": "https://b.example/", '
+        '"mime": "text/html", "status": "404", "digest": "CCC", '
+        '"length": "300", "offset": "0", "filename": "crawl-01.warc.gz"}',
+        'com,example,c)/ 20260301121500 {"url": "https://c.example/", '
+        '"mime": "image/png", "status": "200", "digest": "DDD", '
+        '"length": "900", "offset": "400", "filename": "crawl-01.warc.gz"}',
+        "garbage line without json",
+    ]
+    p = tmp_path / "cdx-00000"
+    p.write_text("\n".join(lines))
+    idx = read_cdx_index(spark, str(p))
+    rows = {r.urlkey: r for r in idx.collect()}
+    assert len(rows) == 5
+    ok = rows["com,example,a)/1"]
+    assert ok.url == "https://a.example/1" and ok.status == 200
+    assert ok.warc_offset == 0 and ok.warc_length == 500
+    from datetime import datetime
+    assert ok.capture_ts == datetime(2026, 3, 1, 12, 0, 0)
+    # malformed line → NULL fields, not a crash
+    assert rows["garbage"].url is None
+
+    plan = {r.warc_filename: r for r in cdx_fetch_plan(idx).collect()}
+    # 404 and non-html captures are excluded → only crawl-00 remains
+    assert set(plan) == {"crawl-00.warc.gz"}
+    p0 = plan["crawl-00.warc.gz"]
+    assert p0.n_records == 2 and p0.total_bytes == 1200
+    assert [(r.offset, r.length) for r in p0.ranges] == [(0, 500), (900, 700)]
