@@ -162,3 +162,60 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         batches, schema=_CORPUS_OUT
     )
+
+
+def read_warc_ranges(spark: SparkSession, plan: DataFrame, warc_dir: str) -> DataFrame:
+    """Range-read archives per a CDX fetch plan (sources/cdx.py): one task
+    per (WARC file, range batch) seeks each record's byte offset, reads
+    exactly its length, and parses that single record — the 100 TB read
+    path where you touch only the bytes the index selected instead of
+    scanning archives.
+
+    ``plan`` is cdx_fetch_plan's output (warc_filename, …, ranges). Ranges
+    are offset-sorted per file, so reads are forward-only within a task.
+    Per-record gzip members (the Common Crawl layout) decompress
+    independently; a range that fails to parse yields a warc_error row
+    keyed by ``file#offset`` — errors-as-data, same as the full reader."""
+    import os
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[dict] = []
+            for fname, ranges in zip(pdf["warc_filename"], pdf["ranges"]):
+                full = os.path.join(warc_dir, fname)
+                try:
+                    f = open(full, "rb")
+                except OSError as exc:
+                    out.append({
+                        "url": fname, "warc_ts": None, "html": None,
+                        "text": None, "lang": None,
+                        "warc_error": f"missing archive: {exc}",
+                    })
+                    continue
+                with f:
+                    for r in ranges:
+                        f.seek(int(r["offset"]))
+                        blob = f.read(int(r["length"]))
+                        try:
+                            raw = _decompress(fname, blob)
+                        except OSError as exc:
+                            out.append({
+                                "url": f"{fname}#{r['offset']}",
+                                "warc_ts": None, "html": None, "text": None,
+                                "lang": None,
+                                "warc_error": f"bad gzip member: {exc}",
+                            })
+                            continue
+                        out.extend(
+                            parse_warc_bytes(raw, f"{fname}#{r['offset']}")
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "url", "warc_ts", "html", "text", "lang", "warc_error",
+                ],
+            )
+
+    return plan.select("warc_filename", "ranges").mapInPandas(
+        batches, schema=_CORPUS_OUT
+    )

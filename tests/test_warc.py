@@ -143,3 +143,51 @@ def test_cdx_index_and_fetch_plan(spark, tmp_path):
     p0 = plan["crawl-00.warc.gz"]
     assert p0.n_records == 2 and p0.total_bytes == 1200
     assert [(r.offset, r.length) for r in p0.ranges] == [(0, 500), (900, 700)]
+
+
+def test_cdx_plan_range_read_roundtrip(spark, tmp_path):
+    """CDX index → fetch plan → range-read must yield exactly the captures
+    the index selected, byte-identical to a full archive scan."""
+    import gzip as _gzip
+    import json as _json
+
+    from ferenda_spark.sources.cdx import cdx_fetch_plan, read_cdx_index
+    from ferenda_spark.sources.warc import read_warc, read_warc_ranges
+
+    members, cdx_lines, offset = [], [], 0
+    for i in range(5):
+        rec = _rec(
+            "response", uri=f"https://a.example/{i}",
+            date=f"2026-03-0{i + 1}T05:06:07Z",
+            payload=f"<html><p>page {i}</p></html>".encode(),
+        )
+        gz = _gzip.compress(rec)
+        if i != 3:  # capture 3 is deliberately NOT in the wanted set
+            cdx_lines.append(
+                f"com,example,a)/{i} 2026030{i + 1}050607 "
+                + _json.dumps({
+                    "url": f"https://a.example/{i}",
+                    "mime": "text/html" if i != 3 else "image/png",
+                    "status": "200", "digest": f"D{i}",
+                    "length": str(len(gz)), "offset": str(offset),
+                    "filename": "crawl-xy.warc.gz",
+                })
+            )
+        members.append(gz)
+        offset += len(gz)
+    (tmp_path / "crawl-xy.warc.gz").write_bytes(b"".join(members))
+    (tmp_path / "cdx-0").write_text("\n".join(cdx_lines))
+
+    plan = cdx_fetch_plan(read_cdx_index(spark, str(tmp_path / "cdx-0")))
+    got = read_warc_ranges(spark, plan, str(tmp_path)).collect()
+    assert all(r.warc_error is None for r in got)
+    assert sorted(r.url for r in got) == [
+        f"https://a.example/{i}" for i in (0, 1, 2, 4)
+    ]
+    # byte-identical to the full scan, for the selected subset
+    full = {
+        r.url: bytes(r.html)
+        for r in read_warc(spark, str(tmp_path / "crawl-xy.warc.gz")).collect()
+    }
+    for r in got:
+        assert bytes(r.html) == full[r.url]
