@@ -48,8 +48,11 @@ def curation_verdict(
     outside [1.5, 14] — binary junk or no word separators), ``pii_dense``
     (recognized PII spans per 1000 chars above threshold), and
     ``repetitive`` when a duplicate-chunk fraction column is supplied."""
-    n = token_count(text)
-    mtl = mean_token_len(text)
+    # NULL text (extraction failed / never ran) must not sail through: a
+    # NULL token count would make every rule condition NULL → no reasons →
+    # keep. Treat missing text as zero tokens so too_short fires.
+    n = F.coalesce(token_count(text), F.lit(0))
+    mtl = F.coalesce(mean_token_len(text), F.lit(0.0))
     pii_total = None
     for c in pii_counts(text).values():
         pii_total = c if pii_total is None else (pii_total + c)

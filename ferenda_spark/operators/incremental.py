@@ -28,9 +28,10 @@ tests/test_incremental.py):
   is a design smell anyway; it is kept because the reference's toc has it.
 - feeds: a per-lang feed is recomputed exactly when any changed doc touches
   that lang (old or new row); other feeds' rows are carried over untouched.
-  The global "main" feed is always recomputed — it compiles to
-  TakeOrderedAndProject (per-partition top-k, no shuffle), so "incremental"
-  would add complexity without removing any cost.
+  The global "main" feed is NOT maintained here — the caller reruns
+  ``rollups.feed_main(docmeta_full)`` at write time: it compiles to
+  TakeOrderedAndProject (per-partition top-k, no shuffle), so an
+  incremental path would add complexity without removing any cost.
 
 Scale: the expensive full rollup is a grouping-sets shuffle over every doc;
 the incremental path shuffles only docs whose facet values intersect the
@@ -45,7 +46,6 @@ from pyspark.sql import functions as F
 
 from ferenda_spark.operators.rollups import (
     facet_columns,
-    feed_main,
     feeds_topk,
     toc_rollup,
 )
@@ -96,38 +96,47 @@ def incremental_toc(
         .join(F.broadcast(buckets), ["facet", "value"], "left_semi")
     )
 
-    # global row: retract old contributions, apply new ones
-    changed_uris = F.array(
-        *[F.lit(r["uri"]) for r in old_changed.select("uri").collect()]
-    ) if old_changed.head(1) else F.array().cast("array<string>")
-    new_structs = F.array(
-        *[
+    # global row: retract old contributions, apply new ones. The change
+    # set is aggregated EXECUTOR-side into two single-row frames (a
+    # collect_set of retracted uris, a collect_list of added doc structs)
+    # and cross-joined onto the one global row — no driver-side literals,
+    # so the plan size is independent of how many docs changed. The
+    # resulting arrays still live in one row; that is the global doc list's
+    # own scalability ceiling (see module docstring), not this operator's.
+    retract = old_changed.agg(
+        F.collect_set("uri").alias("_gone"),
+        F.count(F.lit(1)).alias("_n_old"),
+    )
+    apply_ = new_changed.agg(
+        F.collect_list(
             F.struct(
-                F.lit(r["title"]).alias("sort_key"),
-                F.lit(r["uri"]).alias("uri"),
-                F.lit(r["title"]).alias("title"),
+                F.col("title").alias("sort_key"),
+                F.col("uri").alias("uri"),
+                F.col("title").alias("title"),
             )
-            for r in new_changed.select("uri", "title").collect()
-        ]
-    ) if new_changed.head(1) else None
-    n_old = old_changed.count()
-    n_new = new_changed.count()
-
-    global_row = old_toc.filter(F.col("facet") == "all")
-    kept_list = F.filter(
-        F.col("page_docs"),
-        lambda d: ~F.array_contains(changed_uris, d["uri"]),
+        ).alias("_adds"),
+        F.count(F.lit(1)).alias("_n_new"),
     )
-    new_list = (
-        F.sort_array(F.concat(kept_list, new_structs))
-        if new_structs is not None
-        else F.sort_array(kept_list)
-    )
-    global_row = global_row.select(
-        "facet",
-        "value",
-        (F.col("n_docs") - F.lit(n_old) + F.lit(n_new)).alias("n_docs"),
-        new_list.alias("page_docs"),
+    global_row = (
+        old_toc.filter(F.col("facet") == "all")
+        .crossJoin(F.broadcast(retract))
+        .crossJoin(F.broadcast(apply_))
+        .select(
+            "facet",
+            "value",
+            (F.col("n_docs") - F.col("_n_old") + F.col("_n_new")).alias(
+                "n_docs"
+            ),
+            F.sort_array(
+                F.concat(
+                    F.filter(
+                        F.col("page_docs"),
+                        lambda d: ~F.array_contains(F.col("_gone"), d["uri"]),
+                    ),
+                    F.col("_adds"),
+                )
+            ).alias("page_docs"),
+        )
     )
 
     untouched = old_toc.filter(F.col("facet") != "all").join(
@@ -144,19 +153,28 @@ def incremental_feeds(
     page_size: int = 25,
 ) -> DataFrame:
     """New per-lang feeds table: affected feeds (langs of old+new changed
-    rows) recomputed exactly from a lang-pruned scan; others carried over."""
-    langs = [
-        r["lang"]
-        for r in old_changed.select("lang")
+    rows) recomputed exactly from a lang-pruned scan; others carried over.
+    A NULL lang is its own feed (feeds_topk windows NULL as a group): it is
+    recomputed when any changed row has NULL lang and carried over
+    otherwise — a plain ``isin`` would silently drop it on both paths."""
+    changed_langs = (
+        old_changed.select("lang")
         .unionByName(new_changed.select("lang"))
         .distinct()
         .collect()
-        if r["lang"] is not None
-    ]
-    recomputed = feeds_topk(
-        docmeta_full.filter(F.col("lang").isin(langs)), page_size
     )
-    untouched = old_feeds.filter(~F.col("feed").isin(langs))
+    langs = [r["lang"] for r in changed_langs if r["lang"] is not None]
+    null_changed = any(r["lang"] is None for r in changed_langs)
+
+    recompute_cond = F.col("lang").isin(langs)
+    if null_changed:
+        recompute_cond = recompute_cond | F.col("lang").isNull()
+    recomputed = feeds_topk(docmeta_full.filter(recompute_cond), page_size)
+
+    keep_cond = F.col("feed").isNotNull() & ~F.col("feed").isin(langs)
+    if not null_changed:
+        keep_cond = keep_cond | F.col("feed").isNull()
+    untouched = old_feeds.filter(keep_cond)
     return untouched.unionByName(recomputed)
 
 

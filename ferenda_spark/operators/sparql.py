@@ -97,9 +97,12 @@ Compilation strategy (scale notes):
 
 Deliberate departures from full SPARQL semantics (documented, not bugs):
 unbound-variable comparisons are SQL-NULL (row dropped) rather than
-type-error; numeric comparison applies when an operand side is numeric
-(both cast to double); no named graphs and no SPARQL Update (the
-reference's shipped queries use neither); subqueries nest one level.
+type-error; numeric comparison applies when an operand side is numeric —
+both sides ``try_cast`` to double, so a non-numeric binding becomes NULL
+and that row drops, matching SPARQL's expression-error-eliminates-row rule
+(under ANSI Spark a plain cast would abort the whole job instead); no
+named graphs beyond GRAPH-as-context and no SPARQL Update (the reference's
+shipped queries use neither); subqueries nest one level.
 """
 
 from __future__ import annotations
@@ -1207,6 +1210,12 @@ def _join_group(
 
     for sq in group.subqueries:
         sdf, svars, snull = _solutions(triples, pos_triples, sq)
+        sq_bind_overlap = set(svars) & {v for v, _e in group.binds}
+        if sq_bind_overlap:
+            raise SparqlUnsupportedError(
+                "subquery sharing a BIND variable of the same group: "
+                f"{sorted(sq_bind_overlap)}"
+            )
         if df is None:
             df, bound, nullable = sdf, set(svars), set(snull)
             continue
@@ -1308,8 +1317,17 @@ def _join_group(
         bound |= ovars
 
     assert df is not None
+    # BINDs apply after the joins below; a bind variable referenced inside
+    # EXISTS/MINUS would silently lose its correlation (treated as a free
+    # variable) — refuse the shape instead of returning wrong rows
+    bind_names = {v for v, _e in group.binds}
     for negated, sub in group.exists:
         sdf, svars, snull = _join_group(triples, pos_triples, sub)
+        if svars & bind_names:
+            raise SparqlUnsupportedError(
+                "EXISTS referencing a BIND variable of the same group: "
+                f"{sorted(svars & bind_names)}"
+            )
         on = sorted(svars & bound)
         if not on:
             raise SparqlUnsupportedError(
@@ -1328,6 +1346,11 @@ def _join_group(
         df = df.join(sdf, on=on, how="left_anti" if negated else "left_semi")
     for sub in group.minuses:
         sdf, svars, snull = _join_group(triples, pos_triples, sub)
+        if svars & bind_names:
+            raise SparqlUnsupportedError(
+                "MINUS referencing a BIND variable of the same group: "
+                f"{sorted(svars & bind_names)}"
+            )
         on = sorted(svars & bound)
         if not on:
             # SPARQL MINUS semantics: solutions with disjoint variable
@@ -1397,7 +1420,7 @@ def _compile_filter(ast, bound: set[str]) -> F.Column:
         lc, lnum = _value(lt, bound)
         rc, rnum = _value(rt, bound)
         if lnum or rnum:  # numeric comparison per SPARQL operand typing
-            lc, rc = lc.cast("double"), rc.cast("double")
+            lc, rc = lc.try_cast("double"), rc.try_cast("double")
         return {
             "=": lc == rc, "!=": lc != rc, "<": lc < rc,
             ">": lc > rc, "<=": lc <= rc, ">=": lc >= rc,
@@ -1482,13 +1505,13 @@ def _value(ast, bound: set[str]) -> tuple[F.Column, bool]:
         return _value(ast[1], bound)[0], False
     if kind == "arith":
         _, op, lt, rt = ast
-        lc = _value(lt, bound)[0].cast("double")
-        rc = _value(rt, bound)[0].cast("double")
+        lc = _value(lt, bound)[0].try_cast("double")
+        rc = _value(rt, bound)[0].try_cast("double")
         return {
             "+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc,
         }[op], True
     if kind == "neg":
-        return -_value(ast[1], bound)[0].cast("double"), True
+        return -_value(ast[1], bound)[0].try_cast("double"), True
     if kind in ("ucase", "lcase"):
         c, _ = _value(ast[1], bound)
         return (F.upper if kind == "ucase" else F.lower)(c), False
@@ -1543,7 +1566,7 @@ def _value(ast, bound: set[str]) -> tuple[F.Column, bool]:
         ec, en = _value(ast[3], bound)
         return F.when(cond, tc).otherwise(ec), tn and en
     if kind in ("abs", "round", "floor", "ceil"):
-        c = _value(ast[1], bound)[0].cast("double")
+        c = _value(ast[1], bound)[0].try_cast("double")
         return {
             "abs": F.abs, "round": F.round, "floor": F.floor, "ceil": F.ceil,
         }[kind](c), True
@@ -1614,11 +1637,11 @@ def _agg_column(a: AggItem, bound: set[str]) -> F.Column:
         else:
             c = F.count(col)
     elif a.fn == "sum":
-        c = (F.sum_distinct if a.distinct else F.sum)(col.cast("double"))
+        c = (F.sum_distinct if a.distinct else F.sum)(col.try_cast("double"))
     elif a.fn == "avg":
         if a.distinct:
             raise SparqlUnsupportedError("AVG(DISTINCT) not supported")
-        c = F.avg(col.cast("double"))
+        c = F.avg(col.try_cast("double"))
     elif a.fn == "min":
         c = F.min(col)
     elif a.fn == "max":

@@ -137,11 +137,14 @@ def compact_table(
       the part_key layout exists precisely so a partition fits a task);
     - unpartitioned tables: repartition to ceil(bytes / target_file_bytes).
 
-    The rewrite goes through the same dynamic-partition-overwrite path as
-    stage writes, so a crash mid-compaction leaves every partition either
-    old or compacted — never missing. With the iceberg format this should
-    instead call the engine-native ``rewrite_data_files`` procedure; this
-    helper refuses rather than guessing at snapshot semantics.
+    Crash safety: the compacted copy is written to a ``.compacting``
+    sibling first, then swapped in (delete + rename). The original is
+    never touched until the full compacted copy is durable; a crash in the
+    swap window leaves the data intact at the sibling path (the error
+    message names it) — at no point does the only copy live in volatile
+    executor storage. With the iceberg format this should instead call the
+    engine-native ``rewrite_data_files`` procedure; this helper refuses
+    rather than guessing at snapshot semantics.
 
     Returns {files_before, files_after, bytes}."""
     if table_format(spark) == "iceberg":
@@ -149,18 +152,21 @@ def compact_table(
             "use Iceberg's rewrite_data_files procedure for iceberg tables"
         )
     n_before, total = table_file_stats(spark, path)
-    # cut the plan's lineage to the path being rewritten (Spark refuses to
-    # overwrite a path it is reading from); the checkpoint materialization
-    # is the same cost class as the rewrite itself
-    df = spark.read.parquet(path).localCheckpoint(eager=True)
-    try:
-        if partition_by:
-            out = df.repartition(*[F.col(c) for c in partition_by])
-            out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-        else:
-            n_target = max(1, -(-total // target_file_bytes))
-            df.repartition(n_target).write.mode("overwrite").parquet(path)
-    finally:
-        df.unpersist()
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compacting"
+    if partition_by:
+        out = df.repartition(*[F.col(c) for c in partition_by])
+        out.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+    else:
+        n_target = max(1, -(-total // target_file_bytes))
+        df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.delete(hpath, True):
+        raise IOError(f"could not remove {path}; compacted copy is at {tmp}")
+    if not fs.rename(htmp, hpath):
+        raise IOError(f"swap failed; compacted table is intact at {tmp}")
     n_after, _ = table_file_stats(spark, path)
     return {"files_before": n_before, "files_after": n_after, "bytes": total}

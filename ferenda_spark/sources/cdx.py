@@ -36,23 +36,26 @@ _CDX_JSON_SCHEMA = (
 def read_cdx_index(spark: SparkSession, path: str) -> DataFrame:
     """Directory/glob of cdx(.gz) files → (urlkey, capture_ts, url, status,
     mime, digest, warc_filename, warc_offset, warc_length)."""
+    # try_* variants throughout: under ANSI Spark, element_at on a short
+    # line or a cast of a non-numeric status ('-' in revisit records) would
+    # abort the job; the contract here is errors-as-NULL
     parts = F.split(F.col("value"), " ", 3)
-    js = F.from_json(F.element_at(parts, 3), _CDX_JSON_SCHEMA)
+    js = F.from_json(F.try_element_at(parts, F.lit(3)), _CDX_JSON_SCHEMA)
     return (
         spark.read.text(path)
         .filter(F.length(F.trim(F.col("value"))) > 0)
         .select(
-            F.element_at(parts, 1).alias("urlkey"),
+            F.try_element_at(parts, F.lit(1)).alias("urlkey"),
             F.try_to_timestamp(
-                F.element_at(parts, 2), F.lit("yyyyMMddHHmmss")
+                F.try_element_at(parts, F.lit(2)), F.lit("yyyyMMddHHmmss")
             ).alias("capture_ts"),
             js["url"].alias("url"),
-            js["status"].cast("int").alias("status"),
+            js["status"].try_cast("int").alias("status"),
             js["mime"].alias("mime"),
             js["digest"].alias("digest"),
             js["filename"].alias("warc_filename"),
-            js["offset"].cast("bigint").alias("warc_offset"),
-            js["length"].cast("bigint").alias("warc_length"),
+            js["offset"].try_cast("bigint").alias("warc_offset"),
+            js["length"].try_cast("bigint").alias("warc_length"),
         )
     )
 

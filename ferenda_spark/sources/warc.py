@@ -95,6 +95,14 @@ def parse_warc_bytes(raw: bytes, source: str) -> Iterator[dict]:
                 "lang": None, "warc_error": "missing Content-Length",
             }
             return
+        if length < 0:
+            # a negative length would move pos BACKWARDS — a crafted or
+            # corrupt record must not be able to loop the parser forever
+            yield {
+                "url": source, "warc_ts": None, "html": None, "text": None,
+                "lang": None, "warc_error": "negative Content-Length",
+            }
+            return
         body_start = hdr_end + 4
         body_end = body_start + length
         if body_end > n:

@@ -92,3 +92,14 @@ def test_read_jsonl_corpus(spark, tmp_path):
         parse_stage(read_jsonl_corpus(spark, str(p)), n_parts=2)
     )
     assert docs.count() == 3
+
+
+def test_null_text_is_dropped(spark):
+    """Extraction failures leave text NULL — those docs must NOT pass the
+    keep/drop gate silently."""
+    df = apply_curation(
+        spark.createDataFrame([(1, None), (2, GOOD)], "id int, text string")
+    )
+    got = {r.id: (r.keep, list(r.reasons)) for r in df.collect()}
+    assert got[1][0] is False and "too_short" in got[1][1]
+    assert got[2] == (True, [])

@@ -111,3 +111,31 @@ def test_invalidated_docs(spark):
     changed = spark.createDataFrame([("y",)], "uri string")
     got = sorted(r.uri for r in invalidated_docs(deps, changed).collect())
     assert got == ["a", "b"]
+
+
+def test_incremental_feeds_null_lang(spark):
+    """A NULL lang is its own feed: it must be carried over when untouched
+    and recomputed when a NULL-lang doc changes — never silently dropped."""
+    base = BASE + [("n1", "N1", "2011-06-01", None), ("n2", "N2", "2012-06-01", None)]
+    old_feeds = feeds_topk(_dm(spark, base), page_size=5)
+
+    # change only an 'en' doc → the NULL feed must be carried over intact
+    ch_old, ch_new = [BASE[0]], [("u0", "ZZ0", "2013-01-01", "en")]
+    full1 = [r for r in base if r[0] != "u0"] + ch_new
+    got1 = incremental_feeds(
+        _dm(spark, full1), _dm(spark, ch_old), _dm(spark, ch_new),
+        old_feeds, page_size=5,
+    )
+    want1 = feeds_topk(_dm(spark, full1), page_size=5)
+    key = lambda r: (r.feed or "", r.rn, r.uri)  # noqa: E731
+    assert sorted(map(key, got1.collect())) == sorted(map(key, want1.collect()))
+
+    # change a NULL-lang doc → the NULL feed must be recomputed
+    ch_old2, ch_new2 = [base[-1]], [("n2", "N2X", "2014-06-01", None)]
+    full2 = [r for r in base if r[0] != "n2"] + ch_new2
+    got2 = incremental_feeds(
+        _dm(spark, full2), _dm(spark, ch_old2), _dm(spark, ch_new2),
+        old_feeds, page_size=5,
+    )
+    want2 = feeds_topk(_dm(spark, full2), page_size=5)
+    assert sorted(map(key, got2.collect())) == sorted(map(key, want2.collect()))

@@ -862,3 +862,50 @@ def test_iri_constructor_and_hashes(spark, graph):
         "FILTER(sameTerm(?u, <http://ex.org/d1#meta>)) }",
     ).collect()
     assert [r.d for r in got2] == ["http://ex.org/d1"]
+
+
+def test_numeric_ops_drop_nonnumeric_rows(spark):
+    """SPARQL expression-error semantics under ANSI Spark: a numeric op on
+    a non-numeric term eliminates the ROW (try_cast → NULL), it must not
+    abort the job."""
+    rows = [
+        ("s1", "p:n", "5", False),
+        ("s2", "p:n", "abc", False),
+        ("s3", "p:n", "40", False),
+    ]
+    g = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_uri boolean"
+    )
+    got = sparql_select(
+        g, "SELECT ?s WHERE { ?s ?p ?n . FILTER(?n > 9) }"
+    ).collect()
+    assert [r.s for r in got] == ["s3"]
+    got2 = sparql_select(
+        g,
+        "SELECT (SUM(?n) AS ?t) (COUNT(*) AS ?c) WHERE { ?s ?p ?n } "
+        "GROUP BY ?p",
+    ).collect()
+    assert [(r.t, r.c) for r in got2] == [(45.0, 3)]  # 'abc' → NULL, skipped
+    got3 = sparql_select(
+        g,
+        "SELECT ?s ?d WHERE { ?s ?p ?n . BIND(?n * 2 AS ?d) }",
+    ).collect()
+    assert sorted((r.s, r.d) for r in got3) == [
+        ("s1", "10.0"), ("s2", None), ("s3", "80.0"),
+    ]
+
+
+def test_bind_var_in_exists_refused(spark, graph):
+    with pytest.raises(SparqlUnsupportedError):
+        sparql_select(
+            graph,
+            PREFIX + "SELECT ?d WHERE { ?d dcterms:title ?t . "
+            "BIND(ucase(?t) AS ?u) "
+            "FILTER EXISTS { ?d dcterms:title ?u } }",
+        )
+    with pytest.raises(SparqlUnsupportedError):
+        sparql_select(
+            graph,
+            PREFIX + "SELECT ?d WHERE { ?d dcterms:title ?t . "
+            "BIND(ucase(?t) AS ?u) MINUS { ?d dcterms:title ?u } }",
+        )

@@ -191,3 +191,39 @@ def test_cdx_plan_range_read_roundtrip(spark, tmp_path):
     }
     for r in got:
         assert bytes(r.html) == full[r.url]
+
+
+def test_negative_content_length_terminates(spark):
+    """A crafted negative Content-Length must yield an error row, not loop
+    the parser (pos would move backwards)."""
+    from ferenda_spark.sources.warc import parse_warc_bytes
+
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://a.example/x\r\n"
+        b"Content-Length: -46\r\n\r\nHTTP/1.1 200 OK\r\n\r\nboom"
+    )
+    out = list(parse_warc_bytes(rec, "evil.warc"))
+    assert len(out) == 1 and out[0]["warc_error"] == "negative Content-Length"
+
+
+def test_cdx_short_and_revisit_lines(spark, tmp_path):
+    """Short lines (fewer than 3 fields) and revisit-style '-' status must
+    become NULL-field rows under ANSI Spark, not job failures."""
+    from ferenda_spark.sources.cdx import read_cdx_index
+
+    lines = [
+        "short",
+        "two tokens",
+        'com,example,r)/ 20260301120000 {"url": "https://r.example/", '
+        '"mime": "warc/revisit", "status": "-", "digest": "RRR", '
+        '"length": "not-a-number", "offset": "10", "filename": "c.warc.gz"}',
+    ]
+    p = tmp_path / "cdx-short"
+    p.write_text("\n".join(lines))
+    rows = read_cdx_index(spark, str(p)).collect()
+    assert len(rows) == 3
+    by_key = {r.urlkey: r for r in rows}
+    assert by_key["short"].url is None and by_key["short"].capture_ts is None
+    rv = by_key["com,example,r)/"]
+    assert rv.status is None and rv.warc_length is None and rv.warc_offset == 10
