@@ -942,6 +942,16 @@ def _q_chunk_dedup(spark, sf_dir):
     )
 
 
+def _q_chunk_dedup_clean(spark, sf_dir):
+    """Boilerplate-removed text reassembly: every doc's surviving 8-token
+    chunks re-joined in order — the oracle reproduces the kept-set AND the
+    reassembled bytes exactly."""
+    from ferenda_spark.operators.dedup import dedup_clean_text
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_clean_text(d, "text", "doc_id", n=8)
+
+
 def _q_dup_chunk_topk(spark, sf_dir):
     """Top-10 most boilerplate-heavy docs by duplicate-chunk fraction
     (Gopher/C4-style repetition signal at chunk granularity)."""
@@ -1315,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "chunk_dedup_stats": _q_chunk_dedup,
         "dup_chunk_topk": _q_dup_chunk_topk,
+        "chunk_dedup_clean": _q_chunk_dedup_clean,
         "url_normalize_stats": _q_url_normalize,
         "incremental_toc_counts": _q_incremental_toc,
         "fulltext_search": _q_fulltext_search,
@@ -1859,6 +1870,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_kept
             FROM ranked GROUP BY lang
+        """,
+        "chunk_dedup_clean": """
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents),
+            expl AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)))
+                           AS pos
+                FROM base),
+            chunks AS (
+                SELECT doc_id, pos,
+                       array_to_string(
+                           list_slice(toks, pos * 8 + 1, pos * 8 + 8), ' ')
+                           AS chunk
+                FROM expl),
+            ranked AS (
+                SELECT doc_id, pos, chunk,
+                       row_number() OVER (PARTITION BY chunk
+                                          ORDER BY doc_id, pos) AS rn
+                FROM chunks),
+            rebuilt AS (
+                SELECT doc_id,
+                       string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+                       CAST(count(*) AS BIGINT) AS n_kept_chunks
+                FROM ranked WHERE rn = 1 GROUP BY doc_id)
+            SELECT d.doc_id AS id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   CAST(coalesce(r.n_kept_chunks, 0) AS BIGINT)
+                       AS n_kept_chunks
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
         """,
         "dup_chunk_topk": """
             WITH base AS (

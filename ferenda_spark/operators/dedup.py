@@ -468,3 +468,38 @@ def duplicate_chunk_fraction(
             F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6),
         )
     )
+
+
+def dedup_clean_text(
+    df: DataFrame, text_col: str, id_col: str, n: int = 64
+) -> DataFrame:
+    """Boilerplate-removed corpus: each doc's text reassembled from the
+    chunks that SURVIVED global keep-first dedup (drop_duplicate_chunks),
+    in original order. Docs whose every chunk was boilerplate come back
+    with empty text (kept as rows — dropping them is the curation
+    filter's decision, not dedup's).
+
+    Two exchanges total: the chunk-fingerprint window shuffle, then a
+    groupBy(id) to reassemble — both on bounded keys. Output:
+    (id, clean_text, n_kept_chunks)."""
+    kept = drop_duplicate_chunks(df, text_col, id_col, n)
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("pos"), F.col("chunk")))
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept_chunks"),
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        ids.join(rebuilt, "id", "left")
+        .withColumn("clean_text", F.coalesce("clean_text", F.lit("")))
+        .withColumn(
+            "n_kept_chunks", F.coalesce("n_kept_chunks", F.lit(0))
+        )
+    )

@@ -110,3 +110,17 @@ def test_normalize_url_column_and_python_twin_agree(spark):
     assert got[3] == "http://a.example:8080/y"
     assert got[4] == "ftp://mixed.case/z"
     assert got[5] == "no-scheme/relative?x#y"
+
+
+def test_dedup_clean_text(spark):
+    from ferenda_spark.operators.dedup import dedup_clean_text
+
+    rows = [(1, "x y z a b c"), (2, "x y z x y z"), (3, "q r s")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: (r.clean_text, r.n_kept_chunks)
+        for r in dedup_clean_text(df, "text", "id", n=3).collect()
+    }
+    assert got[1] == ("x y z a b c", 2)  # first occurrence keeps everything
+    assert got[2] == ("", 0)  # all chunks were boilerplate → empty, kept
+    assert got[3] == ("q r s", 1)
