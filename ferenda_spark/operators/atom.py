@@ -52,13 +52,23 @@ def _entry_xml(e: Column) -> Column:
 
 
 def atom_feeds(feeds: DataFrame, base_url: str) -> DataFrame:
-    """feeds_topk table → (feed, page, n_entries, updated, atom_xml).
+    """feeds_topk table → ([facet,] feed, page, n_entries, updated,
+    atom_xml).
+
+    Multi-facet feedsets (reference: news_feedsets — one feed per facet
+    value of EVERY feed facet): when the input carries a ``facet`` column
+    the feed identity is (facet, feed) and hrefs are facet-scoped
+    (…/feed/<facet>/<value>/<page>.atom), so same-valued feeds of different
+    facets never collide. A facet-less input (single implicit feedset)
+    keeps the round-1 schema and URLs.
 
     Per Atom semantics: feed ``updated`` = newest entry timestamp on the
     page; entries newest-first (the input's ``rn`` order); ``prev-archive``
     / ``next-archive`` links stitch the pages of one feed together."""
+    has_facet = "facet" in feeds.columns
+    keys = ["facet", "feed"] if has_facet else ["feed"]
     pages = (
-        feeds.groupBy("feed", "page")
+        feeds.groupBy(*keys, "page")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("rn", "uri", "title", "issued"))
@@ -67,12 +77,15 @@ def atom_feeds(feeds: DataFrame, base_url: str) -> DataFrame:
             F.max(F.col("issued")).alias("max_issued"),
         )
     )
-    npages = feeds.groupBy("feed").agg(F.max("page").alias("last_page"))
-    pages = pages.join(F.broadcast(npages), "feed")
+    npages = feeds.groupBy(*keys).agg(F.max("page").alias("last_page"))
+    pages = pages.join(F.broadcast(npages), keys)
 
     def href(page_col: Column) -> Column:
+        segs: list[Column] = [F.lit(base_url + "/feed/")]
+        if has_facet:
+            segs += [F.col("facet"), F.lit("/")]
         return F.concat(
-            F.lit(base_url + "/feed/"), F.col("feed"),
+            *segs, F.col("feed"),
             F.lit("/"), page_col.cast("string"), F.lit(".atom"),
         )
 
@@ -106,7 +119,7 @@ def atom_feeds(feeds: DataFrame, base_url: str) -> DataFrame:
         F.lit("</feed>"),
     )
     return pages.select(
-        "feed", "page", "n_entries",
+        *keys, "page", "n_entries",
         F.date_format(F.col("max_issued"), TS_FMT).alias("updated"),
         xml.alias("atom_xml"),
     )

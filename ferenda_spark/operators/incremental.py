@@ -7,7 +7,10 @@ relate_dependencies, parseifneeded]); `toc`/`news` then regenerate only
 stale pages. This module is that mechanism restated at partition/bucket
 granularity for the A1/W1 rollup tables: after an incremental ingest
 changes a small set of docs, update the materialized rollups touching only
-the affected buckets instead of re-aggregating the corpus.
+the affected buckets instead of re-aggregating the corpus. Both operators
+are parameterized by the same declarative Facet list as the full rollups
+(ferenda_spark.facets) — the reference's toc/news are Facet-driven, and so
+is their maintenance.
 
 Correctness model (tested against full recompute in
 tests/test_incremental.py):
@@ -16,22 +19,27 @@ tests/test_incremental.py):
   them) and of its NEW facet values (it must appear there). Both inputs are
   therefore required: the changed docs' previous docmeta rows (empty for
   inserts) and their new rows (empty for deletes).
-- per-facet buckets (letter/year/lang) are recomputed EXACTLY from the rows
-  currently contributing to them — `docmeta_full` filtered by pushed-down
-  `isin` predicates over the affected values. The facet-value space is
-  vocabulary-sized (letters/years/langs) so the collected predicate lists
-  are tiny by construction; the recompute scan reads only matching rows.
-- the global ('all', '*') row is maintained ALGEBRAICALLY (count retract/
-  apply + list surgery) because recomputing it exactly would read the full
-  corpus — counts are abelian, the doc list is filtered/extended/re-sorted
-  with array expressions over the old row. At web scale a global doc list
-  is a design smell anyway; it is kept because the reference's toc has it.
-- feeds: a per-lang feed is recomputed exactly when any changed doc touches
-  that lang (old or new row); other feeds' rows are carried over untouched.
-  The global "main" feed is NOT maintained here — the caller reruns
-  ``rollups.feed_main(docmeta_full)`` at write time: it compiles to
-  TakeOrderedAndProject (per-partition top-k, no shuffle), so an
-  incremental path would add complexity without removing any cost.
+- per-facet buckets are recomputed EXACTLY from the rows currently
+  contributing to them — `docmeta_full` filtered by pushed-down `isin`
+  predicates over the affected values. The facet-value space is
+  vocabulary-sized so the collected predicate lists are tiny by
+  construction; the recompute scan reads only matching rows.
+- the global ('all', '*') row: the COUNT is maintained algebraically
+  (retract/apply — counts are abelian). The capped page list
+  (rollups.toc_rollup bounds it to global_cap via TakeOrderedAndProject)
+  is maintained by list surgery: filter retracted uris out of the old list,
+  append the added docs, re-sort, re-cap. Under the cap this is exact for
+  inserts; a deletion inside the capped window cannot resurrect the
+  (cap+1)-th doc from a capped list, so after deletions the global list may
+  run up to |deleted| short until the next full rollup — counts stay exact,
+  and the per-facet buckets (the ones toc pages actually navigate) are
+  always exact.
+- feeds: a (facet, feed) feedset is recomputed exactly when any changed doc
+  touches that feed's value (old or new row); other feeds' rows are carried
+  over untouched. The global "main" feed is NOT maintained here — the
+  caller reruns ``rollups.feed_main(docmeta_full)`` at write time: it
+  compiles to TakeOrderedAndProject (per-partition top-k, no shuffle), so
+  an incremental path would add complexity without removing any cost.
 
 Scale: the expensive full rollup is a grouping-sets shuffle over every doc;
 the incremental path shuffles only docs whose facet values intersect the
@@ -44,27 +52,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ferenda_spark.facets import DEFAULT_FACETS, Facet, feed_facets, toc_facets
 from ferenda_spark.operators.rollups import (
     facet_columns,
     feeds_topk,
     toc_rollup,
 )
 
-_FACETS = ("letter", "year", "lang")
-
 
 def affected_buckets(
-    old_changed: DataFrame, new_changed: DataFrame
+    old_changed: DataFrame,
+    new_changed: DataFrame,
+    facets: tuple[Facet, ...] = DEFAULT_FACETS,
 ) -> DataFrame:
     """(facet, value) buckets touched by a change set — the facet values of
     the changed docs' old AND new rows. Vocabulary-sized by construction."""
-    both = facet_columns(old_changed).unionByName(facet_columns(new_changed))
+    tf = toc_facets(facets)
+    both = facet_columns(old_changed, facets).unionByName(
+        facet_columns(new_changed, facets)
+    )
     legs = [
         both.select(
-            F.lit(facet).alias("facet"),
-            F.col(facet).cast("string").alias("value"),
+            F.lit(fc.name).alias("facet"),
+            F.col(fc.name).cast("string").alias("value"),
         )
-        for facet in _FACETS
+        for fc in tf
     ]
     out = legs[0]
     for leg in legs[1:]:
@@ -77,32 +89,39 @@ def incremental_toc(
     old_changed: DataFrame,
     new_changed: DataFrame,
     old_toc: DataFrame,
+    facets: tuple[Facet, ...] = DEFAULT_FACETS,
+    global_cap: int = 10_000,
 ) -> DataFrame:
     """New toc table = old_toc with the affected buckets replaced by exact
-    recomputes and the global row maintained algebraically. ``docmeta_full``
-    is the CURRENT corpus docmeta (new rows already applied)."""
-    buckets = affected_buckets(old_changed, new_changed)
-    vals = {facet: [] for facet in _FACETS}
+    recomputes and the global row maintained algebraically (count exact,
+    capped list via surgery — see module docstring). ``docmeta_full`` is
+    the CURRENT corpus docmeta (new rows already applied)."""
+    tf = toc_facets(facets)
+    buckets = affected_buckets(old_changed, new_changed, facets)
+    vals: dict[str, list[str]] = {fc.name: [] for fc in tf}
     for r in buckets.collect():  # vocabulary-sized (see module docstring)
         vals[r["facet"]].append(r["value"])
 
-    f = facet_columns(docmeta_full)
+    f = facet_columns(docmeta_full, facets)
     cond = F.lit(False)
-    for facet in _FACETS:
-        if vals[facet]:
-            cond = cond | F.col(facet).cast("string").isin(vals[facet])
-    recomputed = (
-        toc_rollup(f.filter(cond).drop("letter", "year"))
-        .join(F.broadcast(buckets), ["facet", "value"], "left_semi")
+    for fc in tf:
+        if vals[fc.name]:
+            cond = cond | F.col(fc.name).cast("string").isin(vals[fc.name])
+    # filter on the faceted frame, then project back to the ORIGINAL
+    # docmeta columns: toc_rollup re-derives facets itself, and feeding it
+    # already-derived columns would double-apply self-referencing selectors
+    pruned = f.filter(cond).select(*docmeta_full.columns)
+    recomputed = toc_rollup(pruned, facets, global_cap).join(
+        F.broadcast(buckets), ["facet", "value"], "left_semi"
     )
 
     # global row: retract old contributions, apply new ones. The change
     # set is aggregated EXECUTOR-side into two single-row frames (a
     # collect_set of retracted uris, a collect_list of added doc structs)
     # and cross-joined onto the one global row — no driver-side literals,
-    # so the plan size is independent of how many docs changed. The
-    # resulting arrays still live in one row; that is the global doc list's
-    # own scalability ceiling (see module docstring), not this operator's.
+    # so the plan size is independent of how many docs changed. The arrays
+    # in flight are bounded by global_cap + |changes| (the stored list is
+    # capped and the result is re-capped below).
     retract = old_changed.agg(
         F.collect_set("uri").alias("_gone"),
         F.count(F.lit(1)).alias("_n_old"),
@@ -127,14 +146,20 @@ def incremental_toc(
             (F.col("n_docs") - F.col("_n_old") + F.col("_n_new")).alias(
                 "n_docs"
             ),
-            F.sort_array(
-                F.concat(
-                    F.filter(
-                        F.col("page_docs"),
-                        lambda d: ~F.array_contains(F.col("_gone"), d["uri"]),
-                    ),
-                    F.col("_adds"),
-                )
+            F.slice(
+                F.sort_array(
+                    F.concat(
+                        F.filter(
+                            F.col("page_docs"),
+                            lambda d: ~F.array_contains(
+                                F.col("_gone"), d["uri"]
+                            ),
+                        ),
+                        F.col("_adds"),
+                    )
+                ),
+                1,
+                global_cap,
             ).alias("page_docs"),
         )
     )
@@ -151,30 +176,62 @@ def incremental_feeds(
     new_changed: DataFrame,
     old_feeds: DataFrame,
     page_size: int = 25,
+    facets: tuple[Facet, ...] = DEFAULT_FACETS,
 ) -> DataFrame:
-    """New per-lang feeds table: affected feeds (langs of old+new changed
-    rows) recomputed exactly from a lang-pruned scan; others carried over.
-    A NULL lang is its own feed (feeds_topk windows NULL as a group): it is
-    recomputed when any changed row has NULL lang and carried over
-    otherwise — a plain ``isin`` would silently drop it on both paths."""
-    changed_langs = (
-        old_changed.select("lang")
-        .unionByName(new_changed.select("lang"))
-        .distinct()
-        .collect()
+    """New feedsets table: affected (facet, feed) feeds — the feed-facet
+    values of old+new changed rows — recomputed exactly from a value-pruned
+    scan; others carried over. A NULL feed value is its own feed
+    (feeds_topk windows NULL as a group): the null-safe joins below
+    recompute it when any changed row has a NULL value for that facet and
+    carry it over otherwise — a plain ``isin`` would silently drop it on
+    both paths."""
+    ff = feed_facets(facets)
+    changed = facet_columns(old_changed, facets).unionByName(
+        facet_columns(new_changed, facets)
     )
-    langs = [r["lang"] for r in changed_langs if r["lang"] is not None]
-    null_changed = any(r["lang"] is None for r in changed_langs)
+    legs = [
+        changed.select(
+            F.lit(fc.name).alias("facet"),
+            F.col(fc.name).cast("string").alias("feed"),
+        )
+        for fc in ff
+    ]
+    affected = legs[0]
+    for leg in legs[1:]:
+        affected = affected.unionByName(leg)
+    affected = affected.distinct()  # keeps NULL feed rows (distinct, not isin)
+    pairs = affected.collect()  # vocabulary-sized
+    by_facet: dict[str, list[str]] = {fc.name: [] for fc in ff}
+    null_changed: dict[str, bool] = {fc.name: False for fc in ff}
+    for r in pairs:
+        if r["feed"] is None:
+            null_changed[r["facet"]] = True
+        else:
+            by_facet[r["facet"]].append(r["feed"])
 
-    recompute_cond = F.col("lang").isin(langs)
-    if null_changed:
-        recompute_cond = recompute_cond | F.col("lang").isNull()
-    recomputed = feeds_topk(docmeta_full.filter(recompute_cond), page_size)
+    f = facet_columns(docmeta_full, facets)
+    scan_cond = F.lit(False)
+    for fc in ff:
+        leg_cond = F.col(fc.name).cast("string").isin(by_facet[fc.name])
+        if null_changed[fc.name]:
+            leg_cond = leg_cond | F.col(fc.name).isNull()
+        scan_cond = scan_cond | leg_cond
+    # the pruned scan includes every doc contributing to ANY affected feed;
+    # docs in it also contribute partial rows to UNaffected feeds of other
+    # facets — the semi-join keeps only fully-recomputed feeds. (Filter on
+    # the faceted frame, project back to original columns: feeds_topk
+    # re-derives facets itself.)
+    pruned = f.filter(scan_cond).select(*docmeta_full.columns)
+    recomputed = feeds_topk(pruned, page_size, facets)
+    on = (recomputed["facet"] == affected["facet"]) & recomputed[
+        "feed"
+    ].eqNullSafe(affected["feed"])
+    recomputed = recomputed.join(F.broadcast(affected), on, "left_semi")
 
-    keep_cond = F.col("feed").isNotNull() & ~F.col("feed").isin(langs)
-    if not null_changed:
-        keep_cond = keep_cond | F.col("feed").isNull()
-    untouched = old_feeds.filter(keep_cond)
+    keep_on = (old_feeds["facet"] == affected["facet"]) & old_feeds[
+        "feed"
+    ].eqNullSafe(affected["feed"])
+    untouched = old_feeds.join(F.broadcast(affected), keep_on, "left_anti")
     return untouched.unionByName(recomputed)
 
 

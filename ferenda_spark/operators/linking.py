@@ -381,18 +381,28 @@ def link_mentions_onepass(
 
     s_min = 1.0 - threshold
     spark = mentions.sparkSession
-    entries = [
+    # sorted() makes the broadcast order deterministic regardless of
+    # collect()'s partition order; the exact tier below is a MULTIMAP so a
+    # dictionary with several canonical URIs per alias_key (an ambiguous
+    # alias) emits one link row per match — exactly what the tiered
+    # ``_exact_broadcast`` inner join does. A plain dict would silently
+    # collapse duplicates to the last-collected row (nondeterministic) and
+    # break the "row-identical to link_mentions" contract.
+    entries = sorted(
         (r["alias_key"], r["canonical_uri"], r["is_exact"])
         for r in dictionary.select(
             "alias_key", "canonical_uri", "is_exact"
         ).collect()
-    ]
+    )
     bc = spark.sparkContext.broadcast(entries)
 
     def _resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cached = _GRAM_INDEX_CACHE.get(id(bc.value))
         if cached is None or cached[0] is not bc.value or cached[1] != s_min:
-            exact = {k: u for k, u, ex in bc.value if ex}
+            exact: dict[str, list[str]] = {}
+            for k, u, ex in bc.value:
+                if ex:
+                    exact.setdefault(k, []).append(u)
             index = _GramIndex([(k, u) for k, u, _ in bc.value], s_min)
             _GRAM_INDEX_CACHE[id(bc.value)] = (bc.value, s_min, (exact, index))
         else:
@@ -400,16 +410,18 @@ def link_mentions_onepass(
         for pdf in batches:
             out_k, out_u, out_t = [], [], []
             for key in pdf["alias_key"]:
-                uri = exact.get(key)
-                if uri is not None:
-                    tier = "exact"
-                else:
-                    uri = index.probe(key, threshold)
-                    tier = "ngram"
+                uris = exact.get(key)
+                if uris is not None:
+                    for uri in uris:
+                        out_k.append(key)
+                        out_u.append(uri)
+                        out_t.append("exact")
+                    continue
+                uri = index.probe(key, threshold)
                 if uri is not None:
                     out_k.append(key)
                     out_u.append(uri)
-                    out_t.append(tier)
+                    out_t.append("ngram")
             yield pd.DataFrame(
                 {"alias_key": out_k, "canonical_uri": out_u, "tier": out_t}
             )

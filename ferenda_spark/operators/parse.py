@@ -130,41 +130,130 @@ def _parse_one(
 
 
 def _parse_batches(
-    batches: Iterator[pd.DataFrame], with_sections: bool = True
+    batches: Iterator[pd.DataFrame],
+    with_sections: bool = True,
+    metrics_acc=None,
 ) -> Iterator[pd.DataFrame]:
     from pyspark import TaskContext
 
     tc = TaskContext.get()
     pid = tc.partitionId() if tc is not None else -1
+    attempt = tc.attemptNumber() if tc is not None else 0
+    # task-local per-part_key totals, shipped ONCE via the accumulator when
+    # the input is exhausted (O(part_keys-per-task) tuples, not per-batch)
+    totals: dict[int, list[int]] = {}
     for pdf in batches:
-        t0 = time.monotonic()
-        rows = [
-            _parse_one(u, ts, h, lg, pk, with_sections)
-            for u, ts, h, lg, pk in zip(
-                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"], pdf["part_key"]
+        all_rows: list[dict] = []
+        # metrics are attributed per part_key: an Arrow batch can span
+        # part_keys (the stage is map-only, input partitioning is the
+        # upstream source's), so a single per-batch row keyed on the first
+        # row's part_key would mis-attribute n_in/bytes/wall
+        for pk, g in pdf.groupby("part_key", sort=False):
+            t0 = time.monotonic()
+            rows = [
+                _parse_one(u, ts, h, lg, pk_, with_sections)
+                for u, ts, h, lg, pk_ in zip(
+                    g["url"], g["warc_ts"], g["html"], g["lang"], g["part_key"]
+                )
+            ]
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            n_triples = sum(len(r["triples"]) for r in rows)
+            bytes_in = int(sum(len(b) for b in g["html"]))
+            rows.append(
+                dict(
+                    kind="metrics",
+                    url=None,
+                    part_key=int(pk),
+                    title=None, lang=None, issued=None, text_sha256=None,
+                    n_sections=None, n_paras=None,
+                    sections=None, triples=None, mentions=None,
+                    m_partition_id=pid,
+                    m_n_in=len(g),
+                    m_n_triples=n_triples,
+                    m_bytes_in=bytes_in,
+                    m_wall_ms=wall_ms,
+                )
             )
-        ]
-        wall_ms = int((time.monotonic() - t0) * 1000)
-        rows.append(
-            dict(
-                kind="metrics",
-                url=None,
-                part_key=int(pdf["part_key"].iloc[0]) if len(pdf) else None,
-                title=None, lang=None, issued=None, text_sha256=None,
-                n_sections=None, n_paras=None,
-                sections=None, triples=None, mentions=None,
-                m_partition_id=pid,
-                m_n_in=len(pdf),
-                m_n_triples=sum(len(r["triples"]) for r in rows),
-                m_bytes_in=int(sum(len(b) for b in pdf["html"])),
-                m_wall_ms=wall_ms,
-            )
+            if metrics_acc is not None:
+                t = totals.setdefault(int(pk), [0, 0, 0, 0])
+                t[0] += len(g)
+                t[1] += n_triples
+                t[2] += bytes_in
+                t[3] += wall_ms
+            all_rows.extend(rows)
+        if all_rows:
+            yield pd.DataFrame(all_rows)
+    if metrics_acc is not None and totals:
+        metrics_acc.add(
+            [
+                (pid, attempt, pk, t[0], t[1], t[2], t[3])
+                for pk, t in totals.items()
+            ]
         )
-        yield pd.DataFrame(rows)
+
+
+class ParseMetrics:
+    """Driver-side collector for the parse stage's in-UDF metrics (SURVEY
+    A5, north_rule "per-partition lineage + metrics").
+
+    The UDF ships one (partition_id, attempt, part_key, n_in, n_triples,
+    bytes_in, wall_ms) tuple per (task, part_key) through a Spark
+    accumulator when its input stream ends — so the metrics ride the SAME
+    single parse pass that writes the docs table, instead of a second pass
+    (which would re-parse) or a NULL re-aggregate (which loses bytes/wall).
+    Volume is O(tasks × part_keys-per-task) small tuples, never doc data.
+
+    Exactly-once: accumulator updates from transformations can be applied
+    once per SUCCESSFUL attempt, and stage retries / speculative execution
+    can complete the same partition twice — ``lineage_rows`` dedups by
+    keeping, per (partition_id, part_key), the highest attempt's tuple."""
+
+    def __init__(self, spark):
+        from pyspark import AccumulatorParam
+
+        class _P(AccumulatorParam):
+            def zero(self, v):
+                return []
+
+            def addInPlace(self, a, b):
+                a.extend(b)
+                return a
+
+        self.acc = spark.sparkContext.accumulator([], _P())
+
+    def add(self, tuples):  # worker side
+        self.acc.add(tuples)
+
+    def lineage_rows(self) -> list[tuple]:
+        """(partition_id, part_key, n_in, n_out, bytes_in, wall_ms) rows,
+        deduped across retried attempts."""
+        best: dict[tuple[int, int], tuple] = {}
+        for pid, attempt, pk, n_in, n_tr, b_in, wall in self.acc.value:
+            key = (pid, pk)
+            if key not in best or attempt > best[key][0]:
+                best[key] = (attempt, n_in, n_tr, b_in, wall)
+        return [
+            (pid, pk, v[1], v[2], v[3], v[4])
+            for (pid, pk), v in sorted(best.items())
+        ]
+
+    def lineage_df(self, spark, stage: str = "parse", run_id: str = "run") -> DataFrame:
+        rows = [
+            (stage, pk, pid, n_in, n_out, b_in, wall, run_id)
+            for pid, pk, n_in, n_out, b_in, wall in self.lineage_rows()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "stage string, part_key int, partition_id int, n_in long, "
+            "n_out long, bytes_in long, wall_ms long, run_id string",
+        )
 
 
 def parse_stage(
-    corpus: DataFrame, n_parts: int = 64, with_sections: bool = True
+    corpus: DataFrame,
+    n_parts: int = 64,
+    with_sections: bool = True,
+    metrics: ParseMetrics | None = None,
 ) -> DataFrame:
     """corpus (input_hint schema) → PARSED rows (docs + metrics).
 
@@ -179,11 +268,11 @@ def parse_stage(
     """
     with_key = corpus.withColumn("part_key", part_key_col(F.col("url"), n_parts))
     cols = ["url", "warc_ts", "html", "lang", "part_key"]
-    fn = (
-        _parse_batches
-        if with_sections
-        else (lambda it: _parse_batches(it, with_sections=False))
-    )
+    acc = metrics  # close over the wrapper; .add() goes through the accumulator
+
+    def fn(it):
+        return _parse_batches(it, with_sections=with_sections, metrics_acc=acc)
+
     return with_key.select(cols).mapInPandas(fn, schema=PARSED)
 
 

@@ -30,70 +30,136 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ferenda_spark.facets import DEFAULT_FACETS, Facet, feed_facets, toc_facets
 from ferenda_spark.schemas import P_REFERENCES, P_SUBJECT
 
 
 # --------------------------------------------------------------------- A1/A4
-def facet_columns(docmeta: DataFrame) -> DataFrame:
-    """Attach the reference's default Facet selector columns
-    ([ref: ferenda/facet.py :: Facet.firstletter, Facet.year]):
-    first-letter-of-title and year-of-issued."""
-    return docmeta.withColumn(
-        "letter", F.upper(F.substring(F.col("title"), 1, 1))
-    ).withColumn("year", F.substring(F.col("issued"), 1, 4).cast("int"))
+def facet_columns(
+    docmeta: DataFrame, facets: tuple[Facet, ...] = DEFAULT_FACETS
+) -> DataFrame:
+    """Attach one column per declared Facet ([ref: ferenda/facet.py ::
+    Facet; selector exprs evaluated JVM-side — adding a facet adds a
+    codegen'd projection column, never a UDF]). Defaults reproduce the
+    reference's firstletter/year/lang trio."""
+    out = docmeta
+    for facet in facets:
+        out = out.withColumn(facet.name, facet.col())
+    return out
 
 
-def toc_rollup(docmeta: DataFrame) -> DataFrame:
+def toc_rollup(
+    docmeta: DataFrame,
+    facets: tuple[Facet, ...] = DEFAULT_FACETS,
+    global_cap: int = 10_000,
+) -> DataFrame:
     """A1: toc pagesets as a grouping-sets rollup (north_star: "toc/feed
     aggregates as groupBy rollups"). One row per (facet, value) bucket with
-    the sorted doc list for the bucket's page set.
+    the sorted doc list for the bucket's page set, parameterized by the
+    user's Facet list (reference: toc_pagesets iterates Facet objects).
 
-    GROUPING SETS ((letter), (year), (lang), ()) in one pass — a single
+    GROUPING SETS ((f1), (f2), …) in one pass — a single
     Expand+HashAggregate; shuffle keyed on the tiny facet-value space.
+    grouping_id() (not isNotNull chains) identifies the bucket's facet, so
+    NULL facet values land in their own facet's bucket instead of leaking
+    into the global row.
+
+    The global ('all', '*') row is computed SEPARATELY and bounded: its
+    count is an exact corpus count, but its ``page_docs`` list is the
+    ``global_cap`` first docs by sort key via orderBy+limit — a
+    TakeOrderedAndProject (per-partition heap, driver merge), never an
+    unbounded collect_list: at 10^12 docs a whole-corpus doc list in one
+    aggregation row OOMs the executor. Browsing past ``global_cap`` rows
+    of an undifferentiated everything-list is not a toc use case; the
+    per-facet buckets stay complete.
     """
-    f = facet_columns(docmeta)
+    tf = toc_facets(facets)
+    f = facet_columns(docmeta, facets)
     docs_struct = F.struct(
         F.col("title").alias("sort_key"), F.col("uri"), F.col("title")
     )
-    return (
+    # gid of grouping set [[f_i]] over columns (f_0..f_{n-1}): every bit set
+    # except bit i (bit k = 1 means column k is aggregated away)
+    n = len(tf)
+    gid_of = {((1 << n) - 1) ^ (1 << (n - 1 - i)): fc.name for i, fc in enumerate(tf)}
+    facet_lbl = F.lit(None).cast("string")
+    value_col = F.lit(None).cast("string")
+    for gid, name in gid_of.items():
+        facet_lbl = F.when(F.col("_gid") == gid, F.lit(name)).otherwise(facet_lbl)
+        value_col = F.when(
+            F.col("_gid") == gid, F.col(name).cast("string")
+        ).otherwise(value_col)
+    per_facet = (
         f.groupingSets(
-            [[F.col("letter")], [F.col("year")], [F.col("lang")], []],
-            F.col("letter"), F.col("year"), F.col("lang"),
+            [[F.col(fc.name)] for fc in tf], *[F.col(fc.name) for fc in tf]
         )
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sort_array(F.collect_list(docs_struct)).alias("page_docs"),
+            F.grouping_id().alias("_gid"),
         )
-        .withColumn(
-            "facet",
-            F.when(F.col("letter").isNotNull(), F.lit("letter"))
-            .when(F.col("year").isNotNull(), F.lit("year"))
-            .when(F.col("lang").isNotNull(), F.lit("lang"))
-            .otherwise(F.lit("all")),
+        .select(
+            facet_lbl.alias("facet"),
+            value_col.alias("value"),
+            "n_docs",
+            "page_docs",
         )
-        .withColumn(
-            "value",
-            F.coalesce(
-                F.col("letter"), F.col("year").cast("string"), F.col("lang"),
-                F.lit("*"),
-            ),
-        )
-        .select("facet", "value", "n_docs", "page_docs")
     )
+    top_global = (
+        f.select(docs_struct.alias("d"))
+        .orderBy("d")
+        .limit(global_cap)
+        .agg(F.sort_array(F.collect_list("d")).alias("page_docs"))
+    )
+    global_row = (
+        f.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(top_global))
+        .select(
+            F.lit("all").alias("facet"),
+            F.lit("*").alias("value"),
+            "n_docs",
+            "page_docs",
+        )
+    )
+    return per_facet.unionByName(global_row)
 
 
 # --------------------------------------------------------------------- W1/W4
-def feeds_topk(docmeta: DataFrame, page_size: int = 25) -> DataFrame:
-    """W1: news feeds — per-facet-value feeds, newest first, paginated.
-    [ref: ferenda/documentrepository.py :: news_facet_entries,
-    news_generate_feeds]. Top-k per group via row_number; page number =
-    floor((rn-1)/page_size)."""
-    f = facet_columns(docmeta).withColumn("feed", F.col("lang"))
-    w = Window.partitionBy("feed").orderBy(F.desc("issued"), F.asc("uri"))
+def feeds_topk(
+    docmeta: DataFrame,
+    page_size: int = 25,
+    facets: tuple[Facet, ...] = DEFAULT_FACETS,
+) -> DataFrame:
+    """W1: news feedsets — ONE FEED PER (facet, value) of the feed facets
+    (reference: news_feedsets iterates the repo's Facet list, not just
+    language), newest first, paginated. Top-k per group via row_number;
+    page number = floor((rn-1)/page_size).
+
+    Multi-facet form: each doc is exploded into one row per feed facet
+    (|feed facets| ≈ 1-3, a constant fan-out), then a single window over
+    (facet, feed) ranks all feedsets in one shuffle. Feed keys are facet
+    values — vocabulary-sized, skew bounded by design."""
+    ff = feed_facets(facets)
+    f = facet_columns(docmeta, facets)
+    legs = F.array(
+        *[
+            F.struct(
+                F.lit(fc.name).alias("facet"),
+                F.col(fc.name).cast("string").alias("feed"),
+            )
+            for fc in ff
+        ]
+    )
+    w = Window.partitionBy("facet", "feed").orderBy(F.desc("issued"), F.asc("uri"))
     return (
-        f.withColumn("rn", F.row_number().over(w))
+        f.select(
+            F.explode(legs).alias("_fv"), "uri", "title", "issued"
+        )
+        .select(F.col("_fv.facet").alias("facet"), F.col("_fv.feed").alias("feed"),
+                "uri", "title", "issued")
+        .withColumn("rn", F.row_number().over(w))
         .withColumn("page", ((F.col("rn") - 1) / page_size).cast("int"))
-        .select("feed", "rn", "page", "uri", "title", "issued")
+        .select("facet", "feed", "rn", "page", "uri", "title", "issued")
     )
 
 

@@ -20,8 +20,10 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ferenda_spark.sources import catalog
 
 
 def dot(a, b) -> F.Column:
@@ -71,18 +73,32 @@ def build_ivf_index(
     """Assign every vector to its nearest of `n_cells` deterministic
     centroids. Returns (indexed df with `cell` column, centroids).
 
-    Centroid choice is a uniform systematic sample (ids sorted, every
-    N/n_cells-th) — deterministic across runs and cluster sizes, no
-    iterative k-means job. At 100 TB n_cells is O(√N); the centroid list
-    stays driver-small and broadcasts.
+    Centroid choice is a deterministic hash-mod sample: keep rows where
+    ``xxhash64(id) % stride == 0`` (expected ~2·n_cells candidates with the
+    halved stride below — oversampled so hash variance can't under-fill),
+    then the n_cells hash-smallest of those. No global sort anywhere: the
+    filter is a map-only projection and the orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition heap of n_cells rows + driver
+    merge) — the previous row_number-over-unpartitioned-Window pulled the
+    whole corpus through ONE task, a 100 TB scale-killer. Still
+    deterministic across runs AND cluster sizes (pure function of ids, no
+    partition-order dependence). At 100 TB n_cells is O(√N); the centroid
+    list stays driver-small and broadcasts.
     """
     n = df.count()
-    stride = max(n // n_cells, 1)
+    # oversample ~2x so the hash-mod filter practically never yields fewer
+    # than n_cells candidates, then cut back deterministically
+    stride = max(n // (2 * n_cells), 1)
     sampled = (
-        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .withColumn("_rn", F.row_number().over(Window.orderBy(F.col("cid"))))
-        .filter(((F.col("_rn") - 1) % stride == 0) & (F.col("_rn") <= stride * n_cells))
-        .drop("_rn")
+        df.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            F.xxhash64(F.col(id_col)).alias("_h"),
+        )
+        .filter(F.pmod(F.col("_h"), F.lit(stride)) == 0)
+        .orderBy(F.col("_h"), F.col("cid"))
+        .limit(n_cells)
+        .drop("_h")
     )
     centroids = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in sampled.collect()]
 
@@ -103,6 +119,19 @@ def build_ivf_index(
     )
     indexed = df.withColumn("cell", F.sort_array(scored, asc=False)[0]["cell"])
     return indexed, centroids
+
+
+def write_ivf_index(indexed: DataFrame, path: str) -> None:
+    """Materialize the indexed table CELL-PARTITIONED through the catalog
+    seam: with the table laid out as ``cell=<i>/`` directories,
+    ``ivf_topk``'s ``cell ∈ probes`` filter is partition PRUNING — only
+    n_probe/n_cells of the files are listed, let alone read — instead of a
+    post-scan filter. This is what makes IVF the 100 TB path in practice."""
+    catalog.overwrite_partitions(indexed, path, partition_by=("cell",))
+
+
+def read_ivf_index(spark: SparkSession, path: str) -> DataFrame:
+    return catalog.read_table(spark, path)
 
 
 def ivf_topk(

@@ -52,9 +52,17 @@ def toc_pages(toc: DataFrame, base_url: str, page_size: int = 25) -> DataFrame:
         .withColumn("last_page", F.floor((F.size("page_docs") - 1) / page_size))
     )
 
+    def _pct(col) -> F.Column:
+        # Percent-encode a path SEGMENT: facet values are uncontrolled
+        # corpus-derived strings (titles' first letters, langs, custom
+        # facets), so '/', '?', '#', space etc. must not reach the URL
+        # structurally. url_encode is form-encoding (space → '+'); patch
+        # '+' to '%20' for path-segment semantics.
+        return F.regexp_replace(F.url_encode(col), r"\+", "%20")
+
     def page_href(facet, value, page) -> F.Column:
         return F.concat(
-            F.lit(base_url + "/toc/"), facet, F.lit("/"), value,
+            F.lit(base_url + "/toc/"), _pct(facet), F.lit("/"), _pct(value),
             F.lit("/"), page.cast("string"), F.lit(".html"),
         )
 

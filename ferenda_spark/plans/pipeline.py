@@ -33,7 +33,7 @@ from ferenda_spark.functions.uris import part_key_col
 from ferenda_spark.operators.ledger import Ledger, write_stage_partitioned
 from ferenda_spark.sources import catalog
 from ferenda_spark.operators.linking import link_mentions
-from ferenda_spark.operators.parse import parse_stage, split_parsed
+from ferenda_spark.operators.parse import ParseMetrics, parse_stage, split_parsed
 from ferenda_spark.operators.rollups import (
     feed_main,
     feeds_topk,
@@ -84,29 +84,15 @@ def run_pipeline(
     keyed = corpus.withColumn("part_key", part_key_col(F.col("url"), n_parts))
     todo = ledger.pending(keyed, "parse")
     if todo.limit(1).count() > 0:
-        parsed = parse_stage(todo.drop("part_key"), n_parts=n_parts)
-        docs, lineage = split_parsed(parsed)
+        # the in-UDF metrics (real bytes_in / wall_ms / partition_id,
+        # SURVEY A5) ride the SAME single parse pass as the docs write via
+        # an accumulator — no second parse, no NULL re-aggregate
+        metrics = ParseMetrics(spark)
+        parsed = parse_stage(todo.drop("part_key"), n_parts=n_parts, metrics=metrics)
+        docs, _ = split_parsed(parsed)
         write_stage_partitioned(docs, paths["docs"])
         # lineage rows for THIS run's partitions only; append keeps history.
-        lin = catalog.read_table(spark, paths["docs"]).join(
-            ledger.ok_parts("parse"), "part_key", "left_anti"
-        )
-        lin_rows = (
-            lin.groupBy("part_key")
-            .agg(
-                F.count(F.lit(1)).alias("n_in"),
-                F.sum(F.size("triples")).alias("n_out"),
-                F.lit(None).cast("long").alias("bytes_in"),
-                F.lit(None).cast("long").alias("wall_ms"),
-            )
-            .select(
-                F.lit("parse").alias("stage"),
-                "part_key",
-                F.lit(None).cast("int").alias("partition_id"),
-                "n_in", "n_out", "bytes_in", "wall_ms",
-                F.lit(run_id).alias("run_id"),
-            )
-        )
+        lin_rows = metrics.lineage_df(spark, stage="parse", run_id=run_id)
         catalog.append_table(lin_rows, paths["lineage"])
         ledger.mark("parse", lin_rows, run_id=run_id)
 

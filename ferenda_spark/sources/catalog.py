@@ -121,6 +121,22 @@ def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     return int(row["n"]), int(row["b"])
 
 
+def swap_in(spark: SparkSession, tmp: str, path: str) -> None:
+    """Replace ``path`` with the already-durable table at ``tmp``
+    (delete + rename). The caller must have fully written ``tmp`` first;
+    a crash in the swap window leaves the data intact at ``tmp`` (the
+    error message names it) — at no point does the only copy live in
+    volatile executor storage."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath) and not fs.delete(hpath, True):
+        raise IOError(f"could not remove {path}; new copy is at {tmp}")
+    if not fs.rename(htmp, hpath):
+        raise IOError(f"swap failed; new table is intact at {tmp}")
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -160,13 +176,6 @@ def compact_table(
     else:
         n_target = max(1, -(-total // target_file_bytes))
         df.repartition(n_target).write.mode("overwrite").parquet(tmp)
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    htmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.delete(hpath, True):
-        raise IOError(f"could not remove {path}; compacted copy is at {tmp}")
-    if not fs.rename(htmp, hpath):
-        raise IOError(f"swap failed; compacted table is intact at {tmp}")
+    swap_in(spark, tmp, path)
     n_after, _ = table_file_stats(spark, path)
     return {"files_before": n_before, "files_after": n_after, "bytes": total}

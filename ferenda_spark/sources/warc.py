@@ -81,8 +81,18 @@ def parse_warc_bytes(raw: bytes, source: str) -> Iterator[dict]:
                 "lang": None, "warc_error": "truncated header block",
             }
             return
-        headers: dict[str, str] = {}
+        # Fold RFC continuation lines (leading SP/HT continues the previous
+        # header value — allowed by the WARC/HTTP header grammar) BEFORE
+        # partitioning on ':', else a folded warc-target-uri/content-length
+        # splits into bogus keys and a spurious truncation error.
+        lines: list[bytes] = []
         for line in raw[pos:hdr_end].split(b"\r\n")[1:]:
+            if line[:1] in (b" ", b"\t") and lines:
+                lines[-1] += b" " + line.strip()
+            else:
+                lines.append(line)
+        headers: dict[str, str] = {}
+        for line in lines:
             k, _, v = line.partition(b":")
             headers[k.strip().lower().decode("latin-1")] = (
                 v.strip().decode("latin-1")

@@ -49,14 +49,20 @@ def _update_entry(
     if state.exists:
         published, updated, n = state.get
     for pdf in batches:
-        ts = pdf["warc_ts"]
-        lo = ts.min()
-        hi = ts.max()
-        published = lo if published is None else min(published, lo)
-        updated = hi if updated is None else max(updated, hi)
+        # Drop NaT before min/max: python min/max between a real timestamp
+        # and NaT is comparison-order-dependent (NaT comparisons are always
+        # False), so an all-null batch could otherwise clobber good state.
+        ts = pdf["warc_ts"].dropna()
+        if len(ts):
+            lo = ts.min()
+            hi = ts.max()
+            published = lo if published is None else min(published, lo)
+            updated = hi if updated is None else max(updated, hi)
         n += len(pdf)
-    published = pd.Timestamp(published).to_pydatetime()
-    updated = pd.Timestamp(updated).to_pydatetime()
+    if published is not None:
+        published = pd.Timestamp(published).to_pydatetime()
+    if updated is not None:
+        updated = pd.Timestamp(updated).to_pydatetime()
     state.update((published, updated, n))
     yield pd.DataFrame(
         {

@@ -124,16 +124,37 @@ class SparkTripleStore:
 
     def clear(self, context: str) -> None:
         """Drop one context's triples (full-context rewrite, as the
-        reference's clear(context) is server-side)."""
+        reference's clear(context) is server-side).
+
+        Crash safety: the surviving rows are written to a durable
+        ``.clearing`` sibling FIRST, then swapped in (same sibling+swap
+        discipline as ``catalog.compact_table``). The original table is
+        never deleted until the full survivor copy is on stable storage —
+        a localCheckpoint + in-place overwrite would stage the only copy
+        in volatile executor block storage, where an executor loss
+        mid-rewrite loses the store permanently."""
         kept = self.triples().filter(_domain(F.col("src_url")) != context.lower())
-        # break lineage before overwriting the table being read from
-        kept = kept.localCheckpoint()
-        # static overwrite: dynamic mode would leave behind partitions whose
-        # every row belonged to the cleared context (absent from `kept`)
-        key = "spark.sql.sources.partitionOverwriteMode"
-        prev = self.spark.conf.get(key, "dynamic")
-        self.spark.conf.set(key, "static")
-        try:
-            self.rewrite(kept)
-        finally:
-            self.spark.conf.set(key, prev)
+        tmp = self.spo_path.rstrip("/") + ".clearing"
+        catalog.write_table(
+            kept.repartition("part_key").sortWithinPartitions("subj", "pred"),
+            tmp,
+            partition_by=("part_key",),
+            mode="overwrite",
+        )
+        catalog.swap_in(self.spark, tmp, self.spo_path)
+        if self.pos_path is not None:
+            # POS is derivable from the (already swapped, durable) SPO, so
+            # a crash here loses nothing — but swap anyway so readers never
+            # see a half-written POS table.
+            pos_tmp = self.pos_path.rstrip("/") + ".clearing"
+            spo = catalog.read_table(self.spark, self.spo_path)
+            catalog.write_table(
+                spo.withColumn(
+                    "obj_bucket",
+                    F.pmod(F.xxhash64("obj"), F.lit(16)).cast("int"),
+                ).repartition("pred").sortWithinPartitions("obj", "subj"),
+                pos_tmp,
+                partition_by=("pred", "obj_bucket"),
+                mode="overwrite",
+            )
+            catalog.swap_in(self.spark, pos_tmp, self.pos_path)

@@ -61,9 +61,9 @@ def test_atom_archive_links(feeds):
         l.get("rel"): l.get("href") for l in el.findall("a:link", NS)
     }
     en0, en1 = rels(out[("en", 0)]), rels(out[("en", 1)])
-    assert en0["self"] == "https://ex.org/feed/en/0.atom"
-    assert en0["prev-archive"] == "https://ex.org/feed/en/1.atom"
+    assert en0["self"] == "https://ex.org/feed/lang/en/0.atom"
+    assert en0["prev-archive"] == "https://ex.org/feed/lang/en/1.atom"
     assert "next-archive" not in en0  # newest page
-    assert en1["next-archive"] == "https://ex.org/feed/en/0.atom"
+    assert en1["next-archive"] == "https://ex.org/feed/lang/en/0.atom"
     assert "prev-archive" not in en1  # oldest page
     assert set(rels(out[("de", 0)])) == {"self"}  # single-page feed

@@ -116,3 +116,27 @@ def test_onepass_equals_tiered_cascade(spark, dict_df):
     )
     onepass = sorted(map(key, link_mentions_onepass(m, dict_df).collect()))
     assert tiered == onepass and len(onepass) >= len(names)
+
+
+def test_onepass_duplicate_alias_keys_match_broadcast(spark, dict_df):
+    """An ambiguous alias (one alias_key → several canonical URIs) must
+    produce one link row per dictionary match in the onepass path, exactly
+    like _exact_broadcast's inner join — not silently collapse to one
+    partition-order-dependent row."""
+    from ferenda_spark.operators.linking import link_mentions_onepass
+    from ferenda_spark.schemas import URI_DICTIONARY
+
+    dup = spark.createDataFrame(
+        [
+            ("Acme Corp", "acme corp", "uri://a", "org", True),
+            ("Acme Corp", "acme corp", "uri://b", "org", True),
+            ("Zed Inc", "zed inc", "uri://z", "org", True),
+        ],
+        schema=URI_DICTIONARY,
+    )
+    m = _mentions_df(spark, ["Acme Corp", "Zed Inc"])
+    key = lambda r: (r["url"], r["mention"], r["canonical_uri"])
+    want = sorted(map(key, _exact_broadcast(m, dup).collect()))
+    got = sorted(map(key, link_mentions_onepass(m, dup).collect()))
+    assert got == want
+    assert len([k for k in got if k[1] == "Acme Corp"]) == 2

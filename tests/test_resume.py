@@ -56,6 +56,34 @@ def test_publish_stage_tables(spark, full_run):
     assert led.filter(F.col("stage") == "publish").count() == 1
 
 
+def test_parse_lineage_carries_real_metrics(spark, full_run):
+    """north_rule "per-partition lineage + metrics": the lineage table's
+    parse rows must carry the in-UDF measurements (bytes_in, wall_ms,
+    partition_id) from the single parse pass — not NULL re-aggregates."""
+    lin = spark.read.parquet(full_run["lineage"]).filter(
+        F.col("stage") == "parse"
+    )
+    rows = lin.collect()
+    assert rows, "no parse lineage rows"
+    assert all(r["bytes_in"] is not None and r["bytes_in"] > 0 for r in rows)
+    assert all(r["wall_ms"] is not None and r["wall_ms"] >= 0 for r in rows)
+    assert all(r["partition_id"] is not None for r in rows)
+    # lineage totals must reconcile with the docs table
+    per_pk = {
+        r["part_key"]: r["n_in"]
+        for r in lin.groupBy("part_key").agg(F.sum("n_in").alias("n_in")).collect()
+    }
+    docs_pk = {
+        r["part_key"]: r["n"]
+        for r in spark.read.parquet(full_run["docs"])
+        .groupBy("part_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_pk == docs_pk
+    assert sum(per_pk.values()) == N_DOCS
+
+
 def test_resume_recomputes_only_pending(spark, tmp_path_factory, full_run):
     out = str(tmp_path_factory.mktemp("resume"))
     corpus = generate_corpus(spark, N_DOCS)

@@ -46,6 +46,68 @@ def test_feeds_topk_and_pages(docmeta):
     assert [r["page"] for r in en] == [0, 1]
 
 
+def test_toc_rollup_custom_facet(spark):
+    """Declarative Facet list (SURVEY §1.1): a publisher-style custom facet
+    drives the rollup without touching the operator, and NULL facet values
+    get their own bucket (grouping_id, not isNotNull, identifies facets)."""
+    from ferenda_spark.facets import Facet
+
+    rows = [
+        ("u1", "Alpha", "2024-01-05", "en", "acme"),
+        ("u2", "Beta", "2024-03-01", "en", "acme"),
+        ("u3", "Gamma", "2023-07-09", "de", None),
+    ]
+    dm = spark.createDataFrame(
+        rows, "uri string, title string, issued string, lang string, publisher string"
+    )
+    facets = (
+        Facet("publisher", "publisher"),
+        Facet("lang", "lang", use_for_feed=True),
+    )
+    toc = {
+        (r["facet"], r["value"]): r
+        for r in rollups.toc_rollup(dm, facets=facets).collect()
+    }
+    assert toc[("publisher", "acme")]["n_docs"] == 2
+    assert toc[("publisher", None)]["n_docs"] == 1  # NULL value bucket
+    assert toc[("lang", "de")]["n_docs"] == 1
+    assert toc[("all", "*")]["n_docs"] == 3
+    assert ("letter", "A") not in toc  # defaults not silently added
+
+
+def test_toc_rollup_global_cap(docmeta):
+    toc = {
+        (r["facet"], r["value"]): r
+        for r in rollups.toc_rollup(docmeta, global_cap=2).collect()
+    }
+    g = toc[("all", "*")]
+    assert g["n_docs"] == 4  # count stays exact
+    # capped list = 2 first docs by sort_key (title): "Alpha doc", "Beta doc"
+    assert [d["uri"] for d in g["page_docs"]] == ["u1", "u2"]
+    # per-facet buckets stay complete
+    assert len(toc[("lang", "de")]["page_docs"]) == 2
+
+
+def test_feeds_topk_multi_facet(docmeta):
+    """Feedsets per (facet, value) for every use_for_feed facet (W1)."""
+    from ferenda_spark.facets import Facet
+
+    facets = (
+        Facet("letter", "upper(substring(title, 1, 1))", use_for_feed=True),
+        Facet("lang", "lang", use_for_feed=True),
+    )
+    feeds = rollups.feeds_topk(docmeta, page_size=25, facets=facets).collect()
+    by_feed = {}
+    for r in feeds:
+        by_feed.setdefault((r["facet"], r["feed"]), []).append(r)
+    assert {k[0] for k in by_feed} == {"letter", "lang"}
+    a = sorted(by_feed[("letter", "A")], key=lambda r: r["rn"])
+    assert [r["uri"] for r in a] == ["u1", "u3"]  # newest first within feed
+    assert [r["uri"] for r in sorted(by_feed[("lang", "en")], key=lambda r: r["rn"])] == [
+        "u2", "u1",
+    ]
+
+
 def test_feed_main_topk(docmeta):
     main = rollups.feed_main(docmeta, k=2).collect()
     # 2024-03-01 ties broken by uri asc

@@ -57,6 +57,38 @@ def test_ivf_cells_cover_all_vectors(emb):
     assert 2 <= n_cells_used <= 8
 
 
+def test_ivf_build_deterministic_across_partitioning(emb):
+    # centroid choice must be a pure function of ids (hash-mod sample),
+    # not of partition order / cluster size
+    _, c1 = similarity.build_ivf_index(emb, "embedding", "vec_id", n_cells=8)
+    _, c2 = similarity.build_ivf_index(
+        emb.repartition(13), "embedding", "vec_id", n_cells=8
+    )
+    assert c1 == c2
+    assert len(c1) == 8
+
+
+def test_ivf_build_plan_no_global_sort(emb):
+    # the fixed build must not funnel the corpus through one task: no
+    # unpartitioned Window, and the only sort is TakeOrderedAndProject
+    indexed, _ = similarity.build_ivf_index(emb, "embedding", "vec_id", n_cells=8)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_write_ivf_index_partition_pruning(spark, emb, tmp_path):
+    indexed, cents = similarity.build_ivf_index(emb, "embedding", "vec_id", n_cells=8)
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(indexed, path)
+    stored = similarity.read_ivf_index(spark, path)
+    assert stored.count() == emb.count()
+    # the probe filter must be partition pruning, not a post-scan filter
+    probed = stored.filter(F.col("cell").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_media_features_deterministic(spark):
     media = multimodal.synthetic_media(spark, 30)
     f1 = multimodal.extract_media_features(media).orderBy("media_id").collect()

@@ -147,3 +147,40 @@ def test_stateful_entry_tracker_accumulates_across_restarts(spark, tmp_path):
     # update mode: only urls with new data re-emit; u1 keeps its original
     # published ts from run 1 (state restored from the checkpoint)
     assert got2 == {"u1": (t[0], t[4], 3), "u3": (t[3], t[3], 1)}
+
+
+def test_entry_tracker_ignores_nat_timestamps(spark):
+    """An all-NaT batch must not clobber published/updated state (NaT
+    comparisons are order-dependent in python min/max); null-ts rows still
+    count as versions."""
+    import pandas as pd
+
+    from ferenda_spark.streaming.entries import _update_entry
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState()
+    ts = pd.Timestamp("2026-01-01 03:00:00")
+    list(_update_entry(("u",), iter([pd.DataFrame({"warc_ts": [ts]})]), st))
+    assert st._v[0] == ts and st._v[1] == ts and st._v[2] == 1
+
+    nat_batch = pd.DataFrame({"warc_ts": pd.to_datetime([None, None])})
+    out = list(_update_entry(("u",), iter([nat_batch]), st))[0]
+    assert st._v[0] == ts and st._v[1] == ts  # not clobbered to NaT
+    assert st._v[2] == 3  # versions still counted
+    assert out["published"].iloc[0] == ts
+
+    later = pd.DataFrame({"warc_ts": pd.to_datetime([None, "2026-02-01"])})
+    list(_update_entry(("u",), iter([later]), st))
+    assert st._v[1] == pd.Timestamp("2026-02-01") and st._v[0] == ts

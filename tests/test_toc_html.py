@@ -68,3 +68,31 @@ def test_toc_pagination(toc):
     assert sum(
         r["n_page_docs"] for (f, v, _), r in out.items() if f == "all"
     ) == 10
+
+
+def test_page_href_percent_encodes_values(spark):
+    """Facet values are uncontrolled corpus strings: '/', space, '?', '#'
+    must be percent-encoded in hrefs, not break the URL structure."""
+    toc = spark.createDataFrame(
+        [
+            ("letter", "A/B", 1,
+             [{"sort_key": "t", "uri": "u1", "title": "t"}]),
+            ("letter", "C #x", 1,
+             [{"sort_key": "t2", "uri": "u2", "title": "t2"}]),
+        ],
+        "facet string, value string, n_docs long, "
+        "page_docs array<struct<sort_key:string,uri:string,title:string>>",
+    )
+    pages = {r["value"]: r["html"] for r in toc_pages(toc, "https://ex.org").collect()}
+    import xml.etree.ElementTree as ET
+
+    for html in pages.values():
+        root = ET.fromstring(html)  # still well-formed
+        hrefs = [a.get("href") for a in root.iter() if a.tag.endswith("a")]
+        for h in hrefs:
+            if h.startswith("https://ex.org/toc/"):
+                tail = h[len("https://ex.org/toc/"):]
+                assert " " not in h and "#" not in h
+                assert len(tail.split("/")) == 3  # facet/value/page.html
+    assert "A%2FB" in pages["A/B"]
+    assert "C%20%23x" in pages["C #x"]

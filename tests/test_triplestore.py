@@ -97,3 +97,21 @@ def test_ask_and_describe(store):
     assert len(got) == 2 and {r.subj for r in got} == {"https://a.example/1"}
     got2 = store.describe("DESCRIBE <https://b.example/2>").collect()
     assert [(r.subj, r.obj) for r in got2] == [("https://b.example/2", "Two")]
+
+
+def test_clear_leaves_no_sibling_and_pos_consistent(store, spark, tmp_path):
+    """clear() stages survivors at a durable .clearing sibling then swaps —
+    after success the sibling is gone and both layouts agree."""
+    import os
+
+    store.clear("a.example")
+    assert not os.path.exists(store.spo_path + ".clearing")
+    assert not os.path.exists(store.pos_path + ".clearing")
+    spo = {tuple(r) for r in store.triples().select("subj", "pred", "obj").collect()}
+    pos = {
+        tuple(r)
+        for r in spark.read.parquet(store.pos_path)
+        .select("subj", "pred", "obj")
+        .collect()
+    }
+    assert spo == pos and len(spo) == 1

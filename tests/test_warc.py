@@ -227,3 +227,26 @@ def test_cdx_short_and_revisit_lines(spark, tmp_path):
     assert by_key["short"].url is None and by_key["short"].capture_ts is None
     rv = by_key["com,example,r)/"]
     assert rv.status is None and rv.warc_length is None and rv.warc_offset == 10
+
+
+def test_folded_header_continuation_lines(spark, tmp_path):
+    """RFC-folded WARC headers (continuation lines starting with SP/HT)
+    must join onto the previous value, not become bogus keys."""
+    payload = b"<html><p>folded</p></html>"
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
+    hdrs = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: https://folded.example/\r\n"
+        "  long/path.html\r\n"
+        "WARC-Date: 2026-03-04T05:06:07Z\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    p = tmp_path / "folded.warc"
+    p.write_bytes(hdrs + body + b"\r\n\r\n")
+    rows = read_warc(spark, str(p)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["warc_error"] is None
+    assert r["url"] == "https://folded.example/ long/path.html"
+    assert r["html"] == payload
