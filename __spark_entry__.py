@@ -1259,6 +1259,93 @@ def _q_toc_html_pages(spark, sf_dir):
     )
 
 
+def _q_facet_rollup_custom(spark, sf_dir):
+    """Declarative Facet rollup (SURVEY §1.1 / A1): toc_rollup driven by a
+    USER-declared facet list — a publisher-style facet (source) plus a
+    derived numeric bucket facet (n_chars div 1000) — proving new corpus
+    dimensions need no operator edits. Counts compared against DuckDB's
+    independent per-facet aggregation."""
+    from ferenda_spark.facets import Facet
+    from ferenda_spark.operators.rollups import toc_rollup
+
+    d = _t(spark, sf_dir, "documents")
+    docmeta = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("uri"),
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string")).alias("title"),
+        F.lit("2024-01-01").alias("issued"),
+        "lang", "source", "n_chars",
+    )
+    facets = (
+        Facet("publisher", "source"),
+        Facet("size_kb", "cast(n_chars div 1000 as int)"),
+    )
+    return toc_rollup(docmeta, facets=facets).select("facet", "value", "n_docs")
+
+
+def _q_warc_ingest_roundtrip(spark, sf_dir):
+    """S1 WARC ingest, driver-visible: synthesize a plain + per-record-gzip
+    WARC archive pair from the first 200 documents, ingest through
+    sources.warc.read_warc, and emit one row per capture with the payload's
+    byte length and sha256. The oracle reconstructs url / warc_ts / bytes /
+    sha directly from the documents table, so a value match proves
+    byte-exact roundtrip through the WARC writer + parser (header parse,
+    Content-Length body, HTTP-envelope strip, gzip member handling).
+
+    The synthesis collects 200 bounded rows driver-side (explicitly NOT the
+    corpus-sized path — read_warc itself streams archives executor-side;
+    this query only needs a deterministic fixture archive)."""
+    import gzip as _gzip
+    import os as _os
+
+    from ferenda_spark.sources.warc import read_warc
+
+    d = _t(spark, sf_dir, "documents")
+    rows = (
+        d.filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    out_dir = f"/tmp/ferenda_spark_warc_q_{_os.path.basename(sf_dir.rstrip('/'))}"
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def rec(doc_id: int, text: str) -> bytes:
+        payload = text.encode("utf-8")
+        body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
+        url = f"https://w{doc_id % 5}.example.com/doc/{doc_id}"
+        mm, ss = divmod(doc_id, 60)
+        hdr = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: 2026-01-01T00:{mm:02d}:{ss:02d}Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return hdr + body + b"\r\n\r\n"
+
+    plain = b"".join(rec(r["doc_id"], r["text"]) for r in rows if r["doc_id"] % 2 == 0)
+    gz = b"".join(
+        _gzip.compress(rec(r["doc_id"], r["text"]), mtime=0)
+        for r in rows
+        if r["doc_id"] % 2 == 1
+    )
+    with open(f"{out_dir}/even.warc", "wb") as f:
+        f.write(plain)
+    with open(f"{out_dir}/odd.warc.gz", "wb") as f:
+        f.write(gz)
+
+    return (
+        read_warc(spark, out_dir)
+        .filter(F.col("warc_error").isNull())
+        .select(
+            "url",
+            "warc_ts",
+            F.length("html").cast("long").alias("n_bytes"),
+            F.sha2("html", 256).alias("payload_sha"),
+        )
+    )
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads → Arrow-batched features."""
     from ferenda_spark.operators.multimodal import (
@@ -1331,6 +1418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_search": _q_fulltext_search,
         "fulltext_facets": _q_fulltext_facets,
         "atom_feeds": _q_atom_feeds,
+        "warc_ingest_roundtrip": _q_warc_ingest_roundtrip,
+        "facet_rollup_custom": _q_facet_rollup_custom,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -1994,5 +2083,28 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '' END
                    || p.entries || '</feed>' AS atom_xml
             FROM pages p JOIN lp USING (feed)
+        """,
+        # byte-exact WARC roundtrip: the oracle reconstructs what the WARC
+        # writer embedded straight from the documents table; equality proves
+        # the parser recovered every payload bit-for-bit
+        "warc_ingest_roundtrip": """
+            SELECT 'https://w' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   TIMESTAMP '2026-01-01'
+                       + to_seconds(CAST(doc_id AS BIGINT)) AS warc_ts,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS payload_sha
+            FROM documents WHERE doc_id < 200
+        """,
+        "facet_rollup_custom": """
+            SELECT 'publisher' AS facet, source AS value,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT 'size_kb', CAST(CAST(n_chars // 1000 AS INT) AS VARCHAR),
+                   count(*)
+            FROM documents GROUP BY 2
+            UNION ALL
+            SELECT 'all', '*', count(*) FROM documents
         """,
     }

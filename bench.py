@@ -146,6 +146,12 @@ def main() -> None:
                 "kg_triples_per_sec": round(n_triples / kg_secs, 1),
                 "cpus": CPUS,
                 "best_of": BEST_OF,
+                "note": (
+                    f"kg_docs_per_sec is the {KG_DOCS}-doc fixed-cost-"
+                    "dominated bench figure; steady-state throughput is the "
+                    "1M-doc run in BENCH/BASELINE.md (e.g. 7432 docs/s at "
+                    "local[8] on the round-1 box)"
+                ),
             }
         )
     )

@@ -72,8 +72,24 @@ class FSMParser:
 # ---------------------------------------------------------------------------
 # the web-page grammar (matches the corpus template, FIXTURES §1)
 # ---------------------------------------------------------------------------
+# Section headings carry dotted ("Section 2.1.3. Title") or lettered
+# ("Section 2 a. Title" — the reference's testFSMParser "1 a" subsection
+# ordinal style) ordinals; both canonicalize to a dotted ``ordinal_path``
+# ("2.1.3", letters a→1, b→2, …). The recovered structure is a FLAT list in
+# document order — the Spark struct schema is bounded-depth by design
+# (SURVEY §7.4), so nesting lives in the path string, losslessly; use
+# ``nest_sections`` to rebuild the tree when a consumer wants recursion.
 
-SECTION_RE = re.compile(r"^Section (\d+)\. (.*)$")
+SECTION_RE = re.compile(r"^Section (\d+(?:\.\d+)*|\d+(?: [a-z])+)\. (.*)$")
+
+
+def _canonical_path(raw: str) -> str:
+    if "." in raw or " " not in raw:
+        return raw
+    parts = raw.split(" ")
+    return ".".join(
+        [parts[0]] + [str(ord(p) - ord("a") + 1) for p in parts[1:]]
+    )
 
 
 def _is_section(chunk: str):
@@ -90,17 +106,41 @@ def _h_title(ctx: dict, chunk: str, m) -> None:
 
 
 def _h_section(ctx: dict, chunk: str, m) -> None:
+    path = _canonical_path(m.group(1))
     ctx["sections"].append(
-        {"ordinal": int(m.group(1)), "title": m.group(2), "paras": []}
+        {
+            "ordinal": int(path.split(".", 1)[0]),
+            "ordinal_path": path,
+            "title": m.group(2),
+            "paras": [],
+        }
     )
 
 
 def _h_para(ctx: dict, chunk: str, m) -> None:
     secs = ctx["sections"]
     if not secs:  # paragraph before any heading → implicit section 0
-        secs.append({"ordinal": 0, "title": "", "paras": []})
+        secs.append({"ordinal": 0, "ordinal_path": "0", "title": "", "paras": []})
     paras = secs[-1]["paras"]
     paras.append({"idx": len(paras), "text": chunk})
+
+
+def nest_sections(flat: list[dict]) -> list[dict]:
+    """Flat ordinal_path-ordered section list → recursive tree (each node
+    gains a ``subsections`` list). A node whose path extends the previous
+    node's path nests under it; otherwise it pops to the matching ancestor.
+    Orphans (no matching parent prefix) attach at the top level — grammar
+    recovery must never drop content."""
+    roots: list[dict] = []
+    stack: list[dict] = []  # ancestors, outermost first
+    for s in flat:
+        node = {**s, "subsections": []}
+        path = node["ordinal_path"]
+        while stack and not path.startswith(stack[-1]["ordinal_path"] + "."):
+            stack.pop()
+        (stack[-1]["subsections"] if stack else roots).append(node)
+        stack.append(node)
+    return roots
 
 
 def make_webpage_parser() -> FSMParser:

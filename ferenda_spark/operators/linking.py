@@ -62,14 +62,46 @@ def _exact_broadcast(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
     )
 
 
-def _exact_salted(mentions: DataFrame, dictionary: DataFrame, salt: int) -> DataFrame:
+def tuned_salt(
+    mentions: DataFrame,
+    target_rows_per_reducer: int = 2_000_000,
+    max_salt: int = 256,
+) -> int:
+    """Derive the salt factor S from a key-histogram stats pass (SURVEY
+    §4.3; north_rule "skew handled explicitly") instead of a guessed
+    constant: S = ceil(hottest alias_key's row count / target rows per
+    reducer), clamped to [1, max_salt].
+
+    The stats pass is one partial-aggregated groupBy over the mention keys
+    reduced to a single max — shuffle volume O(distinct alias_keys)
+    (vocabulary-sized), cost amortized over the join it tunes. S = 1 when
+    no key is hot, so the salted join degenerates to a plain shuffle join
+    with zero build-side blowup; a Zipf-skewed corpus gets exactly the
+    fan-out its hottest key needs and no more."""
+    hot = (
+        mentions.groupBy("alias_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0]["m"]
+    ) or 0
+    return int(min(max(1, -(-hot // target_rows_per_reducer)), max_salt))
+
+
+def _exact_salted(
+    mentions: DataFrame, dictionary: DataFrame, salt: int | None
+) -> DataFrame:
     """Same result as ``_exact_broadcast``, shuffle-join + explicit salting.
 
     Probe side: salt = pmod(xxhash64(url), S) — deterministic, spreads a hot
     alias_key over S reducers. Build side: exploded ×S so every salted probe
     key finds its dictionary row. Build-side blowup is S× the dictionary —
     acceptable because the dictionary is the small side by assumption.
+
+    ``salt=None`` self-tunes S from the mention key histogram
+    (``tuned_salt``); pass an int to pin it explicitly.
     """
+    if salt is None:
+        salt = tuned_salt(mentions)
     d = (
         dictionary.filter(F.col("is_exact"))
         .select("alias_key", "canonical_uri")
@@ -444,7 +476,7 @@ def link_mentions(
     mentions: DataFrame,
     dictionary: DataFrame,
     exact_strategy: str = "broadcast",
-    salt: int = 8,
+    salt: int | None = None,
     lsh_threshold: float = 0.5,
     fuzzy_strategy: str = "auto",
 ) -> DataFrame:
@@ -454,7 +486,8 @@ def link_mentions(
 
     ``fuzzy_strategy``: 'ngram' (exact Jaccard vs broadcast dictionary),
     'lsh' (MinHash-LSH blocking — the >_NGRAM_DICT_MAX-row path), or
-    'auto' (pick by dictionary size)."""
+    'auto' (pick by dictionary size). ``salt=None`` lets the salted exact
+    strategy self-tune from the key histogram (``tuned_salt``)."""
     exact = (
         _exact_broadcast(mentions, dictionary)
         if exact_strategy == "broadcast"

@@ -55,10 +55,10 @@ def _parse_one(
     # grammar triples; that is what lets assemble_triples skip a corpus-wide
     # dropDuplicates shuffle.
     triples: list[dict] = [
-        dict(s=-1, p="t", obj=""),  # dcterms:title      <- row.title
-        dict(s=-1, p="d", obj=""),  # dcterms:issued     <- row.issued
-        dict(s=-1, p="l", obj=""),  # dcterms:language   <- row.lang
-        dict(s=-1, p="y", obj=""),  # rdf:type Document
+        dict(s="", p="t", obj=""),  # dcterms:title      <- row.title
+        dict(s="", p="d", obj=""),  # dcterms:issued     <- row.issued
+        dict(s="", p="l", obj=""),  # dcterms:language   <- row.lang
+        dict(s="", p="y", obj=""),  # rdf:type Document
     ]
     seen_refs: set[tuple] = set()
     seen_mentions: set[tuple] = set()
@@ -67,9 +67,9 @@ def _parse_one(
     state = {"act": None}  # document-local refparser context (T6)
     sections_out = [] if with_sections else None
     for sec in ctx["sections"]:
-        k = sec["ordinal"]
+        k = sec["ordinal_path"]  # "2" | "2.1" | "2.1.3" — nesting in the path
         triples.append(dict(s=k, p="y", obj=""))  # rdf:type DocumentPart
-        triples.append(dict(s=k, p="i", obj=""))  # isPartOf <- url
+        triples.append(dict(s=k, p="i", obj=""))  # isPartOf <- parent node
         triples.append(dict(s=k, p="t", obj=sec["title"]))
         paras_out = [] if with_sections else None
         for para in sec["paras"]:
@@ -101,7 +101,8 @@ def _parse_one(
                 )
         if with_sections:
             sections_out.append(
-                dict(ordinal=k, title=sec["title"], paras=paras_out)
+                dict(ordinal=sec["ordinal"], ordinal_path=k,
+                     title=sec["title"], paras=paras_out)
             )
 
     # order-preserving dedup across ALL compact triples: repeated section

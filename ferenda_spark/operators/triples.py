@@ -60,11 +60,18 @@ def assemble_triples(docs: DataFrame, links: DataFrame) -> DataFrame:
     # expand the compact per-doc encoding (schemas.TRIPLE_STRUCT) to full
     # URIs — pure column expressions, whole-stage-codegen'd, shuffle-free
     s, p, o = F.col("t.s"), F.col("t.p"), F.col("t.obj")
+    # s is the node's ordinal_path ("2", "2.1", "2.1.3"; "" = the document).
+    # isPartOf points at the PARENT node: drop the last path component —
+    # a top-level section's parent is the document url.
+    parent = F.when(
+        s.contains("."),
+        F.concat(F.col("url"), F.lit("#S"), F.regexp_replace(s, r"\.[^.]*$", "")),
+    ).otherwise(F.col("url"))
     grammar = docs.select(
         "url", "part_key", "lang", "title", "issued",
         F.explode("triples").alias("t"),
     ).select(
-        F.when(s == -1, F.col("url"))
+        F.when(s == "", F.col("url"))
         .otherwise(F.concat(F.col("url"), F.lit("#S"), s))
         .alias("subj"),
         F.when(p == "t", F.lit(P_TITLE))
@@ -75,11 +82,11 @@ def assemble_triples(docs: DataFrame, links: DataFrame) -> DataFrame:
         .otherwise(F.lit(P_REFERENCES))
         .alias("pred"),
         F.when(p == "l", F.col("lang"))
-        .when(p == "i", F.col("url"))
+        .when(p == "i", parent)
         .when(p == "d", F.date_format("issued", "yyyy-MM-dd"))
-        .when((p == "y") & (s == -1), F.lit(T_DOCUMENT))
+        .when((p == "y") & (s == ""), F.lit(T_DOCUMENT))
         .when(p == "y", F.lit(T_DOCPART))
-        .when((p == "t") & (s == -1), F.col("title"))
+        .when((p == "t") & (s == ""), F.col("title"))
         .otherwise(o)
         .alias("obj"),
         p.isin("y", "i", "r").alias("obj_is_uri"),

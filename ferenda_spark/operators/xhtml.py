@@ -86,14 +86,27 @@ def _para_html(p: Column) -> Column:
 
 
 def _section_html(url: Column, sec: Column) -> Column:
+    # anchor + isPartOf follow the nesting path: "#S2.1"'s parent resource
+    # is "#S2"; a top-level section's parent is the document itself.
+    # Emission stays flat in document order (the path attribute carries the
+    # recursion — same bounded-depth design as the struct schema); heading
+    # level = depth (h2/h3/h4 for "2"/"2.1"/"2.1.3").
+    path = sec["ordinal_path"]
+    parent = F.when(
+        path.contains("."),
+        F.concat(url, F.lit("#S"), F.regexp_replace(path, r"\.[^.]*$", "")),
+    ).otherwise(url)
+    hlevel = F.concat(
+        F.lit("h"), (F.size(F.split(path, r"\.")) + 1).cast("string")
+    )
     return F.concat(
         F.lit('<section about="'),
-        _esc_attr(F.concat(url, F.lit("#S"), sec["ordinal"])),
+        _esc_attr(F.concat(url, F.lit("#S"), path)),
         F.lit('" typeof="bibo:DocumentPart" rel="dcterms:isPartOf" resource="'),
-        _esc_attr(url),
-        F.lit('"><h2 property="dcterms:title">'),
+        _esc_attr(parent),
+        F.lit('"><'), hlevel, F.lit(' property="dcterms:title">'),
         _esc(sec["title"]),
-        F.lit("</h2>"),
+        F.lit("</"), hlevel, F.lit(">"),
         F.array_join(F.transform(sec["paras"], _para_html), ""),
         F.lit("</section>"),
     )

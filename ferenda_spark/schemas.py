@@ -65,7 +65,12 @@ PARA_STRUCT = T.StructType(
 
 SECTION_STRUCT = T.StructType(
     [
-        T.StructField("ordinal", T.IntegerType(), True),
+        T.StructField("ordinal", T.IntegerType(), True),  # top-level number
+        # dotted nesting path, e.g. "2", "2.1", "2.1.3" — bounded-depth
+        # structs carry recursion losslessly in the path (SURVEY §7.4);
+        # the flat list is in document order, fsm.nest_sections rebuilds
+        # the tree
+        T.StructField("ordinal_path", T.StringType(), True),
         T.StructField("title", T.StringType(), True),
         T.StructField("paras", T.ArrayType(PARA_STRUCT), True),
     ]
@@ -76,14 +81,14 @@ SECTION_STRUCT = T.StructType(
 # made the triples array the dominant Arrow-transfer + stage-table cost
 # (~5.5 KB/doc vs ~1.3 KB compact). `operators.triples.assemble_triples`
 # expands to full URIs JVM-side (pure column expressions).
-#   s:  section ordinal; -1 = the document itself
+#   s:  section ordinal_path ("2", "2.1", …); '' = the document itself
 #   p:  predicate code — t=title d=issued l=language y=rdf:type
 #       i=isPartOf r=references
 #   obj: only where not derivable from the row (section titles, ref targets);
 #        '' for l/i/y/d and the doc-level title (taken from row columns)
 TRIPLE_STRUCT = T.StructType(
     [
-        T.StructField("s", T.IntegerType(), True),
+        T.StructField("s", T.StringType(), True),
         T.StructField("p", T.StringType(), True),
         T.StructField("obj", T.StringType(), True),
     ]
@@ -91,7 +96,7 @@ TRIPLE_STRUCT = T.StructType(
 
 MENTION_STRUCT = T.StructType(
     [
-        T.StructField("section_ordinal", T.IntegerType(), True),
+        T.StructField("section_ordinal", T.StringType(), True),
         T.StructField("mention", T.StringType(), True),
         T.StructField("alias_key", T.StringType(), True),  # normalized join key
     ]

@@ -237,18 +237,13 @@ def gen_doc(doc_id: int, n_docs: int) -> dict:
     struct: list[dict] = []
 
     body_parts: list[str] = []
-    current_act: str | None = None  # refparser contextual state (SURVEY T6)
-    n_sections = rng.randint(1, 6)
-    for k in range(1, n_sections + 1):
-        stitle = _title_words(rng, 2, 4)
-        suri = f"{url}#S{k}"
-        triples += [
-            (suri, P_TYPE, T_DOCPART, True),
-            (suri, P_IS_PART_OF, url, True),
-            (suri, P_TITLE, stitle, False),
-        ]
-        header_plain = f"Section {k}. {stitle}"
-        body_parts.append(f"<h2>{_htmlify(header_plain, rng)}</h2>")
+    # refparser contextual state (SURVEY T6) — flows in DOCUMENT ORDER
+    # across sections and subsections, exactly as the parse stage reads it
+    ref_state = {"act": None}
+
+    def gen_paras(suri: str) -> list[dict]:
+        """Generate 1–8 paragraphs attributed to ``suri``, appending their
+        HTML to body_parts and their citation/mention truth rows."""
         paras: list[dict] = []
         n_paras = rng.randint(1, 8)
         for pi in range(n_paras):
@@ -272,14 +267,14 @@ def gen_doc(doc_id: int, n_docs: int) -> dict:
                         act = eu_act_uri("regulation", str(y), str(n))
                     toks.insert(rng.randrange(1, len(toks)), cite)
                     triples.append((suri, P_REFERENCES, act, True))
-                    current_act = act
-                elif r < 0.37 and current_act is not None:  # article, contextual
+                    ref_state["act"] = act
+                elif r < 0.37 and ref_state["act"] is not None:  # article, contextual
                     a = rng.randint(1, 30)
                     if rng.random() < 0.5:
                         p = rng.randint(1, 9)
-                        cite, tgt = f"Article {a}({p})", article_uri(current_act, str(a), str(p))
+                        cite, tgt = f"Article {a}({p})", article_uri(ref_state["act"], str(a), str(p))
                     else:
-                        cite, tgt = f"Article {a}", article_uri(current_act, str(a), None)
+                        cite, tgt = f"Article {a}", article_uri(ref_state["act"], str(a), None)
                     toks.insert(rng.randrange(1, len(toks)), cite)
                     triples.append((suri, P_REFERENCES, tgt, True))
                 elif r < 0.57:  # entity mention
@@ -308,7 +303,58 @@ def gen_doc(doc_id: int, n_docs: int) -> dict:
                 body_parts.append(f"<script>var x={rng.randrange(1000000)};</script>")
             if rng.random() < 0.05:
                 body_parts.append("<style>.c%d{color:red}</style>" % rng.randrange(99))
-        struct.append({"ordinal": k, "title": stitle, "paras": paras})
+        return paras
+
+    def add_node(path: str, parent_uri: str, header: str, tag: str) -> None:
+        """One Section/Subsection node: truth triples (isPartOf → PARENT,
+        the nested-tree semantics), heading HTML, paragraphs, struct row."""
+        stitle = header.split(". ", 1)[1]
+        suri = f"{url}#S{path}"
+        triples.extend(
+            [
+                (suri, P_TYPE, T_DOCPART, True),
+                (suri, P_IS_PART_OF, parent_uri, True),
+                (suri, P_TITLE, stitle, False),
+            ]
+        )
+        body_parts.append(f"<{tag}>{_htmlify(header, rng)}</{tag}>")
+        paras = gen_paras(suri)
+        struct.append(
+            {
+                "ordinal": int(path.split(".", 1)[0]),
+                "ordinal_path": path,
+                "title": stitle,
+                "paras": paras,
+            }
+        )
+
+    n_sections = rng.randint(1, 6)
+    for k in range(1, n_sections + 1):
+        stitle = _title_words(rng, 2, 4)
+        add_node(str(k), url, f"Section {k}. {stitle}", "h2")
+        # nested subsections (SURVEY §7.4 depth-3): ~40% of sections carry
+        # 1–3 subsections; headers alternate dotted ("Section 2.1.") and
+        # the reference's lettered style ("Section 2 a.") — the FSM
+        # canonicalizes both to the dotted ordinal_path
+        if rng.random() < 0.40:
+            suri = f"{url}#S{k}"
+            for j in range(1, rng.randint(1, 3) + 1):
+                sub_title = _title_words(rng, 2, 4)
+                sub_path = f"{k}.{j}"
+                hdr = (
+                    f"Section {k} {chr(ord('a') + j - 1)}. {sub_title}"
+                    if rng.random() < 0.5
+                    else f"Section {sub_path}. {sub_title}"
+                )
+                add_node(sub_path, suri, hdr, "h3")
+                if rng.random() < 0.15:  # depth-3 sub-subsection
+                    d3_title = _title_words(rng, 2, 3)
+                    add_node(
+                        f"{sub_path}.1",
+                        f"{url}#S{sub_path}",
+                        f"Section {sub_path}.1. {d3_title}",
+                        "h4",
+                    )
 
     html_str = (
         f'<html><head><title>{_htmlify(title, rng)}</title>'

@@ -70,6 +70,7 @@ def test_golden_struct():
         got = [
             {
                 "ordinal": s["ordinal"],
+                "ordinal_path": s["ordinal_path"],
                 "title": s["title"],
                 "paras": [{"idx": p["idx"], "text": p["text"]} for p in s["paras"]],
             }
@@ -92,6 +93,62 @@ def test_parse_one_compact_dedup_on_repeated_ordinals():
     row = _parse_one("https://d00.example.com/x/1.html", "2024-01-01", html, "en", 0)
     keys = [(t["s"], t["p"], t["obj"]) for t in row["triples"]]
     assert len(keys) == len(set(keys))
-    titles = {t["obj"] for t in row["triples"] if t["p"] == "t" and t["s"] == 2}
+    titles = {t["obj"] for t in row["triples"] if t["p"] == "t" and t["s"] == "2"}
     assert titles == {"Alpha", "Beta"}
-    assert sum(1 for t in row["triples"] if t["p"] == "y" and t["s"] == 2) == 1
+    assert sum(1 for t in row["triples"] if t["p"] == "y" and t["s"] == "2") == 1
+
+
+def test_nested_subsections_tree():
+    """testFSMParser-style nested case: dotted AND lettered subsection
+    ordinals ("2.1", "2 a") canonicalize to one path space; nest_sections
+    rebuilds the recursive tree from the flat path-ordered list."""
+    from ferenda_spark.operators.fsm import nest_sections
+
+    text = (
+        "Doc Title\n\n"
+        "Section 1. Top\n\np1\n\n"
+        "Section 1 a. Sub lettered\n\np2\n\n"
+        "Section 1.2. Sub dotted\n\np3\n\n"
+        "Section 1.2.1. Deep\n\np4\n\n"
+        "Section 2. Next top\n\np5"
+    )
+    ctx = parse_structure(text)
+    assert [(s["ordinal_path"], s["ordinal"]) for s in ctx["sections"]] == [
+        ("1", 1), ("1.1", 1), ("1.2", 1), ("1.2.1", 1), ("2", 2),
+    ]
+    assert ctx["sections"][1]["title"] == "Sub lettered"
+    tree = nest_sections(ctx["sections"])
+    assert [n["ordinal_path"] for n in tree] == ["1", "2"]
+    s1 = tree[0]
+    assert [n["ordinal_path"] for n in s1["subsections"]] == ["1.1", "1.2"]
+    assert [n["ordinal_path"] for n in s1["subsections"][1]["subsections"]] == [
+        "1.2.1"
+    ]
+    assert s1["subsections"][1]["subsections"][0]["paras"][0]["text"] == "p4"
+
+
+def test_nested_isparof_triples():
+    """_parse_one emits isPartOf pointing at the PARENT node for every
+    nesting level (the extra-level triples VERDICT item 6 asks for)."""
+    from ferenda_spark.operators.parse import _parse_one
+
+    html = (
+        b"<html><head><title>T</title></head><body>"
+        b"<h2>Section 2. Top</h2><p>a</p>"
+        b"<h3>Section 2 a. Mid</h3><p>b</p>"
+        b"<h4>Section 2.1.1. Leaf</h4><p>c</p>"
+        b"</body></html>"
+    )
+    row = _parse_one("https://d00.example.com/x/9.html", "2024-01-01", html, "en", 0)
+    parts = {t["s"] for t in row["triples"] if t["p"] == "y" and t["s"]}
+    assert parts == {"2", "2.1", "2.1.1"}
+    ip = {t["s"] for t in row["triples"] if t["p"] == "i"}
+    assert ip == {"2", "2.1", "2.1.1"}
+
+
+def test_orphan_subsection_attaches_top_level():
+    from ferenda_spark.operators.fsm import nest_sections
+
+    ctx = parse_structure("T\n\nSection 3.1. Orphan\n\np")
+    tree = nest_sections(ctx["sections"])
+    assert [n["ordinal_path"] for n in tree] == ["3.1"]

@@ -140,3 +140,48 @@ def test_onepass_duplicate_alias_keys_match_broadcast(spark, dict_df):
     got = sorted(map(key, link_mentions_onepass(m, dup).collect()))
     assert got == want
     assert len([k for k in got if k[1] == "Acme Corp"]) == 2
+
+
+def test_tuned_salt_tracks_hottest_key(spark, dict_df):
+    """Stats-driven salting (SURVEY §4.3): S follows the hottest key's row
+    count and the salted join stays value-identical to broadcast on a
+    Zipf-skewed mention set."""
+    from ferenda_spark.operators.linking import tuned_salt
+
+    name0, _ = _entity_name(0)
+    name1, _ = _entity_name(1)
+    # Zipf-ish: one scorching key, one warm, a cold tail
+    rows = [name0] * 900 + [name1] * 90 + [_entity_name(i)[0] for i in range(2, 11)]
+    m = spark.createDataFrame(
+        [
+            {
+                "url": f"https://d{i % 7:02d}.example.com/x/{i}.html",
+                "part_key": i % 7,
+                "section_ordinal": 1,
+                "mention": name,
+                "alias_key": name.lower(),
+            }
+            for i, name in enumerate(rows)
+        ]
+    )
+    assert tuned_salt(m, target_rows_per_reducer=100) == 9  # ceil(900/100)
+    assert tuned_salt(m, target_rows_per_reducer=100, max_salt=4) == 4
+    assert tuned_salt(m, target_rows_per_reducer=10**6) == 1  # no hot key
+
+    b = {(r["url"], r["canonical_uri"]) for r in _exact_broadcast(m, dict_df).collect()}
+    s = {(r["url"], r["canonical_uri"]) for r in _exact_salted(m, dict_df, None).collect()}
+    assert b == s and len(b) == len(rows)
+
+    # the hottest reducer's share actually drops: with S=9, the hot key's
+    # rows spread over 9 salt buckets, none holding more than ~1/4 of them
+    salted = m.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("url")), F.lit(9)).cast("int")
+    )
+    per_bucket = (
+        salted.filter(F.col("alias_key") == name0.lower())
+        .groupBy("salt")
+        .count()
+        .collect()
+    )
+    assert len(per_bucket) == 9
+    assert max(r["count"] for r in per_bucket) < 900 / 4

@@ -52,8 +52,10 @@ def _distill(xhtml: str) -> set[tuple]:
         sec_uri = sec.attrib["about"]
         triples.add((sec_uri, P_TYPE, CURIE[sec.attrib["typeof"]]))
         triples.add((sec_uri, CURIE[sec.attrib["rel"]], sec.attrib["resource"]))
-        h2 = sec.find(f"{XNS}h2")
-        triples.add((sec_uri, CURIE[h2.attrib["property"]], h2.text or ""))
+        hx = next(
+            h for lvl in ("h2", "h3", "h4") for h in sec.findall(f"{XNS}{lvl}")
+        )
+        triples.add((sec_uri, CURIE[hx.attrib["property"]], hx.text or ""))
         for a in sec.iter(f"{XNS}a"):
             triples.add((sec_uri, CURIE[a.attrib["rel"]], a.attrib["href"]))
     return triples
@@ -72,7 +74,7 @@ def test_xhtml_wellformed_and_roundtrip(spark):
     # the XHTML is the parsed layer) — empty links frame
     links = spark.createDataFrame(
         [],
-        "url string, part_key int, section_ordinal int, canonical_uri string",
+        "url string, part_key int, section_ordinal string, canonical_uri string",
     )
     want: dict[str, set] = {}
     for row in assemble_triples(docs, links).collect():
