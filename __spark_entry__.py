@@ -1259,6 +1259,57 @@ def _q_toc_html_pages(spark, sf_dir):
     )
 
 
+def _q_docx_ingest_roundtrip(spark, sf_dir):
+    """S5 WordReader path, driver-visible: synthesize one .docx per
+    document (docs 200–299; stdlib zip+XML writer), ingest through
+    sources.docformats.read_documents, emit one row per file with the
+    extracted text's sha256. Oracle reconstructs the sha straight from the
+    documents table — equality proves character-exact roundtrip through
+    the OOXML writer + parser. Bounded 100-row driver synthesis, like
+    warc_ingest_roundtrip."""
+    import io as _io
+    import os as _os
+    import zipfile as _zip
+    from xml.sax.saxutils import escape as _esc
+
+    from ferenda_spark.sources.docformats import read_documents
+
+    d = _t(spark, sf_dir, "documents")
+    rows = (
+        d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    out_dir = f"/tmp/ferenda_spark_docx_q_{_os.path.basename(sf_dir.rstrip('/'))}"
+    _os.makedirs(out_dir, exist_ok=True)
+    for r in rows:
+        doc = (
+            f'<?xml version="1.0"?><w:document xmlns:w="{W}"><w:body>'
+            f'<w:p><w:pPr><w:pStyle w:val="Title"/></w:pPr>'
+            f"<w:r><w:t>Doc {r['doc_id']}</w:t></w:r></w:p>"
+            f"<w:p><w:r><w:t>{_esc(r['text'])}</w:t></w:r></w:p>"
+            f"</w:body></w:document>"
+        )
+        buf = _io.BytesIO()
+        with _zip.ZipFile(buf, "w") as z:
+            z.writestr("word/document.xml", doc)
+        with open(f"{out_dir}/{r['doc_id']:05d}.docx", "wb") as f:
+            f.write(buf.getvalue())
+
+    return (
+        read_documents(spark, out_dir)
+        .filter(F.col("doc_error").isNull())
+        .select(
+            F.element_at(F.split(F.col("url"), "/"), -1).alias("fname"),
+            "title",
+            F.col("n_parts").cast("long").alias("n_parts"),
+            F.sha2(F.col("text"), 256).alias("text_sha"),
+        )
+    )
+
+
 def _q_facet_rollup_custom(spark, sf_dir):
     """Declarative Facet rollup (SURVEY §1.1 / A1): toc_rollup driven by a
     USER-declared facet list — a publisher-style facet (source) plus a
@@ -1419,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_facets": _q_fulltext_facets,
         "atom_feeds": _q_atom_feeds,
         "warc_ingest_roundtrip": _q_warc_ingest_roundtrip,
+        "docx_ingest_roundtrip": _q_docx_ingest_roundtrip,
         "facet_rollup_custom": _q_facet_rollup_custom,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
@@ -2095,6 +2147,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS payload_sha
             FROM documents WHERE doc_id < 200
+        """,
+        # character-exact OOXML roundtrip: extracted text must equal
+        # 'Doc {id}\n\n{text}' reconstructed from the documents table
+        "docx_ingest_roundtrip": """
+            SELECT lpad(CAST(doc_id AS VARCHAR), 5, '0') || '.docx' AS fname,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   CAST(2 AS BIGINT) AS n_parts,
+                   sha256('Doc ' || CAST(doc_id AS VARCHAR)
+                          || chr(10) || chr(10) || text) AS text_sha
+            FROM documents WHERE doc_id >= 200 AND doc_id < 300
         """,
         "facet_rollup_custom": """
             SELECT 'publisher' AS facet, source AS value,

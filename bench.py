@@ -76,10 +76,11 @@ def materialize_corpus(spark, n_docs: int) -> str:
     benchmarked pipeline reads a table, per input_hint, not a generator."""
     import tempfile
 
-    from ferenda_spark.sources.corpus import generate_corpus
+    from ferenda_spark.sources.corpus import TEMPLATE_VERSION, generate_corpus
 
     path = os.path.join(
-        tempfile.gettempdir(), f"ferenda_bench_corpus_{n_docs}.parquet"
+        tempfile.gettempdir(),
+        f"ferenda_bench_corpus_v{TEMPLATE_VERSION}_{n_docs}.parquet",
     )
     if not os.path.isdir(path):
         generate_corpus(spark, n_docs).write.mode("overwrite").parquet(path)

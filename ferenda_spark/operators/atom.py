@@ -6,13 +6,15 @@ RFC-4287 feed metadata and prev/next-archive links between pages
 ([ref: ferenda/documentrepository.py :: news_generate_feeds,
 news_write_atom], feedset classes in the same module).
 
-Spark form: one row per (feed, page) holding the complete Atom document in
-an ``atom_xml`` column — rendered entirely with column expressions
-(collect_list + sort_array + transform/aggregate string concat), zero
-Python in the hot path, same pattern as ``operators.xhtml``. The input is
-the ``feeds_topk`` table (feed, rn, page, uri, title, issued), so the
-window/top-k shuffle happens once upstream; rendering itself adds only the
-per-(feed, page) groupBy — vocabulary-sized keys, skew-free.
+Spark form: one row per (facet, feed, page) holding the complete Atom
+document in an ``atom_xml`` column — rendered entirely with column
+expressions (collect_list + sort_array + transform/aggregate string
+concat), zero Python in the hot path, same pattern as ``operators.xhtml``.
+The input is the ``feeds_topk`` table ([facet,] feed, rn, page, uri,
+title, issued — the facet column is optional for single-feedset callers),
+so the window/top-k shuffle happens once upstream; rendering itself adds
+only the per-(facet, feed, page) groupBy — vocabulary-sized keys,
+skew-free.
 
 At 100 TB the feed tables are tiny (rollup output); the design point is
 that XML assembly never leaves the JVM and the sink is an ordinary

@@ -62,8 +62,16 @@ def run_pipeline(
     exact_strategy: str = "broadcast",
     with_lsh: bool = True,
     base_url: str = "https://kg.example.org",
+    facets=None,
 ) -> dict[str, str]:
-    """Run (or resume) the full DAG; returns stage-table paths."""
+    """Run (or resume) the full DAG; returns stage-table paths.
+
+    ``facets``: optional tuple of ferenda_spark.facets.Facet driving the
+    toc/feed rollups (reference: each docrepo declares its Facet list);
+    defaults to the letter/year/lang trio."""
+    from ferenda_spark.facets import DEFAULT_FACETS
+
+    facets = DEFAULT_FACETS if facets is None else tuple(facets)
     ledger = Ledger(spark, _p(out_dir, "ledger"))
     paths = {
         "docs": _p(out_dir, "docs"),
@@ -147,8 +155,8 @@ def run_pipeline(
     docmeta = docmeta_from_triples(triples_tbl)
     write_stage_partitioned(docmeta, paths["docmeta"])
     dm = catalog.read_table(spark, paths["docmeta"])
-    catalog.write_table(toc_rollup(dm), paths["toc"])
-    catalog.write_table(feeds_topk(dm), paths["feeds"])
+    catalog.write_table(toc_rollup(dm, facets=facets), paths["toc"])
+    catalog.write_table(feeds_topk(dm, facets=facets), paths["feeds"])
     catalog.write_table(feed_main(dm), paths["feed_main"])
     catalog.write_table(triple_stats(triples_tbl), paths["triple_stats"])
     ledger.mark_parts("rollup", [-1], run_id=run_id)

@@ -48,6 +48,10 @@ from ferenda_spark.schemas import (
 )
 
 SEED = 42
+# bump when the HTML template grammar changes: cached materialized corpora
+# (bench/scaling /tmp parquet) are keyed on this so a template change can
+# never silently reuse a stale corpus
+TEMPLATE_VERSION = 2
 N_DOMAINS = 20
 N_ENTITIES = 2000
 EPOCH = dt.datetime(2024, 1, 1, 0, 0, 0)

@@ -1,0 +1,128 @@
+"""PDF/Word sources (S4/S5): stdlib docx + simple-PDF decoders, ingest via
+binaryFile → mapInPandas, malformed inputs as doc_error rows (the
+warc_error convention)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+import zlib
+
+from ferenda_spark.sources.docformats import (
+    parse_docx_bytes,
+    parse_pdf_bytes,
+    read_documents,
+)
+
+_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+
+def _docx(paras: list[tuple[str, str]]) -> bytes:
+    body = ""
+    for style, text in paras:
+        st = f'<w:pPr><w:pStyle w:val="{style}"/></w:pPr>' if style else ""
+        body += f"<w:p>{st}<w:r><w:t>{text}</w:t></w:r></w:p>"
+    doc = (
+        f'<?xml version="1.0"?><w:document xmlns:w="{_W}">'
+        f"<w:body>{body}</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>',
+        )
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def _pdf(page_lines: list[list[str]], compress: bool = True) -> bytes:
+    """Minimal single-xref PDF with one Flate (or plain) content stream per
+    page; each line is a (text) Tj with a Td line move between lines."""
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    objs: list[bytes] = []
+    kids = []
+    n_fixed = 2  # catalog, pages
+    for pi, lines in enumerate(page_lines):
+        content = b"BT /F1 12 Tf 72 720 Td "
+        for li, line in enumerate(lines):
+            esc = line.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+            if li:
+                content += b"0 -14 Td "
+            content += b"(" + esc.encode("latin-1") + b") Tj "
+        content += b"ET"
+        data = zlib.compress(content) if compress else content
+        filt = b"/Filter /FlateDecode " if compress else b""
+        stream_id = n_fixed + 2 * pi + 2
+        page_id = n_fixed + 2 * pi + 1
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>" % stream_id
+        )
+        objs.append(
+            b"<< %s/Length %d >>\nstream\n" % (filt, len(data))
+            + data
+            + b"\nendstream"
+        )
+        kids.append(b"%d 0 R" % page_id)
+    header = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [" + b" ".join(kids) + b"] /Count %d >>" % len(kids),
+    ]
+    for i, obj in enumerate(header + objs, start=1):
+        out.write(b"%d 0 obj\n" % i + obj + b"\nendobj\n")
+    out.write(b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    return out.getvalue()
+
+
+def test_docx_paragraphs_and_title():
+    blob = _docx(
+        [("Title", "My Report"), ("Heading1", "Intro"), ("", "Plain body text.")]
+    )
+    d = parse_docx_bytes(blob)
+    assert d["error"] is None
+    assert d["title"] == "My Report"
+    assert d["paras"] == [
+        ("Title", "My Report"),
+        ("Heading1", "Intro"),
+        ("", "Plain body text."),
+    ]
+
+
+def test_docx_garbage_is_error_row():
+    d = parse_docx_bytes(b"\x00\x01 not a zip")
+    assert d["error"] and d["paras"] == []
+
+
+def test_pdf_flate_and_plain_roundtrip():
+    for compress in (True, False):
+        blob = _pdf([["Hello (PDF) world", "second \\ line"], ["page two"]], compress)
+        d = parse_pdf_bytes(blob)
+        assert d["error"] is None, d
+        assert len(d["pages"]) == 2
+        assert "Hello (PDF) world" in d["pages"][0]
+        assert "second \\ line" in d["pages"][0]
+        # Td between lines becomes a newline
+        assert d["pages"][0].splitlines()[-1].strip() == "second \\ line"
+        assert d["pages"][1].strip() == "page two"
+
+
+def test_pdf_errors_as_data():
+    assert parse_pdf_bytes(b"GIF89a...")["error"].startswith("not a pdf")
+    enc = b"%PDF-1.4\n1 0 obj\n<< /Encrypt 5 0 R >>\nendobj\n%%EOF"
+    assert parse_pdf_bytes(enc)["error"] == "encrypted pdf unsupported"
+    no_text = b"%PDF-1.4\nnothing here\n%%EOF"
+    assert parse_pdf_bytes(no_text)["error"] == "no extractable text streams"
+
+
+def test_read_documents_mixed_dir(spark, tmp_path):
+    (tmp_path / "a.docx").write_bytes(_docx([("Heading1", "H"), ("", "body")]))
+    (tmp_path / "b.pdf").write_bytes(_pdf([["pdf text"]]))
+    (tmp_path / "c.doc").write_bytes(b"\xd0\xcf\x11\xe0 legacy ole")
+    (tmp_path / "d.pdf").write_bytes(b"junk not pdf")
+    rows = {r["url"].rsplit("/", 1)[1]: r for r in read_documents(spark, str(tmp_path)).collect()}
+    assert rows["a.docx"]["doc_error"] is None
+    assert rows["a.docx"]["text"] == "H\n\nbody" and rows["a.docx"]["n_parts"] == 2
+    assert rows["b.pdf"]["doc_error"] is None and "pdf text" in rows["b.pdf"]["text"]
+    assert rows["c.doc"]["doc_error"].startswith("legacy .doc unsupported")
+    assert rows["d.pdf"]["doc_error"].startswith("not a pdf")

@@ -42,12 +42,13 @@ def build_zip(path: str) -> None:
 
 
 def materialize_corpus(n_docs: int) -> str:
-    path = f"/tmp/ferenda_scaling_corpus_{n_docs}.parquet"
-    if os.path.isdir(path):
-        return path
     sys.path.insert(0, REPO)
     from ferenda_spark.session import get_spark
-    from ferenda_spark.sources.corpus import generate_corpus
+    from ferenda_spark.sources.corpus import TEMPLATE_VERSION, generate_corpus
+
+    path = f"/tmp/ferenda_scaling_corpus_v{TEMPLATE_VERSION}_{n_docs}.parquet"
+    if os.path.isdir(path):
+        return path
 
     spark = get_spark(app_name="scaling_corpus", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
