@@ -1259,6 +1259,24 @@ def _q_toc_html_pages(spark, sf_dir):
     )
 
 
+def _q_pack_training_shards(spark, sf_dir):
+    """LLM-pipeline sequence packing: documents → token-budget shard
+    manifest (concat-then-chunk pack assignment via bucket-parallel window
+    cumsum). Oracle reproduces the window arithmetic independently."""
+    from ferenda_spark.functions.packing import pack_documents, pack_stats
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_documents(
+        d,
+        budget=512,
+        group_cols=("source",),
+        bucket_expr="cast(pmod(doc_id, 4) as int)",
+    )
+    return pack_stats(packed, 512, ("source",)).select(
+        "source", "bucket", "pack_id", "n_docs", "n_tokens", "fill_ratio"
+    )
+
+
 def _q_docx_ingest_roundtrip(spark, sf_dir):
     """S5 WordReader path, driver-visible: synthesize one .docx per
     document (docs 200–299; stdlib zip+XML writer), ingest through
@@ -1471,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "atom_feeds": _q_atom_feeds,
         "warc_ingest_roundtrip": _q_warc_ingest_roundtrip,
         "docx_ingest_roundtrip": _q_docx_ingest_roundtrip,
+        "pack_training_shards": _q_pack_training_shards,
         "facet_rollup_custom": _q_facet_rollup_custom,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
@@ -2157,6 +2176,30 @@ def oracle_sql() -> dict[str, str]:
                    sha256('Doc ' || CAST(doc_id AS VARCHAR)
                           || chr(10) || chr(10) || text) AS text_sha
             FROM documents WHERE doc_id >= 200 AND doc_id < 300
+        """,
+        # concat-then-chunk packing: pack = floor(start_offset / budget)
+        # over the per-(source, bucket) stream ordered by doc_id
+        "pack_training_shards": """
+            WITH t AS (
+                SELECT source,
+                       CAST(doc_id % 4 AS INT) AS bucket,
+                       doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+            ), o AS (
+                SELECT source, bucket, n_tokens,
+                       sum(n_tokens) OVER (
+                           PARTITION BY source, bucket ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) - n_tokens AS start_offset
+                FROM t
+            )
+            SELECT source, bucket,
+                   CAST(floor(start_offset / 512) AS BIGINT) AS pack_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(sum(n_tokens) AS DOUBLE) / 512 AS fill_ratio
+            FROM o GROUP BY source, bucket, CAST(floor(start_offset / 512) AS BIGINT)
         """,
         "facet_rollup_custom": """
             SELECT 'publisher' AS facet, source AS value,

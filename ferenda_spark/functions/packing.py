@@ -1,0 +1,90 @@
+"""Training-shard sequence packing (LLM-data-pipeline operator).
+
+No reference analog (ferenda stops at publishing); this is the operator a
+training-data pipeline needs between curation and the data loader: assign
+documents to fixed token-budget packs ("concat-then-chunk" packing — the
+standard pretraining shard layout where documents are concatenated into a
+stream and split at budget boundaries).
+
+Semantics: within each (group, bucket) stream, documents are ordered
+deterministically by id, the running token offset is computed, and a
+document belongs to pack ``floor(start_offset / budget)``. Packs therefore
+fill to ~budget with spillover bounded by one document (a straddling doc
+counts toward the pack its first token lands in) — exactly the loader-side
+chunking approximation, bit-deterministic across runs and cluster sizes.
+
+Scale design: packing is a WINDOW cumulative sum, which executes one task
+per window partition — so the stream is sharded by ``pmod(xxhash64(id),
+n_buckets)`` inside each group and each (group, bucket) packs
+independently in parallel. n_buckets scales the parallelism (10^4 buckets
+→ 10^4 independent pack streams at 100 TB); determinism is preserved
+because bucket assignment is a pure function of the id. One shuffle
+(the window partitioning), everything else is codegen'd column math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def whitespace_tokens(text_col: Column) -> Column:
+    """Cheap deterministic token proxy: whitespace-split count (the same
+    estimator textstats uses for throughput accounting; swap in a BPE
+    count column when the corpus carries one)."""
+    return F.size(F.split(text_col, " "))
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+    budget: int = 4096,
+    group_cols: tuple[str, ...] = (),
+    n_buckets: int = 32,
+    bucket_expr: str | None = None,
+) -> DataFrame:
+    """Assign every document a (bucket, pack_id, start_offset) under the
+    token ``budget``. ``tokens_col`` names a precomputed token count; when
+    None, ``whitespace_tokens(text_col)`` is used. ``bucket_expr``
+    overrides the default xxhash64 bucketing with any deterministic SQL
+    expression over the row (e.g. ``"cast(pmod(doc_id, 4) as int)"`` when
+    an external system must reproduce the assignment)."""
+    tokens = (
+        F.col(tokens_col) if tokens_col else whitespace_tokens(F.col(text_col))
+    ).cast("long")
+    bucket = (
+        F.expr(bucket_expr)
+        if bucket_expr
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+    )
+    out = df.withColumn("n_tokens", tokens).withColumn("bucket", bucket)
+    w = (
+        Window.partitionBy(*group_cols, "bucket")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn(
+        "start_offset", (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    ).withColumn("pack_id", F.floor(F.col("start_offset") / budget).cast("long"))
+    return out
+
+
+def pack_stats(
+    packed: DataFrame, budget: int, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-(group, bucket, pack) fill statistics — the shard manifest a
+    loader consumes and the audit a curation report wants (pack count,
+    token fill, fill ratio)."""
+    return (
+        packed.groupBy(*group_cols, "bucket", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .withColumn(
+            "fill_ratio",
+            (F.col("n_tokens") / F.lit(float(budget))).cast("double"),
+        )
+    )

@@ -32,6 +32,11 @@ def toc_pages(toc: DataFrame, base_url: str, page_size: int = 25) -> DataFrame:
     nav_vals = toc.groupBy("facet").agg(
         F.sort_array(F.collect_list("value")).alias("siblings")
     )
+    # paginate over the MATERIALIZED list, not n_docs: the global ('all')
+    # bucket's page_docs is capped (rollups.toc_rollup global_cap), so
+    # n_docs-based pagination would emit thousands of empty pages at scale;
+    # greatest(…,1) keeps one (possibly empty) page for empty buckets
+    n_pages_src = F.greatest(F.size("page_docs"), F.lit(1))
     pages = (
         toc.join(F.broadcast(nav_vals), "facet")
         .select(
@@ -39,7 +44,7 @@ def toc_pages(toc: DataFrame, base_url: str, page_size: int = 25) -> DataFrame:
             F.explode(
                 F.sequence(
                     F.lit(0),
-                    F.floor((F.col("n_docs") - 1) / page_size).cast("int"),
+                    F.floor((n_pages_src - 1) / page_size).cast("int"),
                 )
             ).alias("page"),
         )

@@ -96,3 +96,17 @@ def test_page_href_percent_encodes_values(spark):
                 assert len(tail.split("/")) == 3  # facet/value/page.html
     assert "A%2FB" in pages["A/B"]
     assert "C%20%23x" in pages["C #x"]
+
+
+def test_capped_global_bucket_paginates_list_not_count(spark):
+    """The global bucket's page_docs is capped below n_docs at scale —
+    pagination must follow the materialized list, never emit empty pages."""
+    docs = [{"sort_key": f"t{i:02d}", "uri": f"u{i}", "title": f"t{i:02d}"} for i in range(6)]
+    toc = spark.createDataFrame(
+        [("all", "*", 1000, docs)],
+        "facet string, value string, n_docs long, "
+        "page_docs array<struct<sort_key:string,uri:string,title:string>>",
+    )
+    rows = toc_pages(toc, "https://ex.org", page_size=3).collect()
+    assert len(rows) == 2  # 6 capped docs / 3 per page — NOT 334 pages
+    assert sorted(r["n_page_docs"] for r in rows) == [3, 3]
