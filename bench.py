@@ -52,9 +52,10 @@ BENCH_QUERIES = [
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs
-# have shown transient 3-10x outliers (host contention); the minimum is the
-# steady-state number the queries actually cost.
-BEST_OF = int(os.environ.get("SPARK_GRAFT_BEST_OF", "2"))
+# have shown transient 3-10x outliers (host contention) — measured round 2:
+# the same query 3.4s and 18.1s in back-to-back bench runs. The minimum of
+# three is the steady-state number the queries actually cost.
+BEST_OF = int(os.environ.get("SPARK_GRAFT_BEST_OF", "3"))
 
 
 def _time(fn) -> tuple[float, int]:
