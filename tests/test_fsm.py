@@ -152,3 +152,58 @@ def test_orphan_subsection_attaches_top_level():
     ctx = parse_structure("T\n\nSection 3.1. Orphan\n\np")
     tree = nest_sections(ctx["sections"])
     assert [n["ordinal_path"] for n in tree] == ["3.1"]
+
+
+def test_nesting_property_random_trees():
+    """Property: for random trees (depth ≤3, mixed dotted/lettered header
+    style), text → parse_structure recovers exactly the planted flat list,
+    and nest_sections is the inverse of flattening."""
+    import random
+
+    from ferenda_spark.operators.fsm import nest_sections
+
+    for seed in range(25):
+        rng = random.Random(f"fsmprop:{seed}")
+        chunks = ["Doc title"]
+        want = []  # (ordinal_path, title, n_paras)
+
+        def paras(path):
+            n = rng.randint(0, 3)
+            for i in range(n):
+                chunks.append(f"para {path} {i} words")
+            return n
+
+        for k in range(1, rng.randint(1, 5) + 1):
+            t = f"Top {k}"
+            chunks.append(f"Section {k}. {t}")
+            want.append((str(k), t, paras(str(k))))
+            for j in range(1, rng.randint(0, 3) + 1):
+                t2 = f"Mid {k}.{j}"
+                hdr = (
+                    f"Section {k} {chr(ord('a') + j - 1)}. {t2}"
+                    if rng.random() < 0.5
+                    else f"Section {k}.{j}. {t2}"
+                )
+                chunks.append(hdr)
+                want.append((f"{k}.{j}", t2, paras(f"{k}.{j}")))
+                if rng.random() < 0.3:
+                    t3 = f"Leaf {k}.{j}.1"
+                    chunks.append(f"Section {k}.{j}.1. {t3}")
+                    want.append((f"{k}.{j}.1", t3, paras(f"{k}.{j}.1")))
+
+        ctx = parse_structure("\n\n".join(chunks))
+        got = [
+            (s["ordinal_path"], s["title"], len(s["paras"]))
+            for s in ctx["sections"]
+        ]
+        assert got == want, seed
+
+        # flatten(nest(flat)) == flat (pre-order)
+        def flatten(nodes):
+            out = []
+            for n in nodes:
+                out.append((n["ordinal_path"], n["title"], len(n["paras"])))
+                out.extend(flatten(n["subsections"]))
+            return out
+
+        assert flatten(nest_sections(ctx["sections"])) == got, seed

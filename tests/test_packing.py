@@ -45,3 +45,34 @@ def test_pack_window_is_bucket_parallel(spark):
     # window partition key must include the bucket — no single-partition sort
     assert "Exchange SinglePartition" not in plan
     assert packed.select("bucket").distinct().count() == 8
+
+
+def test_pack_property_matches_bruteforce(spark):
+    """Property: Spark pack assignment equals a per-stream python cumsum
+    brute force for random corpora."""
+    import random
+
+    rng = random.Random("packprop")
+    rows = [
+        (i, f"s{rng.randrange(3)}", " ".join(["w"] * rng.randint(1, 40)))
+        for i in range(300)
+    ]
+    budget = 64
+    packed = pack_documents(
+        _df(spark, rows), group_cols=("source",), budget=budget, n_buckets=4
+    )
+    got = {
+        r["doc_id"]: (r["bucket"], r["start_offset"], r["pack_id"])
+        for r in packed.collect()
+    }
+    # brute force: same bucket fn (xxhash64) taken from the Spark result,
+    # then per-(source,bucket) cumsum in doc_id order
+    streams = {}
+    for i, src, text in rows:
+        b = got[i][0]
+        streams.setdefault((src, b), []).append((i, len(text.split(" "))))
+    for (src, b), docs in streams.items():
+        off = 0
+        for i, ntok in sorted(docs):
+            assert got[i] == (b, off, off // budget), (i, src, b)
+            off += ntok
