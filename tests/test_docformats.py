@@ -126,3 +126,26 @@ def test_read_documents_mixed_dir(spark, tmp_path):
     assert rows["b.pdf"]["doc_error"] is None and "pdf text" in rows["b.pdf"]["text"]
     assert rows["c.doc"]["doc_error"].startswith("legacy .doc unsupported")
     assert rows["d.pdf"]["doc_error"].startswith("not a pdf")
+
+
+def test_docformat_parsers_never_raise_on_fuzz():
+    import random
+    import zlib
+
+    rng = random.Random("docfuzz")
+    pdf_base = _pdf([["some text", "more"]])
+    docx_base = _docx([("Heading1", "H"), ("", "b")])
+    for i in range(60):
+        base = pdf_base if i % 2 else docx_base
+        blob = bytearray(base)
+        for _ in range(rng.randint(1, 15)):
+            if blob:
+                blob[rng.randrange(len(blob))] = rng.randrange(256)
+        blob = bytes(blob[: rng.randint(0, len(blob))])
+        d1 = parse_pdf_bytes(blob)
+        d2 = parse_docx_bytes(blob)
+        assert isinstance(d1, dict) and isinstance(d2, dict)
+    # adversarial: valid header, zlib bomb-ish stream (must not hang or raise)
+    bomb = b"%PDF-1.4\n<< /Filter /FlateDecode /Length 20 >>\nstream\n" + \
+        zlib.compress(b"\x00" * 10_000_000)[:20] + b"\nendstream\n%%EOF"
+    assert isinstance(parse_pdf_bytes(bomb), dict)

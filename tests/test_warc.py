@@ -250,3 +250,34 @@ def test_folded_header_continuation_lines(spark, tmp_path):
     assert r["warc_error"] is None
     assert r["url"] == "https://folded.example/ long/path.html"
     assert r["html"] == payload
+
+
+def test_warc_parser_never_raises_on_fuzz():
+    """Ingest robustness: arbitrary bytes must produce rows (possibly
+    warc_error rows), never an exception — a corrupt archive in a 100 TB
+    crawl must cost one error row, not the stage."""
+    import random
+
+    from ferenda_spark.sources.warc import parse_warc_bytes
+
+    rng = random.Random("warcfuzz")
+    seeds = [
+        b"",
+        b"\r\n\r\n\r\n",
+        b"WARC/1.0\r\n",
+        b"WARC/1.0\r\nContent-Length: 5\r\n\r\nhi",
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99999999\r\n\r\nx",
+    ]
+    base = _rec("response", uri="https://f.example/x",
+                date="2026-01-01T00:00:00Z", payload=b"<p>ok</p>")
+    for i in range(60):
+        if i < len(seeds):
+            blob = seeds[i]
+        else:
+            blob = bytearray(base * rng.randint(1, 3))
+            for _ in range(rng.randint(1, 12)):  # random corruption
+                if blob:
+                    blob[rng.randrange(len(blob))] = rng.randrange(256)
+            blob = bytes(blob[: rng.randint(0, len(blob))])
+        rows = list(parse_warc_bytes(bytes(blob), "fuzz"))
+        assert all(isinstance(r, dict) for r in rows)

@@ -159,8 +159,17 @@ def main() -> None:
     out = ["# KG DAG physical plans (generated by tools/explain_kg.py)\n"]
     for title, plan in sections:
         out.append(f"## {title}\n\n```\n{plan}\n```\n")
-    with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
-        f.write("\n".join(out))
+    # preserve hand-appended sections (anything from the first '# Round-'
+    # heading on) — regeneration must not silently drop them
+    path = os.path.join(REPO, "BENCH", "PLANS.md")
+    extra = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n# Round-")
+        if idx >= 0:
+            extra = old[idx:]
+    with open(path, "w") as f:
+        f.write("\n".join(out) + extra)
     print("wrote BENCH/PLANS.md")
 
     import shutil
