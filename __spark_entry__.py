@@ -1259,6 +1259,23 @@ def _q_toc_html_pages(spark, sf_dir):
     )
 
 
+def _q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation DAG (plans/curation.py): documents → verdict
+    audit → boilerplate removal → PII redaction → split → shard packing →
+    manifest. Rows-only: the composition chains two window shuffles and a
+    reassembly whose exact interleaving DuckDB can't mirror 1:1, but every
+    stage is individually oracle-backed (chunk_dedup_*, pii_redact,
+    corpus_hash_split, pack_training_shards) and the wiring is pinned by
+    tests/test_curation_pipeline.py."""
+    from ferenda_spark.plans.curation import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    out = curate_corpus(d, budget=1024, n_buckets=4, min_clean_tokens=5)
+    return out["manifest"].select(
+        "split", "source", "bucket", "pack_id", "n_docs", "n_tokens"
+    )
+
+
 def _q_pack_training_shards(spark, sf_dir):
     """LLM-pipeline sequence packing: documents → token-budget shard
     manifest (concat-then-chunk pack assignment via bucket-parallel window
@@ -1500,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "similarity_ivf": _q_similarity_ivf,
         "media_features": _q_media_features,
+        "curation_pipeline": _q_curation_pipeline,
         "kg_xhtml": _q_kg_xhtml,
         "toc_html_pages": _q_toc_html_pages,
         "kg_patched_parse": _q_kg_patched_parse,
