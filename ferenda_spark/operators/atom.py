@@ -40,6 +40,14 @@ def _esc_attr(c: Column) -> Column:
     return F.replace(_esc(c), F.lit('"'), F.lit("&quot;"))
 
 
+def _pct(c: Column) -> Column:
+    """Percent-encode a URL path SEGMENT (shared with operators.toc_html):
+    facet/feed values are uncontrolled corpus-derived strings, so '/',
+    '?', '#', space must not reach the URL structurally. url_encode is
+    form-encoding (space → '+'); patch '+' to '%20' for path semantics."""
+    return F.regexp_replace(F.url_encode(c), r"\+", "%20")
+
+
 def _entry_xml(e: Column) -> Column:
     """One (rn, uri, title, issued) struct → '<entry>…</entry>'. The uri is
     both id and link target, as in the reference's entries."""
@@ -85,9 +93,12 @@ def atom_feeds(feeds: DataFrame, base_url: str) -> DataFrame:
     def href(page_col: Column) -> Column:
         segs: list[Column] = [F.lit(base_url + "/feed/")]
         if has_facet:
-            segs += [F.col("facet"), F.lit("/")]
+            segs += [_pct(F.col("facet")), F.lit("/")]
+        # NULL feed (docs without the facet value form their own feed):
+        # same "~none" sentinel convention as toc_html — '~' in a real
+        # value always encodes to %7E, so no collision
         return F.concat(
-            *segs, F.col("feed"),
+            *segs, _pct(F.coalesce(F.col("feed"), F.lit("~none"))),
             F.lit("/"), page_col.cast("string"), F.lit(".atom"),
         )
 
@@ -109,7 +120,8 @@ def atom_feeds(feeds: DataFrame, base_url: str) -> DataFrame:
     xml = F.concat(
         F.lit('<?xml version="1.0" encoding="utf-8"?>'),
         F.lit(f'<feed xmlns="{ATOM_NS}"><id>'),
-        _esc(href(F.col("page"))), F.lit("</id><title>"), _esc(F.col("feed")),
+        _esc(href(F.col("page"))), F.lit("</id><title>"),
+        _esc(F.coalesce(F.col("feed"), F.lit("~none"))),
         F.lit("</title><updated>"),
         F.date_format(F.col("max_issued"), TS_FMT),
         F.lit('</updated><link rel="self" href="'),

@@ -56,7 +56,7 @@ from ferenda_spark.facets import DEFAULT_FACETS, Facet, feed_facets, toc_facets
 from ferenda_spark.operators.rollups import (
     facet_columns,
     feeds_topk,
-    toc_rollup,
+    toc_per_facet,
 )
 
 
@@ -81,7 +81,10 @@ def affected_buckets(
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
-    return out.filter(F.col("value").isNotNull()).distinct()
+    # NULL facet values are REAL buckets (toc_per_facet gives them their
+    # own (facet, NULL) row via grouping_id) — keep them, or a change to a
+    # NULL-valued doc leaves its bucket silently stale
+    return out.distinct()
 
 
 def incremental_toc(
@@ -99,20 +102,34 @@ def incremental_toc(
     tf = toc_facets(facets)
     buckets = affected_buckets(old_changed, new_changed, facets)
     vals: dict[str, list[str]] = {fc.name: [] for fc in tf}
+    null_changed: dict[str, bool] = {fc.name: False for fc in tf}
     for r in buckets.collect():  # vocabulary-sized (see module docstring)
-        vals[r["facet"]].append(r["value"])
+        if r["value"] is None:
+            null_changed[r["facet"]] = True
+        else:
+            vals[r["facet"]].append(r["value"])
 
     f = facet_columns(docmeta_full, facets)
     cond = F.lit(False)
     for fc in tf:
         if vals[fc.name]:
             cond = cond | F.col(fc.name).cast("string").isin(vals[fc.name])
+        if null_changed[fc.name]:
+            cond = cond | F.col(fc.name).isNull()
     # filter on the faceted frame, then project back to the ORIGINAL
-    # docmeta columns: toc_rollup re-derives facets itself, and feeding it
-    # already-derived columns would double-apply self-referencing selectors
+    # docmeta columns: the rollup re-derives facets itself, and feeding it
+    # already-derived columns would double-apply self-referencing selectors.
+    # Only the per-facet aggregate runs here — toc_rollup's global-row legs
+    # (full count + TakeOrderedAndProject) would be discarded by the
+    # semi-join anyway. Joins are null-safe on value so (facet, NULL)
+    # buckets recompute/carry over correctly.
     pruned = f.filter(cond).select(*docmeta_full.columns)
-    recomputed = toc_rollup(pruned, facets, global_cap).join(
-        F.broadcast(buckets), ["facet", "value"], "left_semi"
+    per_facet = toc_per_facet(pruned, facets)
+    recomputed = per_facet.join(
+        F.broadcast(buckets),
+        (per_facet["facet"] == buckets["facet"])
+        & per_facet["value"].eqNullSafe(buckets["value"]),
+        "left_semi",
     )
 
     # global row: retract old contributions, apply new ones. The change
@@ -164,8 +181,12 @@ def incremental_toc(
         )
     )
 
-    untouched = old_toc.filter(F.col("facet") != "all").join(
-        F.broadcast(buckets), ["facet", "value"], "left_anti"
+    non_global = old_toc.filter(F.col("facet") != "all")
+    untouched = non_global.join(
+        F.broadcast(buckets),
+        (non_global["facet"] == buckets["facet"])
+        & non_global["value"].eqNullSafe(buckets["value"]),
+        "left_anti",
     )
     return untouched.unionByName(recomputed).unionByName(global_row)
 

@@ -160,21 +160,25 @@ def _parse_batches(
             wall_ms = int((time.monotonic() - t0) * 1000)
             n_triples = sum(len(r["triples"]) for r in rows)
             bytes_in = int(sum(len(b) for b in g["html"]))
-            rows.append(
-                dict(
-                    kind="metrics",
-                    url=None,
-                    part_key=int(pk),
-                    title=None, lang=None, issued=None, text_sha256=None,
-                    n_sections=None, n_paras=None,
-                    sections=None, triples=None, mentions=None,
-                    m_partition_id=pid,
-                    m_n_in=len(g),
-                    m_n_triples=n_triples,
-                    m_bytes_in=bytes_in,
-                    m_wall_ms=wall_ms,
+            if metrics_acc is None:
+                # in-band metrics rows serve split_parsed consumers (the
+                # streaming path); with an accumulator the pipeline gets
+                # the same totals out-of-band — don't build+ship both
+                rows.append(
+                    dict(
+                        kind="metrics",
+                        url=None,
+                        part_key=int(pk),
+                        title=None, lang=None, issued=None, text_sha256=None,
+                        n_sections=None, n_paras=None,
+                        sections=None, triples=None, mentions=None,
+                        m_partition_id=pid,
+                        m_n_in=len(g),
+                        m_n_triples=n_triples,
+                        m_bytes_in=bytes_in,
+                        m_wall_ms=wall_ms,
+                    )
                 )
-            )
             if metrics_acc is not None:
                 t = totals.setdefault(int(pk), [0, 0, 0, 0])
                 t[0] += len(g)

@@ -48,6 +48,49 @@ def facet_columns(
     return out
 
 
+def toc_per_facet(
+    docmeta: DataFrame, facets: tuple[Facet, ...] = DEFAULT_FACETS
+) -> DataFrame:
+    """The per-facet half of the toc rollup: GROUPING SETS ((f1), (f2), …)
+    in one Expand+HashAggregate pass, grouping_id() labeling each row's
+    facet so NULL facet values get their own bucket. Factored out so
+    incremental maintenance (operators/incremental.py) can recompute
+    affected buckets WITHOUT paying toc_rollup's global-row legs, whose
+    output it discards anyway."""
+    tf = toc_facets(facets)
+    f = facet_columns(docmeta, facets)
+    docs_struct = F.struct(
+        F.col("title").alias("sort_key"), F.col("uri"), F.col("title")
+    )
+    # gid of grouping set [[f_i]] over columns (f_0..f_{n-1}): every bit set
+    # except bit i (bit k = 1 means column k is aggregated away)
+    n = len(tf)
+    gid_of = {((1 << n) - 1) ^ (1 << (n - 1 - i)): fc.name for i, fc in enumerate(tf)}
+    facet_lbl = F.lit(None).cast("string")
+    value_col = F.lit(None).cast("string")
+    for gid, name in gid_of.items():
+        facet_lbl = F.when(F.col("_gid") == gid, F.lit(name)).otherwise(facet_lbl)
+        value_col = F.when(
+            F.col("_gid") == gid, F.col(name).cast("string")
+        ).otherwise(value_col)
+    return (
+        f.groupingSets(
+            [[F.col(fc.name)] for fc in tf], *[F.col(fc.name) for fc in tf]
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(docs_struct)).alias("page_docs"),
+            F.grouping_id().alias("_gid"),
+        )
+        .select(
+            facet_lbl.alias("facet"),
+            value_col.alias("value"),
+            "n_docs",
+            "page_docs",
+        )
+    )
+
+
 def toc_rollup(
     docmeta: DataFrame,
     facets: tuple[Facet, ...] = DEFAULT_FACETS,
@@ -73,38 +116,11 @@ def toc_rollup(
     of an undifferentiated everything-list is not a toc use case; the
     per-facet buckets stay complete.
     """
-    tf = toc_facets(facets)
     f = facet_columns(docmeta, facets)
     docs_struct = F.struct(
         F.col("title").alias("sort_key"), F.col("uri"), F.col("title")
     )
-    # gid of grouping set [[f_i]] over columns (f_0..f_{n-1}): every bit set
-    # except bit i (bit k = 1 means column k is aggregated away)
-    n = len(tf)
-    gid_of = {((1 << n) - 1) ^ (1 << (n - 1 - i)): fc.name for i, fc in enumerate(tf)}
-    facet_lbl = F.lit(None).cast("string")
-    value_col = F.lit(None).cast("string")
-    for gid, name in gid_of.items():
-        facet_lbl = F.when(F.col("_gid") == gid, F.lit(name)).otherwise(facet_lbl)
-        value_col = F.when(
-            F.col("_gid") == gid, F.col(name).cast("string")
-        ).otherwise(value_col)
-    per_facet = (
-        f.groupingSets(
-            [[F.col(fc.name)] for fc in tf], *[F.col(fc.name) for fc in tf]
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list(docs_struct)).alias("page_docs"),
-            F.grouping_id().alias("_gid"),
-        )
-        .select(
-            facet_lbl.alias("facet"),
-            value_col.alias("value"),
-            "n_docs",
-            "page_docs",
-        )
-    )
+    per_facet = toc_per_facet(docmeta, facets)
     top_global = (
         f.select(docs_struct.alias("d"))
         .orderBy("d")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ferenda_spark.operators.atom import _esc, _esc_attr
+from ferenda_spark.operators.atom import _esc, _esc_attr, _pct
 
 
 def toc_pages(toc: DataFrame, base_url: str, page_size: int = 25) -> DataFrame:
@@ -29,6 +29,12 @@ def toc_pages(toc: DataFrame, base_url: str, page_size: int = 25) -> DataFrame:
     Page p of a bucket lists ``page_docs[p·size : (p+1)·size]``; the nav
     links every sibling value of the facet (the reference's pageset nav);
     prev/next links paginate within the bucket."""
+    # (facet, NULL) buckets are real rollup rows (docs lacking the facet
+    # value); NULL would null-propagate through every concat (title, h1,
+    # hrefs) and vanish from the collect_list nav. Render them under the
+    # sentinel "~none": '~' always percent-encodes to %7E for REAL corpus
+    # values, so the literal sentinel can never collide with one.
+    toc = toc.withColumn("value", F.coalesce(F.col("value"), F.lit("~none")))
     nav_vals = toc.groupBy("facet").agg(
         F.sort_array(F.collect_list("value")).alias("siblings")
     )
@@ -56,14 +62,6 @@ def toc_pages(toc: DataFrame, base_url: str, page_size: int = 25) -> DataFrame:
         )
         .withColumn("last_page", F.floor((F.size("page_docs") - 1) / page_size))
     )
-
-    def _pct(col) -> F.Column:
-        # Percent-encode a path SEGMENT: facet values are uncontrolled
-        # corpus-derived strings (titles' first letters, langs, custom
-        # facets), so '/', '?', '#', space etc. must not reach the URL
-        # structurally. url_encode is form-encoding (space → '+'); patch
-        # '+' to '%20' for path-segment semantics.
-        return F.regexp_replace(F.url_encode(col), r"\+", "%20")
 
     def page_href(facet, value, page) -> F.Column:
         return F.concat(

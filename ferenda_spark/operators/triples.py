@@ -127,13 +127,24 @@ def write_spo(triples: DataFrame, path: str) -> None:
     )
 
 
-def write_pos(triples: DataFrame, path: str, n_parts: int = 16) -> None:
+#: POS sub-bucket count — the ONE definition every POS writer must share
+#: (write_pos, TripleStore.add): mixed bucket counts in one table would
+#: silently break partition pruning.
+POS_BUCKETS = 16
+
+
+def with_obj_bucket(triples: DataFrame, n_parts: int = POS_BUCKETS) -> DataFrame:
+    """Attach the POS layout's obj-hash sub-bucket column."""
+    return triples.withColumn(
+        "obj_bucket", F.pmod(F.xxhash64("obj"), F.lit(n_parts)).cast("int")
+    )
+
+
+def write_pos(triples: DataFrame, path: str, n_parts: int = POS_BUCKETS) -> None:
     # obj-hash subpartition keeps per-file sizes bounded for mega-predicates
     # (dcterms:references dominates); pred dir + minmax(obj) gives pruning.
     catalog.overwrite_partitions(
-        triples.withColumn(
-            "obj_bucket", F.pmod(F.xxhash64("obj"), F.lit(n_parts)).cast("int")
-        ),
+        with_obj_bucket(triples, n_parts),
         path,
         partition_by=("pred", "obj_bucket"),
         sort_by=("obj", "subj"),

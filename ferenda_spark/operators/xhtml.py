@@ -96,8 +96,11 @@ def _section_html(url: Column, sec: Column) -> Column:
         path.contains("."),
         F.concat(url, F.lit("#S"), F.regexp_replace(path, r"\.[^.]*$", "")),
     ).otherwise(url)
+    # cap at h6: the grammar accepts arbitrarily deep dotted ordinals, but
+    # <h7> is not a valid (X)HTML element
     hlevel = F.concat(
-        F.lit("h"), (F.size(F.split(path, r"\.")) + 1).cast("string")
+        F.lit("h"),
+        F.least(F.size(F.split(path, r"\.")) + 1, F.lit(6)).cast("string"),
     )
     return F.concat(
         F.lit('<section about="'),

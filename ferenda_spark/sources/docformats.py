@@ -143,16 +143,28 @@ def parse_pdf_bytes(blob: bytes) -> dict:
         chunks: list[str] = []
         for bt in _BT_RE.finditer(data):
             block = bt.group(1)
-            # interleave text shows and line moves in operator order
-            events: list[tuple[int, str]] = []
+            # interleave text shows and line moves in operator order;
+            # (pos, prio, text) so a '-operator's implied line move sorts
+            # before its own shown text at the same position
+            events: list[tuple[int, int, str]] = []
+            lit_spans: list[tuple[int, int]] = []
             for sm in _SHOW_RE.finditer(block):
                 lits = _LIT_RE.findall(sm.group(0))
                 s = b"".join(_unescape_pdf_literal(x) for x in lits)
-                events.append((sm.start(), s.decode("latin-1")))
+                if sm.group(0).rstrip().endswith(b"'"):
+                    # ' = move-to-next-line-and-show (PDF 32000 9.4.3)
+                    events.append((sm.start(), 0, "\n"))
+                events.append((sm.start(), 1, s.decode("latin-1")))
+                lit_spans.append((sm.start(), sm.end()))
+            # a 'Td'/'TD'/'T*' byte sequence INSIDE a string literal is
+            # shown text (e.g. "(Limited TD Holdings) Tj"), not a line
+            # move — only count operator matches outside the show spans
             for tm in _TD_RE.finditer(block):
-                events.append((tm.start(), "\n"))
+                p = tm.start()
+                if not any(lo <= p < hi for lo, hi in lit_spans):
+                    events.append((p, 0, "\n"))
             events.sort()
-            text = "".join(t for _, t in events)
+            text = "".join(t for _, _, t in events)
             if text.strip():
                 chunks.append(text)
         if chunks:

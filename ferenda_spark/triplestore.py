@@ -32,7 +32,7 @@ from ferenda_spark.operators.sparql import (
     sparql_describe,
     sparql_select,
 )
-from ferenda_spark.operators.triples import write_pos, write_spo
+from ferenda_spark.operators.triples import with_obj_bucket, write_pos, write_spo
 from ferenda_spark.sources import catalog
 
 
@@ -106,10 +106,9 @@ class SparkTripleStore:
         )
         if self.pos_path is not None:
             catalog.write_table(
-                triples.withColumn(
-                    "obj_bucket",
-                    F.pmod(F.xxhash64("obj"), F.lit(16)).cast("int"),
-                ).repartition("pred").sortWithinPartitions("obj", "subj"),
+                with_obj_bucket(triples)
+                .repartition("pred")
+                .sortWithinPartitions("obj", "subj"),
                 self.pos_path,
                 partition_by=("pred", "obj_bucket"),
                 mode="append",
@@ -145,16 +144,8 @@ class SparkTripleStore:
         if self.pos_path is not None:
             # POS is derivable from the (already swapped, durable) SPO, so
             # a crash here loses nothing — but swap anyway so readers never
-            # see a half-written POS table.
+            # see a half-written POS table. write_pos owns the POS layout
+            # (bucket count, sort) — one recipe, not a drifting copy.
             pos_tmp = self.pos_path.rstrip("/") + ".clearing"
-            spo = catalog.read_table(self.spark, self.spo_path)
-            catalog.write_table(
-                spo.withColumn(
-                    "obj_bucket",
-                    F.pmod(F.xxhash64("obj"), F.lit(16)).cast("int"),
-                ).repartition("pred").sortWithinPartitions("obj", "subj"),
-                pos_tmp,
-                partition_by=("pred", "obj_bucket"),
-                mode="overwrite",
-            )
+            write_pos(catalog.read_table(self.spark, self.spo_path), pos_tmp)
             catalog.swap_in(self.spark, pos_tmp, self.pos_path)

@@ -149,3 +149,28 @@ def test_docformat_parsers_never_raise_on_fuzz():
     bomb = b"%PDF-1.4\n<< /Filter /FlateDecode /Length 20 >>\nstream\n" + \
         zlib.compress(b"\x00" * 10_000_000)[:20] + b"\nendstream\n%%EOF"
     assert isinstance(parse_pdf_bytes(bomb), dict)
+
+
+def test_pdf_td_inside_literal_is_text_not_newline():
+    blob = _pdf([["Limited TD Holdings Td T*", "next line"]])
+    d = parse_pdf_bytes(blob)
+    assert d["error"] is None
+    lines = d["pages"][0].split("\n")
+    # the literal's TD/Td/T* bytes stay in-line; only the real Td breaks
+    assert lines[-1].strip() == "next line"
+    assert "Limited TD Holdings Td T*" in lines[-2]
+
+
+def test_pdf_quote_operator_implies_line_move():
+    import zlib as _z
+
+    content = b"BT (first) Tj (second) ' ET"
+    data = _z.compress(content)
+    blob = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(data)).encode() + b" >>\nstream\n"
+        + data + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    d = parse_pdf_bytes(blob)
+    assert d["error"] is None
+    assert d["pages"][0] == "first\nsecond"

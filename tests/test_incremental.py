@@ -139,3 +139,33 @@ def test_incremental_feeds_null_lang(spark):
     )
     want2 = feeds_topk(_dm(spark, full2), page_size=5)
     assert sorted(map(key, got2.collect())) == sorted(map(key, want2.collect()))
+
+
+def test_incremental_toc_maintains_null_value_buckets(spark):
+    """(facet, NULL) buckets are real rollup rows — a change to a doc with
+    a NULL facet value (NULL issued → NULL year here) must recompute that
+    bucket, not carry it over stale."""
+    base = [
+        ("u1", "Alpha", None, "en"),      # NULL year bucket member
+        ("u2", "Beta", "2021-01-01", "en"),
+        ("u3", "Gamma", None, "de"),      # NULL year bucket member
+    ]
+    # u3 gains a year (leaves the NULL bucket); u4 inserted with NULL year
+    changed_old = [base[2]]
+    new_rows = [("u3", "Gamma", "2022-01-01", "de"), ("u4", "Delta", None, "fr")]
+    full_new = [base[0], base[1]] + new_rows
+    got = incremental_toc(
+        _dm(spark, full_new),
+        _dm(spark, changed_old),
+        _dm(spark, new_rows),
+        toc_rollup(_dm(spark, base)),
+    )
+    want = toc_rollup(_dm(spark, full_new))
+    key = lambda df: sorted(
+        (r["facet"], r["value"] or "", r["n_docs"],
+         tuple(d["uri"] for d in r["page_docs"]))
+        for r in df.collect()
+    )
+    assert key(got) == key(want)
+    null_year = [r for r in got.collect() if r["facet"] == "year" and r["value"] is None]
+    assert null_year and null_year[0]["n_docs"] == 2  # u1 + u4, u3 gone
