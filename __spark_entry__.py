@@ -1304,6 +1304,7 @@ def _q_docx_ingest_roundtrip(spark, sf_dir):
     warc_ingest_roundtrip."""
     import io as _io
     import os as _os
+    import shutil as _shutil
     import zipfile as _zip
     from xml.sax.saxutils import escape as _esc
 
@@ -1318,7 +1319,10 @@ def _q_docx_ingest_roundtrip(spark, sf_dir):
     )
     W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
     out_dir = f"/tmp/ferenda_spark_docx_q_{_os.path.basename(sf_dir.rstrip('/'))}"
-    _os.makedirs(out_dir, exist_ok=True)
+    # recreate from scratch: stale files from an older revision (different
+    # doc-id range / filenames) would be co-ingested and flake the oracle
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    _os.makedirs(out_dir)
     for r in rows:
         doc = (
             f'<?xml version="1.0"?><w:document xmlns:w="{W}"><w:body>'
@@ -1382,6 +1386,7 @@ def _q_warc_ingest_roundtrip(spark, sf_dir):
     this query only needs a deterministic fixture archive)."""
     import gzip as _gzip
     import os as _os
+    import shutil as _shutil
 
     from ferenda_spark.sources.warc import read_warc
 
@@ -1393,7 +1398,9 @@ def _q_warc_ingest_roundtrip(spark, sf_dir):
         .collect()
     )
     out_dir = f"/tmp/ferenda_spark_warc_q_{_os.path.basename(sf_dir.rstrip('/'))}"
-    _os.makedirs(out_dir, exist_ok=True)
+    # recreate from scratch (same rationale as the docx fixture dir)
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    _os.makedirs(out_dir)
 
     def rec(doc_id: int, text: str) -> bytes:
         payload = text.encode("utf-8")
@@ -2202,7 +2209,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT source,
                        CAST(doc_id % 4 AS INT) AS bucket,
                        doc_id,
-                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                       CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                            END AS BIGINT) AS n_tokens
                 FROM documents
             ), o AS (
                 SELECT source, bucket, n_tokens,

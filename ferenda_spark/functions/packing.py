@@ -27,12 +27,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ferenda_spark.functions.textstats import token_count
+
 
 def whitespace_tokens(text_col: Column) -> Column:
-    """Cheap deterministic token proxy: whitespace-split count (the same
-    estimator textstats uses for throughput accounting; swap in a BPE
-    count column when the corpus carries one)."""
-    return F.size(F.split(text_col, " "))
+    """Cheap deterministic token proxy: whitespace-run split count (the
+    SAME estimator as textstats.token_count / curation_verdict — one
+    definition of "token" across the pack budget, the min_clean_tokens
+    gate and the verdict, so pack fill can't exceed the nominal budget on
+    newline-joined text; empty/blank text counts 0, not 1). Swap in a BPE
+    count column when the corpus carries one."""
+    return token_count(text_col)
 
 
 def pack_documents(

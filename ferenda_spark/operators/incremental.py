@@ -28,12 +28,13 @@ tests/test_incremental.py):
   (retract/apply — counts are abelian). The capped page list
   (rollups.toc_rollup bounds it to global_cap via TakeOrderedAndProject)
   is maintained by list surgery: filter retracted uris out of the old list,
-  append the added docs, re-sort, re-cap. Under the cap this is exact for
-  inserts; a deletion inside the capped window cannot resurrect the
-  (cap+1)-th doc from a capped list, so after deletions the global list may
-  run up to |deleted| short until the next full rollup — counts stay exact,
-  and the per-facet buckets (the ones toc pages actually navigate) are
-  always exact.
+  append the added docs, re-sort, re-cap. Surgery is exact except in ONE
+  case — a deletion inside a FULL capped window, where the evicted
+  (cap+1)-th doc cannot be resurrected from a capped list. That case is
+  detected by a probe over the single global row and falls back to an exact
+  TakeOrderedAndProject recompute of the list (no shuffle; a corpus scan of
+  the skinny (title, uri) projection, paid only when actually needed) —
+  so the emitted global row is ALWAYS exact, never silently stale.
 - feeds: a (facet, feed) feedset is recomputed exactly when any changed doc
   touches that feed's value (old or new row); other feeds' rows are carried
   over untouched. The global "main" feed is NOT maintained here — the
@@ -153,16 +154,59 @@ def incremental_toc(
         ).alias("_adds"),
         F.count(F.lit(1)).alias("_n_new"),
     )
-    global_row = (
+    # staleness probe: surgery on a FULL capped list cannot resurrect the
+    # (cap+1)-th doc after a deletion inside the window — detect exactly that
+    # case (old list at cap AND a retracted uri inside it; one tiny job over
+    # the single global row) and fall back to an exact recompute of the list.
+    stale_rows = (
+        old_toc.filter(F.col("facet") == "all")
+        .crossJoin(F.broadcast(retract))
+        .select(
+            (
+                (F.size("page_docs") >= global_cap)
+                & F.exists(
+                    "page_docs",
+                    lambda d: F.array_contains(F.col("_gone"), d["uri"]),
+                )
+            ).alias("stale")
+        )
+        .collect()
+    )
+    list_stale = bool(stale_rows and stale_rows[0]["stale"])
+
+    global_base = (
         old_toc.filter(F.col("facet") == "all")
         .crossJoin(F.broadcast(retract))
         .crossJoin(F.broadcast(apply_))
-        .select(
+    )
+    new_count = (F.col("n_docs") - F.col("_n_old") + F.col("_n_new")).alias(
+        "n_docs"
+    )
+    if list_stale:
+        # exact fallback: TakeOrderedAndProject over the skinny (title, uri)
+        # projection of the CURRENT corpus — per-partition heap + driver
+        # merge, no shuffle; paid only when a deletion actually evicted from
+        # a full window (the count stays algebraic/exact either way)
+        docs_struct = F.struct(
+            F.col("title").alias("sort_key"), F.col("uri"), F.col("title")
+        )
+        top_global = (
+            docmeta_full.select(docs_struct.alias("d"))
+            .orderBy("d")
+            .limit(global_cap)
+            .agg(F.sort_array(F.collect_list("d")).alias("_exact_docs"))
+        )
+        global_row = global_base.crossJoin(F.broadcast(top_global)).select(
             "facet",
             "value",
-            (F.col("n_docs") - F.col("_n_old") + F.col("_n_new")).alias(
-                "n_docs"
-            ),
+            new_count,
+            F.col("_exact_docs").alias("page_docs"),
+        )
+    else:
+        global_row = global_base.select(
+            "facet",
+            "value",
+            new_count,
             F.slice(
                 F.sort_array(
                     F.concat(
@@ -179,7 +223,6 @@ def incremental_toc(
                 global_cap,
             ).alias("page_docs"),
         )
-    )
 
     non_global = old_toc.filter(F.col("facet") != "all")
     untouched = non_global.join(

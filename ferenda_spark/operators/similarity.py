@@ -89,18 +89,29 @@ def build_ivf_index(
     # oversample ~2x so the hash-mod filter practically never yields fewer
     # than n_cells candidates, then cut back deterministically
     stride = max(n // (2 * n_cells), 1)
-    sampled = (
-        df.select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("cvec"),
-            F.xxhash64(F.col(id_col)).alias("_h"),
+
+    def _sample(s: int) -> list[tuple[int, list[float]]]:
+        rows = (
+            df.select(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).alias("cvec"),
+                F.xxhash64(F.col(id_col)).alias("_h"),
+            )
+            .filter(F.pmod(F.col("_h"), F.lit(s)) == 0)
+            .orderBy(F.col("_h"), F.col("cid"))
+            .limit(n_cells)
+            .drop("_h")
+            .collect()
         )
-        .filter(F.pmod(F.col("_h"), F.lit(stride)) == 0)
-        .orderBy(F.col("_h"), F.col("cid"))
-        .limit(n_cells)
-        .drop("_h")
-    )
-    centroids = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in sampled.collect()]
+        return [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows]
+
+    centroids = _sample(stride)
+    if len(centroids) < min(n_cells, n) and stride > 1:
+        # binomial tail: the 2x oversample can still under-fill for small n /
+        # small n_cells — fall back to the n_cells hash-smallest of ALL rows
+        # (stride=1; same TakeOrderedAndProject shape, just unfiltered) so
+        # the cell list is never silently short and cell balance holds
+        centroids = _sample(1)
 
     cent_struct = F.array(
         *[

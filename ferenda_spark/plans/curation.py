@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from ferenda_spark.functions.packing import pack_documents, pack_stats
 from ferenda_spark.functions.pii import redact_pii
 from ferenda_spark.functions.splits import hash_split
+from ferenda_spark.functions.textstats import token_count
 from ferenda_spark.operators.curation import apply_curation, reason_histogram
 from ferenda_spark.operators.dedup import (
     dedup_clean_text,
@@ -99,9 +100,10 @@ def curate_corpus(
     # docs reduced to (near-)nothing by boilerplate removal leave the
     # training set here — recorded via n_kept_chunks in the shards table's
     # lineage, not silently (the verdict table still has the doc)
-    cleaned = cleaned.filter(
-        F.size(F.split(F.col("clean_text"), " ")) >= min_clean_tokens
-    )
+    # token_count = the one shared token definition (same as the verdict's
+    # n_tokens and the pack budget) — a plain split(' ') would undercount
+    # newline-joined text and count empty text as 1
+    cleaned = cleaned.filter(token_count(F.col("clean_text")) >= min_clean_tokens)
 
     # C4: deterministic split + packing per (split, group, bucket) stream
     with_split = cleaned.withColumn("split", hash_split(F.col(id_col), splits))

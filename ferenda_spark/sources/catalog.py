@@ -122,19 +122,34 @@ def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
 
 
 def swap_in(spark: SparkSession, tmp: str, path: str) -> None:
-    """Replace ``path`` with the already-durable table at ``tmp``
-    (delete + rename). The caller must have fully written ``tmp`` first;
-    a crash in the swap window leaves the data intact at ``tmp`` (the
-    error message names it) — at no point does the only copy live in
-    volatile executor storage."""
+    """Replace ``path`` with the already-durable table at ``tmp`` via
+    rename-aside: ``path`` → ``path.old``, ``tmp`` → ``path``, delete
+    ``path.old``. The caller must have fully written ``tmp`` first. The
+    no-table-at-``path`` window is a single rename (not a full recursive
+    delete), and every crash point is recoverable without manual surgery:
+    before the first rename both copies exist; between the renames the new
+    copy is intact at ``tmp`` and the old at ``path.old`` (error messages
+    name them); after the second rename readers are live again and only the
+    cleanup delete of the superseded ``path.old`` remains — a leftover
+    ``.old`` from a prior crash is removed on entry."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    hold = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".old")
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(hpath) and not fs.delete(hpath, True):
-        raise IOError(f"could not remove {path}; new copy is at {tmp}")
+    if fs.exists(hold) and not fs.delete(hold, True):
+        raise IOError(f"could not remove stale {hold}; new copy is at {tmp}")
+    had_old = fs.exists(hpath)
+    if had_old and not fs.rename(hpath, hold):
+        raise IOError(
+            f"could not move {path} aside; table untouched, new copy at {tmp}"
+        )
     if not fs.rename(htmp, hpath):
-        raise IOError(f"swap failed; new table is intact at {tmp}")
+        raise IOError(
+            f"swap failed; new table intact at {tmp}, old table at {hold}"
+        )
+    if had_old:
+        fs.delete(hold, True)  # best-effort; a leftover is cleaned next swap
 
 
 def compact_table(

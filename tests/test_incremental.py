@@ -169,3 +169,41 @@ def test_incremental_toc_maintains_null_value_buckets(spark):
     assert key(got) == key(want)
     null_year = [r for r in got.collect() if r["facet"] == "year" and r["value"] is None]
     assert null_year and null_year[0]["n_docs"] == 2  # u1 + u4, u3 gone
+
+
+def test_incremental_toc_exact_after_delete_in_full_capped_window(spark):
+    """A deletion inside a FULL capped global window triggers the exact
+    TakeOrderedAndProject fallback: the new global list must be identical to
+    a full recompute (the evicted (cap+1)-th doc resurrected), never
+    |deleted| short."""
+    cap = 10  # BASE has 30 docs, so the stored global list is at cap
+    old_toc = toc_rollup(_dm(spark, BASE), global_cap=cap)
+    old_list = [
+        r.page_docs for r in old_toc.collect() if r.facet == "all"
+    ][0]
+    assert len(old_list) == cap
+    # delete a doc that IS inside the capped window (the list is sorted by
+    # title, so take the first entry's uri)
+    victim = old_list[0]["uri"]
+    gone = [r for r in BASE if r[0] == victim]
+    remaining = [r for r in BASE if r[0] != victim]
+    got = incremental_toc(
+        _dm(spark, remaining),
+        _dm(spark, gone),
+        _dm(spark, []),
+        old_toc,
+        global_cap=cap,
+    )
+    want = toc_rollup(_dm(spark, remaining), global_cap=cap)
+    g = [
+        (r.n_docs, [tuple(d) for d in r.page_docs])
+        for r in got.collect()
+        if r.facet == "all"
+    ][0]
+    w = [
+        (r.n_docs, [tuple(d) for d in r.page_docs])
+        for r in want.collect()
+        if r.facet == "all"
+    ][0]
+    assert g == w
+    assert len(g[1]) == cap  # back at cap — the evicted doc was resurrected

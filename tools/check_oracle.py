@@ -4,11 +4,18 @@ over the same sf0.01 parquet tables, then compare row count, column-name
 set, and an order-insensitive value comparison (columns sorted by name,
 rows sorted) — mirroring CORRECTNESS_r{N}.json semantics.
 
-Usage: python tools/check_oracle.py [sf_dir]
+Emits CHECK_ORACLE.json (same per-query shape as CORRECTNESS_r{N}.json:
+rows_match / schema_match / hash_match / spark_rows / oracle_rows / err;
+rows-only queries get hash_match=null) so the 24 contract queries outside
+the driver's frozen r01 snapshot still have an auditable machine-readable
+artifact per round.
+
+Usage: python tools/check_oracle.py [sf_dir] [only_query1,only_query2,...]
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -56,33 +63,64 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = em.queries(), em.oracle_sql()
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
-        if name not in oracles:
-            n = fn(spark, sf_dir).count()
-            print(f"{name:24s} rows-only: {n} rows")
+        if only is not None and name not in only:
             continue
-        sdf = fn(spark, sf_dir).toPandas()
-        odf = con.execute(oracles[name]).df()
-        status = []
-        if len(sdf) != len(odf):
-            status.append(f"ROWS {len(sdf)} vs {len(odf)}")
-        if sorted(sdf.columns) != sorted(odf.columns):
-            status.append(f"COLS {sorted(sdf.columns)} vs {sorted(odf.columns)}")
-        if not status:
-            a, b = canon(sdf), canon(odf)
-            if not a.equals(b):
-                diff = (a != b).any(axis=1)
-                status.append(f"VALUES ({int(diff.sum())} differing rows)")
-                ex = a[diff].head(3), b[diff].head(3)
-                print(f"--- {name} spark:\n{ex[0]}\n--- oracle:\n{ex[1]}")
+        rec = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        report[name] = rec
+        try:
+            if name not in oracles:
+                n = fn(spark, sf_dir).count()
+                rec.update(spark_rows=n, rows_match=n >= 0)
+                print(f"{name:24s} rows-only: {n} rows")
+                continue
+            sdf = fn(spark, sf_dir).toPandas()
+            odf = con.execute(oracles[name]).df()
+            rec.update(
+                spark_rows=len(sdf),
+                oracle_rows=len(odf),
+                rows_match=len(sdf) == len(odf),
+                schema_match=sorted(sdf.columns) == sorted(odf.columns),
+            )
+            status = []
+            if not rec["rows_match"]:
+                status.append(f"ROWS {len(sdf)} vs {len(odf)}")
+            if not rec["schema_match"]:
+                status.append(
+                    f"COLS {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+            if not status:
+                a, b = canon(sdf), canon(odf)
+                rec["hash_match"] = bool(a.equals(b))
+                if not rec["hash_match"]:
+                    diff = (a != b).any(axis=1)
+                    status.append(f"VALUES ({int(diff.sum())} differing rows)")
+                    ex = a[diff].head(3), b[diff].head(3)
+                    print(f"--- {name} spark:\n{ex[0]}\n--- oracle:\n{ex[1]}")
+            else:
+                rec["hash_match"] = False
+        except Exception as e:  # noqa: BLE001 — errors-as-data, like the driver
+            rec["err"] = f"{type(e).__name__}: {e}"
+            status = [rec["err"]]
         if status:
             failures.append(name)
             print(f"{name:24s} FAIL: {'; '.join(status)}")
         else:
-            print(f"{name:24s} OK ({len(sdf)} rows)")
+            print(f"{name:24s} OK ({rec['spark_rows']} rows)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok; failures: {failures}")
+    if only is None:  # partial runs must not clobber the round artifact
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "CHECK_ORACLE.json")
+        with open(out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_ok": len(report) - len(failures),
+                       "n_total": len(report), "queries": report}, f, indent=1)
+        print(f"wrote {out}")
+    print(f"\n{len(report) - len(failures)}/{len(report)} ok; failures: {failures}")
     spark.stop()
     sys.exit(1 if failures else 0)
 
