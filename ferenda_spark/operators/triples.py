@@ -14,6 +14,19 @@ IS a pair of partitioned Parquet tables sharing one schema:
   (obj, subj) — pattern filters ``?s <pred> <obj>`` prune to one partition
   and min/max-skip on obj. This is the layout that makes SPARQL-ish
   triple-pattern queries cheap (SURVEY P4, J2).
+- POS incremental maintenance: a third partition level ``pos_batch``
+  (digest of the batch's part_key set) makes resume-run POS writes purely
+  ADDITIVE — ``append_pos`` materializes only the new batch's rows under
+  brand-new ``pred=*/obj_bucket=*/pos_batch=<digest>/`` directories, so an
+  incremental batch writes O(batch) bytes and never rewrites a byte of the
+  existing index (the lakehouse append+compact discipline; Iceberg's
+  transactional append is the config-change upgrade). Retries of the same
+  batch land on the same digest → dynamic-overwrite idempotence. A tiny
+  ``<pos>_batches`` manifest (one row per (batch, part_key)) detects the
+  only unsafe history — a DIFFERENT batch already holding rows for a
+  recomputed part_key, which the ledger contract never produces — and
+  falls back to a full rebuild. Readers are unchanged: pred/obj_bucket
+  partition pruning works identically; ``read_pos`` hides the batch column.
 
 Iceberg note (SURVEY §7.1): no Iceberg jars in-sandbox; the layout is
 Iceberg-style partitioned Parquet behind ``sources.catalog`` so swapping in
@@ -140,15 +153,119 @@ def with_obj_bucket(triples: DataFrame, n_parts: int = POS_BUCKETS) -> DataFrame
     )
 
 
+#: pos_batch value used by full rebuilds (treated as overlapping EVERY
+#: part_key in the manifest — see append_pos).
+FULL_BATCH = "full"
+
+
+def _batch_id(part_keys) -> str:
+    """Deterministic batch label for a part_key set: retries of the same
+    batch (same ledger state → same todo set) reproduce it exactly, so a
+    dynamic partition overwrite on pos_batch is retry-idempotent."""
+    import hashlib
+
+    key = ",".join(str(int(p)) for p in sorted(set(int(k) for k in part_keys)))
+    return "b" + hashlib.sha1(key.encode()).hexdigest()[:16]
+
+
+def _manifest_path(pos_path: str) -> str:
+    return pos_path.rstrip("/") + "_batches"
+
+
 def write_pos(triples: DataFrame, path: str, n_parts: int = POS_BUCKETS) -> None:
-    # obj-hash subpartition keeps per-file sizes bounded for mega-predicates
-    # (dcterms:references dominates); pred dir + minmax(obj) gives pruning.
+    """Authoritative FULL (re)build of the POS layout (bulk load / clear).
+
+    obj-hash subpartition keeps per-file sizes bounded for mega-predicates
+    (dcterms:references dominates); pred dir + minmax(obj) gives pruning.
+    The rebuild is staged at a ``.rebuilding`` sibling and swapped in:
+    with batch subdirectories a dynamic overwrite in place would leave any
+    pre-existing batch directories alive next to the fresh ``full`` one
+    (duplicates), and the sibling+swap also keeps the only copy durable at
+    every crash point. The manifest is reset to the full-rebuild wildcard
+    row AFTER the swap (a crash between the two leaves phantom batch rows,
+    which can only cause a spurious full rebuild — never duplicates)."""
+    spark = triples.sparkSession
+    tmp = path.rstrip("/") + ".rebuilding"
+    catalog.delete_path(spark, tmp)  # a crashed rebuild's stale partitions
     catalog.overwrite_partitions(
-        with_obj_bucket(triples, n_parts),
-        path,
-        partition_by=("pred", "obj_bucket"),
+        with_obj_bucket(triples, n_parts).withColumn(
+            "pos_batch", F.lit(FULL_BATCH)
+        ),
+        tmp,
+        partition_by=("pred", "obj_bucket", "pos_batch"),
         sort_by=("obj", "subj"),
     )
+    catalog.swap_in(spark, tmp, path)
+    spark.createDataFrame(
+        [(FULL_BATCH, -1)], "pos_batch string, part_key int"
+    ).write.mode("overwrite").parquet(_manifest_path(path))
+
+
+def append_pos(
+    spark,
+    spo_path: str,
+    pos_path: str,
+    part_keys,
+    n_parts: int = POS_BUCKETS,
+) -> str:
+    """Incremental POS maintenance for a resume/ingest batch: add ONLY the
+    batch's rows (read back from the durable SPO table, partition-pruned to
+    the batch's part_keys) under new ``pos_batch=<digest>`` directories.
+
+    Returns "append" (incremental path taken — zero pre-existing POS bytes
+    rewritten) or "full" (manifest detected an overlapping foreign batch or
+    a full-rebuild wildcard covering a recomputed part_key, so the whole
+    layout was rebuilt from SPO — correct under ANY history, including
+    manual ledger surgery; the ledger contract never produces this case on
+    the normal resume path).
+
+    Crash safety: POS directories are written before the manifest rows, so
+    a crash can only under-report coverage (worst case: the retry's same
+    digest overwrites its own partial dirs, or a later overlap check misses
+    a batch the ledger anyway guarantees is disjoint)."""
+    parts = sorted(set(int(p) for p in part_keys))
+    if not parts:
+        return "append"
+    batch = _batch_id(parts)
+    mpath = _manifest_path(pos_path)
+    covered: set[int] = set()
+    wildcard = False
+    try:
+        manifest = spark.read.parquet(mpath).collect()
+    except Exception:  # no manifest yet (fresh table) — nothing can overlap
+        manifest = []
+    for r in manifest:
+        if r["pos_batch"] == batch:
+            continue  # our own retry: dynamic overwrite replaces those dirs
+        if r["part_key"] == -1:
+            wildcard = True
+        else:
+            covered.add(int(r["part_key"]))
+    if wildcard or covered & set(parts):
+        write_pos(catalog.read_table(spark, spo_path), pos_path, n_parts)
+        return "full"
+    new_rows = catalog.read_table(spark, spo_path).filter(
+        F.col("part_key").isin(parts)  # SPO partition pruning
+    )
+    catalog.overwrite_partitions(
+        with_obj_bucket(new_rows, n_parts).withColumn(
+            "pos_batch", F.lit(batch)
+        ),
+        pos_path,
+        partition_by=("pred", "obj_bucket", "pos_batch"),
+        sort_by=("obj", "subj"),
+    )
+    spark.createDataFrame(
+        [(batch, p) for p in parts], "pos_batch string, part_key int"
+    ).write.mode("append").parquet(mpath)
+    return "append"
+
+
+def read_pos(spark, path: str) -> DataFrame:
+    """Read the POS layout with the maintenance column hidden (the TRIPLES
+    schema + obj_bucket, exactly what pattern scans expect); filters on
+    pred/obj_bucket still prune partitions through the drop."""
+    return catalog.read_table(spark, path).drop("pos_batch")
 
 
 def docmeta_from_triples(triples: DataFrame) -> DataFrame:

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ferenda_spark.functions.uris import part_key_col
@@ -41,9 +41,9 @@ from ferenda_spark.operators.rollups import (
     triple_stats,
 )
 from ferenda_spark.operators.triples import (
+    append_pos,
     assemble_triples,
     docmeta_from_triples,
-    write_pos,
     write_spo,
 )
 
@@ -108,6 +108,9 @@ def run_pipeline(
     docs_tbl = catalog.read_table(spark, paths["docs"])
     todo_docs = ledger.pending(docs_tbl, "triples")
     if todo_docs.limit(1).count() > 0:
+        import time
+
+        _t0 = time.monotonic()
         mentions = todo_docs.select(
             "url", "part_key", F.explode("mentions").alias("m")
         ).select(
@@ -124,26 +127,62 @@ def run_pipeline(
             links = _exact_broadcast(mentions, dictionary)
         triples = assemble_triples(todo_docs, links)
         write_spo(triples, paths["triples_spo"])
-        # POS is partitioned by (pred, obj_bucket), not part_key, so a
-        # partial re-run cannot overwrite it incrementally without losing
-        # rows from untouched part_keys — rebuild it from the (now complete)
-        # SPO table. With Iceberg this becomes a MERGE/replace-partition
-        # commit of only affected obj_buckets; plain Parquet rebuilds.
-        write_pos(catalog.read_table(spark, paths["triples_spo"]), paths["triples_pos"])
+        # POS maintenance is INCREMENTAL: only this batch's rows (read back
+        # from the durable SPO, partition-pruned to the batch part_keys) are
+        # added, under new pos_batch directories — an incremental batch
+        # writes O(batch) POS bytes and never rewrites the existing index
+        # (append_pos falls back to a full rebuild only when its manifest
+        # detects an overlapping foreign batch, which the ledger contract
+        # never produces). The batch part list is ledger-bounded (≤ n_parts
+        # values), so the collect is vocabulary-sized.
+        batch_parts = [
+            r["part_key"]
+            for r in todo_docs.select("part_key").distinct().collect()
+        ]
+        append_pos(
+            spark, paths["triples_spo"], paths["triples_pos"], batch_parts
+        )
+        # lineage with REAL metrics (north_rule "per-partition lineage +
+        # metrics"; round-2 review: triples rows carried NULLs):
+        # - n_in  = exact docs per part_key (one cheap agg over the pruned
+        #   batch input)
+        # - bytes_in = exact on-disk input bytes per part_key — a pure file
+        #   listing of the part_key-partitioned docs table, no data read
+        # - wall_ms = the measured driver wall of this stage, apportioned
+        #   per partition by bytes_in share (the stage is whole-stage-
+        #   codegen'd JVM work with no Python hook for a per-task
+        #   accumulator; the apportioned values are deterministic and sum
+        #   to the true stage wall). partition_id stays NULL: the write
+        #   tasks are hash groups of part_keys, not 1:1 Spark partitions.
+        wall_total = int((time.monotonic() - _t0) * 1000)
         done = catalog.read_table(spark, paths["triples_spo"]).join(
             ledger.ok_parts("triples"), "part_key", "left_anti"
         )
+        n_in_pk = todo_docs.groupBy("part_key").agg(
+            F.count(F.lit(1)).alias("n_in")
+        )
+        bytes_pk = catalog.partition_file_bytes(spark, paths["docs"]).join(
+            n_in_pk.select("part_key"), "part_key", "left_semi"
+        )
+        # batch-total bytes for the wall apportionment — an unpartitioned
+        # window over the ≤ n_parts lineage rows, not over data
+        batch_bytes = F.sum("bytes").over(Window.partitionBy())
         lin_rows = (
             done.groupBy("part_key")
             .agg(F.count(F.lit(1)).alias("n_out"))
+            .join(n_in_pk, "part_key")
+            .join(bytes_pk, "part_key")
+            .withColumn("_total", batch_bytes)
             .select(
                 F.lit("triples").alias("stage"),
                 "part_key",
                 F.lit(None).cast("int").alias("partition_id"),
-                F.lit(None).cast("long").alias("n_in"),
+                F.col("n_in").cast("long").alias("n_in"),
                 "n_out",
-                F.lit(None).cast("long").alias("bytes_in"),
-                F.lit(None).cast("long").alias("wall_ms"),
+                F.col("bytes").cast("long").alias("bytes_in"),
+                F.round(
+                    F.lit(wall_total) * F.col("bytes") / F.col("_total")
+                ).cast("long").alias("wall_ms"),
                 F.lit(run_id).alias("run_id"),
             )
         )

@@ -121,6 +121,42 @@ def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     return int(row["n"]), int(row["b"])
 
 
+def partition_file_bytes(
+    spark: SparkSession, path: str, part_col: str = "part_key"
+) -> DataFrame:
+    """Exact on-disk bytes per partition of a ``part_col``-partitioned table
+    as (part_col INT, bytes LONG) — a pure file listing (binaryFile source,
+    content column never selected), no row data read. This is what makes
+    per-partition ``bytes_in`` lineage REAL for stages whose work is fully
+    JVM-side (no UDF to ride an accumulator on)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "length")
+    )
+    return (
+        files.withColumn(
+            part_col,
+            F.regexp_extract("path", f"{part_col}=([0-9-]+)", 1).cast("int"),
+        )
+        .groupBy(part_col)
+        .agg(F.sum("length").alias("bytes"))
+    )
+
+
+def delete_path(spark: SparkSession, path: str) -> None:
+    """Recursively remove a table directory (e.g. a stale staging sibling
+    left by a crashed rebuild — dynamic partition overwrite would leave its
+    extra partitions alive)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath) and not fs.delete(hpath, True):
+        raise IOError(f"could not remove {path}")
+
+
 def swap_in(spark: SparkSession, tmp: str, path: str) -> None:
     """Replace ``path`` with the already-durable table at ``tmp`` via
     rename-aside: ``path`` → ``path.old``, ``tmp`` → ``path``, delete

@@ -32,7 +32,13 @@ from ferenda_spark.operators.sparql import (
     sparql_describe,
     sparql_select,
 )
-from ferenda_spark.operators.triples import with_obj_bucket, write_pos, write_spo
+from ferenda_spark.operators.triples import (
+    _manifest_path,
+    read_pos,
+    with_obj_bucket,
+    write_pos,
+    write_spo,
+)
 from ferenda_spark.sources import catalog
 
 
@@ -61,7 +67,7 @@ class SparkTripleStore:
     def _pos(self, context: str | None):
         if self.pos_path is None:
             return None
-        df = catalog.read_table(self.spark, self.pos_path)
+        df = read_pos(self.spark, self.pos_path)
         if context is not None:
             df = df.filter(_domain(F.col("src_url")) == context.lower())
         return df
@@ -107,12 +113,20 @@ class SparkTripleStore:
         if self.pos_path is not None:
             catalog.write_table(
                 with_obj_bucket(triples)
+                .withColumn("pos_batch", F.lit("adhoc"))
                 .repartition("pred")
                 .sortWithinPartitions("obj", "subj"),
                 self.pos_path,
-                partition_by=("pred", "obj_bucket"),
+                partition_by=("pred", "obj_bucket", "pos_batch"),
                 mode="append",
             )
+            # adhoc appends carry arbitrary part_keys: record the wildcard
+            # manifest row so a later append_pos over the same table takes
+            # the (always-correct) full-rebuild path instead of trusting
+            # batch disjointness it can't verify
+            self.spark.createDataFrame(
+                [("adhoc", -1)], "pos_batch string, part_key int"
+            ).write.mode("append").parquet(_manifest_path(self.pos_path))
 
     def rewrite(self, triples: DataFrame) -> None:
         """Full (re)materialization of both layouts — the bulk-load path
@@ -143,9 +157,10 @@ class SparkTripleStore:
         catalog.swap_in(self.spark, tmp, self.spo_path)
         if self.pos_path is not None:
             # POS is derivable from the (already swapped, durable) SPO, so
-            # a crash here loses nothing — but swap anyway so readers never
-            # see a half-written POS table. write_pos owns the POS layout
-            # (bucket count, sort) — one recipe, not a drifting copy.
-            pos_tmp = self.pos_path.rstrip("/") + ".clearing"
-            write_pos(catalog.read_table(self.spark, self.spo_path), pos_tmp)
-            catalog.swap_in(self.spark, pos_tmp, self.pos_path)
+            # a crash here loses nothing. write_pos owns the POS layout
+            # (bucket count, sort, batch dirs, manifest reset) and is
+            # internally staged at a durable sibling + swapped, so readers
+            # never see a half-written POS table.
+            write_pos(
+                catalog.read_table(self.spark, self.spo_path), self.pos_path
+            )
