@@ -1451,6 +1451,81 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_docx_struct_triples(spark, sf_dir):
+    """S5 + T2 integrated (round-3): DOCX heading styles drive the styled
+    Section/Subsection FSM (fsm.parse_styled_structure) through
+    read_documents_parsed, and assemble_triples emits the nested structure
+    graph (rdf:type / isPartOf / titles with ordinal_path subjects). The
+    oracle reconstructs the exact expected graph per document from the
+    documents table — equality is a P/R=1.0 check on the styled-grammar
+    path. Docs 300-339; issued (file mtime) excluded as nondeterministic."""
+    import io as _io
+    import os as _os
+    import shutil as _shutil
+    import zipfile as _zip
+    from xml.sax.saxutils import escape as _esc
+
+    from ferenda_spark.operators.triples import assemble_triples
+    from ferenda_spark.schemas import P_ISSUED
+    from ferenda_spark.sources.docformats import read_documents_parsed
+
+    d = _t(spark, sf_dir, "documents")
+    rows = (
+        d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 340))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+        .collect()
+    )
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    out_dir = f"/tmp/ferenda_spark_docxs_q_{_os.path.basename(sf_dir.rstrip('/'))}"
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    _os.makedirs(out_dir)
+
+    def _p(style, text):
+        st = f'<w:pPr><w:pStyle w:val="{style}"/></w:pPr>' if style else ""
+        return f"<w:p>{st}<w:r><w:t>{_esc(text)}</w:t></w:r></w:p>"
+
+    for r in rows:
+        doc = (
+            f'<?xml version="1.0"?><w:document xmlns:w="{W}"><w:body>'
+            + _p("Title", f"Doc {r['doc_id']}")
+            + _p("Heading1", "Part A")
+            + _p("", "alpha beta gamma")
+            + _p("Heading2", f"From {r['source']}")
+            + _p("", "delta")
+            + "</w:body></w:document>"
+        )
+        buf = _io.BytesIO()
+        with _zip.ZipFile(buf, "w") as z:
+            z.writestr("word/document.xml", doc)
+        with open(f"{out_dir}/{r['doc_id']:05d}.docx", "wb") as f:
+            f.write(buf.getvalue())
+
+    docs = read_documents_parsed(spark, out_dir, n_parts=8)
+    links = spark.createDataFrame(
+        [],
+        "url string, part_key int, section_ordinal string, canonical_uri string",
+    )
+    tr = assemble_triples(docs, links).filter(F.col("pred") != P_ISSUED)
+
+    def _norm(col):  # file URI → stable "doc:<id>[#S…]" token
+        return F.when(
+            col.rlike(r"\.docx(#S[0-9.]+)?$"),
+            F.concat(
+                F.lit("doc:"),
+                F.regexp_extract(col, r"/0*(\d+)\.docx", 1),
+                F.regexp_extract(col, r"(#S[0-9.]+)$", 1),
+            ),
+        ).otherwise(col)
+
+    return tr.select(
+        F.regexp_extract("subj", r"/0*(\d+)\.docx", 1).cast("bigint").alias("doc_id"),
+        F.regexp_extract("subj", r"#S([0-9.]+)$", 1).alias("sfx"),
+        F.col("pred"),
+        _norm(F.col("obj")).alias("obj"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -1515,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_ingest_roundtrip": _q_docx_ingest_roundtrip,
         "pack_training_shards": _q_pack_training_shards,
         "facet_rollup_custom": _q_facet_rollup_custom,
+        "docx_struct_triples": _q_docx_struct_triples,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -2238,5 +2314,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 2
             UNION ALL
             SELECT 'all', '*', count(*) FROM documents
+        """,
+        # the exact structure graph the styled DOCX FSM must emit per doc:
+        # Title para -> doc title; Heading1 -> S1; Heading2 -> S1.1 nested
+        # under it (isPartOf chain), every node typed, titles attached
+        "docx_struct_triples": """
+            WITH ids AS (
+                SELECT doc_id, source FROM documents
+                WHERE doc_id >= 300 AND doc_id < 340
+            ), pat(sfx, pred, objk) AS (VALUES
+                ('', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                     'bibo:Document'),
+                ('', 'http://purl.org/dc/terms/title', 'doc_title'),
+                ('', 'http://purl.org/dc/terms/language', 'und'),
+                ('1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                      'bibo:DocumentPart'),
+                ('1', 'http://purl.org/dc/terms/isPartOf', 'parent_doc'),
+                ('1', 'http://purl.org/dc/terms/title', 'Part A'),
+                ('1.1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                        'bibo:DocumentPart'),
+                ('1.1', 'http://purl.org/dc/terms/isPartOf', 'parent_s1'),
+                ('1.1', 'http://purl.org/dc/terms/title', 'h2_title')
+            )
+            SELECT ids.doc_id, pat.sfx, pat.pred,
+                   CASE pat.objk
+                       WHEN 'bibo:Document'
+                           THEN 'http://purl.org/ontology/bibo/Document'
+                       WHEN 'bibo:DocumentPart'
+                           THEN 'http://purl.org/ontology/bibo/DocumentPart'
+                       WHEN 'doc_title' THEN 'Doc ' || ids.doc_id
+                       WHEN 'parent_doc' THEN 'doc:' || ids.doc_id
+                       WHEN 'parent_s1' THEN 'doc:' || ids.doc_id || '#S1'
+                       WHEN 'h2_title' THEN 'From ' || ids.source
+                       ELSE pat.objk
+                   END AS obj
+            FROM ids CROSS JOIN pat
         """,
     }

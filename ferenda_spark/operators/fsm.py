@@ -168,3 +168,95 @@ def parse_structure(text: str) -> dict:
     ctx.setdefault("title", "")
     ctx.setdefault("sections", [])
     return ctx
+
+
+# ---------------------------------------------------------------------------
+# the styled-chunk grammar (DOCX heading styles → Section/Subsection FSM)
+# ---------------------------------------------------------------------------
+# Word documents carry structure in paragraph STYLES (Title, Heading1..9),
+# not in "Section 2.1." text ordinals — the reference's WordReader emits the
+# style names into its intermediate XML and repo grammars key off them
+# ([ref: ferenda/wordreader.py :: WordReader]). This grammar drives the SAME
+# FSMParser engine over (style, text) chunks and emits the SAME flat
+# sections shape as the webpage grammar, with ordinal_path synthesized from
+# running per-level heading counters ("2", "2.1", "2.1.3") — so DOCX corpora
+# get nested doc_struct and isPartOf triples identical in shape to HTML.
+
+_HEADING_STYLE_RE = re.compile(r"^[Hh]eading ?([1-9])$")
+_MAX_HEADING_DEPTH = 3  # bounded-depth schema (SURVEY §7.4); deeper
+# headings clamp to the deepest tracked level rather than being dropped
+
+
+def _is_title_style(chunk):
+    return chunk[0] == "Title"
+
+
+def _is_heading_style(chunk):
+    return _HEADING_STYLE_RE.match(chunk[0])
+
+
+def _h_doc_title(ctx: dict, chunk, m) -> None:
+    if not ctx.get("title"):
+        ctx["title"] = chunk[1]
+
+
+def _h_styled_heading(ctx: dict, chunk, m) -> None:
+    level = min(int(m.group(1)), _MAX_HEADING_DEPTH)
+    counters = ctx["_counters"]
+    # a level-N heading under a document with no open level-(N-1) ancestor
+    # clamps upward (an orphan Heading2 opens "1"-style top paths) — grammar
+    # recovery must never drop content
+    level = min(level, ctx["_depth"] + 1)
+    counters[level - 1] += 1
+    for i in range(level, _MAX_HEADING_DEPTH):
+        counters[i] = 0
+    ctx["_depth"] = level
+    path = ".".join(str(c) for c in counters[:level])
+    ctx["sections"].append(
+        {
+            "ordinal": counters[0],
+            "ordinal_path": path,
+            "title": chunk[1],
+            "paras": [],
+        }
+    )
+    if not ctx.get("title"):  # first heading doubles as the doc title when
+        ctx["title"] = chunk[1]  # no Title-styled paragraph exists
+
+
+def _h_styled_para(ctx: dict, chunk, m) -> None:
+    _h_para(ctx, chunk[1], m)
+
+
+def make_styled_parser() -> FSMParser:
+    p = FSMParser(initial_state="body")
+    p.set_recognizers(
+        ("title", _is_title_style),
+        ("heading", _is_heading_style),
+        ("para", _is_any),
+    )
+    p.set_transitions(
+        {
+            ("body", "title"): (_h_doc_title, None),
+            ("body", "heading"): (_h_styled_heading, None),
+            ("body", "para"): (_h_styled_para, None),
+        }
+    )
+    return p
+
+
+_STYLED_PARSER = make_styled_parser()
+
+
+def parse_styled_structure(paras: list[tuple[str, str]]) -> dict:
+    """(style, text) chunks → the same {title, sections} shape as
+    ``parse_structure`` — nesting lives in ``ordinal_path``."""
+    ctx = {
+        "title": "",
+        "sections": [],
+        "_counters": [0] * _MAX_HEADING_DEPTH,
+        "_depth": 0,
+    }
+    _STYLED_PARSER.parse(paras, ctx)
+    del ctx["_counters"], ctx["_depth"]
+    return ctx

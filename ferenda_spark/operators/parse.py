@@ -45,8 +45,22 @@ def _parse_one(
     text = extract_text(html)
     sha = hashlib.sha256(text.encode("utf-8")).hexdigest()
     ctx = parse_structure(text)
+    return doc_row_from_ctx(
+        url, pd.Timestamp(warc_ts), lang, part_key, ctx, sha,
+        with_sections=with_sections,
+    )
+
+
+def doc_row_from_ctx(
+    url: str, issued, lang: str, part_key: int, ctx: dict, text_sha: str,
+    with_sections: bool = True,
+) -> dict:
+    """Structure ctx ({title, sections}) → one PARSED doc row: citation/
+    refparse over every paragraph, compact metadata+structure triple
+    emission, entity-mention collection. Shared by the HTML parse stage
+    (webpage grammar) and the DOCX path (styled grammar) so both corpora
+    produce identical downstream shapes."""
     title = ctx["title"]
-    issued = pd.Timestamp(warc_ts)
 
     # Compact triple encoding (schemas.TRIPLE_STRUCT): (section, pred-code,
     # obj-if-not-derivable); assemble_triples expands to full URIs JVM-side.
@@ -120,7 +134,7 @@ def _parse_one(
         title=title,
         lang=lang,
         issued=issued,
-        text_sha256=sha,
+        text_sha256=text_sha,
         n_sections=len(ctx["sections"]),
         n_paras=n_paras,
         sections=sections_out,

@@ -10,10 +10,11 @@ inside executors with zero external processes:
 
 - **DOCX (real)**: a .docx file is a zip of XML — ``zipfile`` +
   ``xml.etree`` extract ``word/document.xml`` paragraphs with their
-  heading levels. Headings are re-emitted in the corpus text convention
-  ("Section …" lines are NOT synthesized — headings keep their own text;
-  the FSM webpage grammar is corpus-specific, so DOCX users bring their
-  own grammar or use the flat paragraphs).
+  heading levels. ``read_documents`` keeps the flat (style, text)
+  paragraphs; ``read_documents_parsed`` drives the styled FSM grammar
+  (operators/fsm.parse_styled_structure — Heading1/2/3 →
+  Section/Subsection with synthesized ordinal_path) so DOCX corpora get
+  the same nested doc_struct + isPartOf/type/title triples as HTML.
 - **PDF (real, common subset)**: text is pulled from page content streams
   — Flate-compressed (zlib, stdlib) or plain — by scanning BT/ET text
   blocks for ``Tj``/``TJ``/``'`` show operators with PDF string-literal
@@ -41,6 +42,7 @@ from xml.etree import ElementTree as ET
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 
@@ -220,3 +222,103 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
         .select("path", "content")
     )
     return files.mapInPandas(_decode_batches, schema=DOC_SCHEMA)
+
+
+# ------------------------------------------------- structured (FSM) ingest
+
+
+def _structured_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    from ferenda_spark.operators.fsm import parse_styled_structure
+    from ferenda_spark.operators.parse import doc_row_from_ctx
+
+    for pdf in batches:
+        rows = []
+        for path, blob, mtime, pk in zip(
+            pdf["path"], pdf["content"], pdf["modificationTime"], pdf["part_key"]
+        ):
+            b = bytes(blob)
+            low = path.lower()
+            if low.endswith(".docx"):
+                d = parse_docx_bytes(b)
+                if d["error"] is not None:
+                    continue  # read_documents is the errors-as-data surface
+                ctx = parse_styled_structure(d["paras"])
+                text = "\n\n".join(t for _, t in d["paras"])
+            elif low.endswith(".pdf"):
+                d = parse_pdf_bytes(b)
+                if d["error"] is not None:
+                    continue
+                # PDFs carry no styles; the page is the structural unit
+                # (the reference's PDFReader yields page-structured docs) —
+                # one section per page, paragraphs split on blank lines
+                ctx = {
+                    "title": "",
+                    "sections": [
+                        {
+                            "ordinal": i + 1,
+                            "ordinal_path": str(i + 1),
+                            "title": f"Page {i + 1}",
+                            "paras": [
+                                {"idx": j, "text": t}
+                                for j, t in enumerate(
+                                    c for c in page.split("\n\n") if c.strip()
+                                )
+                            ],
+                        }
+                        for i, page in enumerate(d["pages"])
+                    ],
+                }
+                text = "\n\n".join(d["pages"])
+            else:
+                continue
+            sha = hashlib.sha256(text.encode("utf-8")).hexdigest()
+            rows.append(
+                doc_row_from_ctx(
+                    path, pd.Timestamp(mtime), "und", int(pk), ctx, sha
+                )
+            )
+        yield pd.DataFrame(rows) if rows else pd.DataFrame(
+            columns=[
+                "kind", "url", "part_key", "title", "lang", "issued",
+                "text_sha256", "n_sections", "n_paras", "sections",
+                "triples", "mentions", "m_partition_id", "m_n_in",
+                "m_n_triples", "m_bytes_in", "m_wall_ms",
+            ]
+        )
+
+
+def read_documents_parsed(
+    spark: SparkSession, path: str, n_parts: int = 64
+) -> DataFrame:
+    """Structured DOCX/PDF ingest: heading styles drive the styled FSM
+    grammar (operators/fsm.parse_styled_structure), so Word corpora get the
+    SAME nested doc_struct (ordinal_path) + structure triples (rdf:type /
+    isPartOf / titles) + citation refs + entity mentions as the HTML parse
+    stage — drop the result straight into assemble_triples / the rollups.
+    PDFs structure per page. Undecodable files are SKIPPED here; run
+    ``read_documents`` over the same directory for the errors-as-data
+    accounting rows. Map-only (binaryFile → one mapInPandas), parallelism =
+    file count; ``issued`` is the file modification time (Word/PDF bytes
+    carry no crawl timestamp)."""
+    from ferenda_spark.schemas import PARSED
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{pdf,docx,doc}")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select(
+            "path", "content", "modificationTime",
+            # per-FILE hash spread (file corpora have no crawl domain to
+            # co-locate on — the webpage part_key_col hashes the domain)
+            F.pmod(F.xxhash64("path"), F.lit(n_parts)).cast("int").alias(
+                "part_key"
+            ),
+        )
+    )
+    parsed = files.mapInPandas(_structured_batches, schema=PARSED)
+    return parsed.filter(F.col("kind") == "doc").drop(
+        "kind", *[c for c in parsed.columns if c.startswith("m_")]
+    )
