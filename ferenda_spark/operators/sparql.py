@@ -1149,6 +1149,38 @@ def _scan(
     return out, set(cols)
 
 
+def _null_tolerant_correlate(
+    df: DataFrame, sdf: DataFrame, on: list[str], mvar: str, how: str
+) -> DataFrame:
+    """Correlated semi/anti join under SPARQL's unbound-is-compatible rule
+    when exactly ONE outer join variable (``mvar``) may be SQL NULL
+    (OPTIONAL/UNION-introduced): an unbound variable is a FREE variable in
+    the correlated pattern — it matches anything — so the outer rows split
+    into two equi-join legs instead of one non-equi condition (which would
+    force a nested-loop join):
+
+    - rows binding ``mvar``: plain equi semi/anti join on all shared vars;
+    - rows leaving it unbound: equi join on the REMAINING shared vars only
+      (the free var is projected away); with no other shared vars the test
+      degenerates to pattern non-emptiness — probed with a broadcast
+      limit(1), never a full-pattern materialization.
+
+    Both legs are hash joins over the same child plans, so the split costs
+    one extra scan of the (already small) correlated pattern, not a shuffle
+    of the outer side."""
+    sure = [v for v in on if v != mvar]
+    bound_leg = df.filter(F.col(mvar).isNotNull()).join(
+        sdf.select(*on), on=on, how=how
+    )
+    null_rows = df.filter(F.col(mvar).isNull())
+    if sure:
+        free_leg = null_rows.join(sdf.select(*sure), on=sure, how=how)
+    else:
+        probe = F.broadcast(sdf.limit(1).select(F.lit(1).alias("__probe")))
+        free_leg = null_rows.join(probe, F.lit(True), how=how)
+    return bound_leg.unionByName(free_leg)
+
+
 def _join_group(
     triples: DataFrame, pos_triples: DataFrame | None, group: Group
 ) -> tuple[DataFrame, set[str], set[str]]:
@@ -1156,9 +1188,12 @@ def _join_group(
 
     ``maybe_null_vars`` ⊆ bound_vars: variables a row can carry as SQL NULL
     (introduced by OPTIONAL, or private to some UNION branch). SPARQL's
-    unbound-is-compatible join rule cannot be expressed as an equi-join on
-    such a variable — every join site below raises SparqlUnsupportedError
-    rather than silently dropping/keeping rows the spec wouldn't."""
+    unbound-is-compatible join rule cannot be expressed as ONE equi-join on
+    such a variable — EXISTS/MINUS handle the single-maybe-null-var case by
+    splitting into two equi-join legs (_null_tolerant_correlate); every
+    other join site (and the multi-maybe-null cases) raises
+    SparqlUnsupportedError rather than silently dropping/keeping rows the
+    spec wouldn't."""
     if not (
         group.patterns
         or group.optionals
@@ -1333,17 +1368,26 @@ def _join_group(
             raise SparqlUnsupportedError(
                 "EXISTS sharing no variables not supported"
             )
-        if set(on) & (nullable | snull):
+        if set(on) & snull:
             raise SparqlUnsupportedError(
-                "EXISTS correlated on a variable that may be unbound: "
-                f"{sorted(set(on) & (nullable | snull))}"
+                "EXISTS correlated on a variable the EXISTS pattern itself "
+                f"may leave unbound: {sorted(set(on) & snull)}"
             )
-        # correlated on the shared variables → semi/anti join (the J6
-        # skeleton shape). Equivalent to SPARQL's binding substitution —
-        # the maybe-null guard above keeps it so (an unbound variable
-        # would be a free variable in the EXISTS pattern, not a key).
-        sdf = sdf.select(*on)
-        df = df.join(sdf, on=on, how="left_anti" if negated else "left_semi")
+        maybe = sorted(set(on) & nullable)
+        if len(maybe) > 1:
+            raise SparqlUnsupportedError(
+                "EXISTS correlated on more than one variable that may be "
+                f"unbound in the outer group: {maybe}"
+            )
+        how = "left_anti" if negated else "left_semi"
+        if not maybe:
+            # correlated on the shared variables → semi/anti join (the J6
+            # skeleton shape). Equivalent to SPARQL's binding substitution.
+            df = df.join(sdf.select(*on), on=on, how=how)
+        else:
+            # SPARQL substitution semantics with ONE maybe-unbound outer
+            # var: an unbound var is FREE in the pattern (matches anything)
+            df = _null_tolerant_correlate(df, sdf, on, maybe[0], how)
     for sub in group.minuses:
         sdf, svars, snull = _join_group(triples, pos_triples, sub)
         if svars & bind_names:
@@ -1357,17 +1401,33 @@ def _join_group(
             # domains are never removed — a shared-variable-free MINUS is
             # a no-op (unlike EXISTS, which would be a constant test)
             continue
-        if len(on) > 1 and set(on) & (nullable | snull):
-            # with ONE shared variable, null-never-matches coincides with
-            # the domain-overlap rule (an unbound side → disjoint domains →
-            # row kept); with several, a row can still be removed via its
-            # other shared vars, which is not an equi-join — refuse rather
-            # than keep rows the spec removes
+        maybe = sorted(set(on) & nullable)
+        if len(on) > 1 and set(on) & snull:
+            # sub-side maybe-nulls make compatibility trivially true for
+            # that var while the others still constrain — not an equi-join;
+            # refuse rather than keep rows the spec removes. (With ONE
+            # shared var, a sub-side null means disjoint domains → row kept,
+            # which equi-join null-never-matches reproduces.)
             raise SparqlUnsupportedError(
-                "multi-variable MINUS correlated on a variable that may be "
-                f"unbound: {sorted(set(on) & (nullable | snull))}"
+                "multi-variable MINUS where the MINUS pattern may leave a "
+                f"shared variable unbound: {sorted(set(on) & snull)}"
             )
-        df = df.join(sdf.select(*on), on=on, how="left_anti")
+        if len(on) > 1 and len(maybe) > 1:
+            raise SparqlUnsupportedError(
+                "MINUS correlated on more than one variable that may be "
+                f"unbound in the outer group: {maybe}"
+            )
+        if len(on) > 1 and len(maybe) == 1:
+            # compatibility with ONE maybe-unbound outer var: rows binding
+            # it must agree on ALL shared vars to be removed; rows leaving
+            # it unbound are compatible regardless of it (trivially) and
+            # domain overlap holds via the remaining sure vars → anti join
+            # on those alone. (With ONE shared var, null-never-matches
+            # already coincides with the domain-overlap rule: an unbound
+            # side → disjoint domains → row kept.)
+            df = _null_tolerant_correlate(df, sdf, on, maybe[0], "left_anti")
+        else:
+            df = df.join(sdf.select(*on), on=on, how="left_anti")
     for v, expr in group.binds:
         # BIND is applied after the group's joins (documented simplification:
         # triple patterns in the same group must not reference the bound

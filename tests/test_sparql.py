@@ -299,15 +299,39 @@ def test_nested_group_splice_keeps_exists_and_minus(spark, graph):
 
 def test_maybe_null_correlation_refused(spark, graph):
     # EXISTS correlated on an OPTIONAL-introduced variable: SPARQL treats
-    # the unbound var as free inside EXISTS — not expressible as an
-    # equi-join, must refuse instead of silently dropping rows
+    # the unbound var as FREE inside EXISTS (substitution semantics) —
+    # supported since round 3 for the single-maybe-null-var case. d2's two
+    # titles both exist somewhere (their own rows); d3 has no title → ?t
+    # unbound → EXISTS degenerates to pattern non-emptiness → kept.
+    got = sparql_select(
+        graph,
+        PREFIX
+        + "SELECT ?d WHERE { ?d dcterms:references ?r . "
+        + "OPTIONAL { ?d dcterms:title ?t } "
+        + "FILTER EXISTS { ?x dcterms:title ?t } }",
+    ).collect()
+    assert sorted(r.d for r in got) == [
+        "http://ex.org/d2", "http://ex.org/d2",
+        "http://ex.org/d3", "http://ex.org/d3",
+    ]
+    # NOT EXISTS flips every row of the same shape → empty
+    got = sparql_select(
+        graph,
+        PREFIX
+        + "SELECT ?d WHERE { ?d dcterms:references ?r . "
+        + "OPTIONAL { ?d dcterms:title ?t } "
+        + "FILTER NOT EXISTS { ?x dcterms:title ?t } }",
+    ).collect()
+    assert got == []
+    # TWO maybe-null correlated vars stays refused (documented)
     with pytest.raises(SparqlUnsupportedError):
         sparql_select(
             graph,
             PREFIX
             + "SELECT ?d WHERE { ?d dcterms:references ?r . "
             + "OPTIONAL { ?d dcterms:title ?t } "
-            + "FILTER EXISTS { ?x dcterms:title ?t } }",
+            + "OPTIONAL { ?d dcterms:language ?l } "
+            + "FILTER EXISTS { ?x dcterms:title ?t . ?x dcterms:language ?l } }",
         )
     # VALUES joined on a union-padded (maybe-null) variable: same refusal
     with pytest.raises(SparqlUnsupportedError):
