@@ -54,6 +54,7 @@ def curate_corpus(
     n_buckets: int = 32,
     splits: dict[str, float] | None = None,
     min_clean_tokens: int = 10,
+    materialize=None,
     **thresholds,
 ) -> dict[str, DataFrame]:
     """Pure-DataFrame form of the DAG — returns the four output frames
@@ -66,8 +67,17 @@ def curate_corpus(
       split label and (bucket, pack_id, start_offset) shard assignment.
     - ``manifest``: per (split, group, bucket, pack) token-fill stats —
       what a data loader consumes.
-    """
+
+    ``materialize`` (optional): ``(name, df) -> df`` hook called at the two
+    stage boundaries whose outputs feed multiple consumers (``verdicts``
+    feeds the reasons histogram AND the kept-docs path; ``shards`` feeds
+    the manifest). run_curation_pipeline passes a write-then-read-back
+    hook so the expensive upstream (verdict projection + the two
+    chunk-fingerprint windows + reassembly) executes ONCE per run instead
+    of once per downstream output — the same stage-table discipline as the
+    KG DAG (plans/pipeline.py). Default: identity (pure lazy frames)."""
     splits = DEFAULT_SPLITS if splits is None else splits
+    mat = materialize or (lambda _name, df: df)
 
     # C1: corpus-level repetition signal first — the curation verdict's
     # `repetitive` rule needs it, so it cannot run after filtering
@@ -77,11 +87,14 @@ def curate_corpus(
     ).withColumn("dup_fraction", F.coalesce("dup_fraction", F.lit(0.0)))
 
     # C2: verdicts (audit form)
-    verdicts = apply_curation(
-        with_dup,
-        text_col=text_col,
-        dup_fraction_col=F.col("dup_fraction"),
-        **thresholds,
+    verdicts = mat(
+        "verdicts",
+        apply_curation(
+            with_dup,
+            text_col=text_col,
+            dup_fraction_col=F.col("dup_fraction"),
+            **thresholds,
+        ),
     )
     reasons = reason_histogram(verdicts.filter(~F.col("keep")))
 
@@ -107,13 +120,16 @@ def curate_corpus(
 
     # C4: deterministic split + packing per (split, group, bucket) stream
     with_split = cleaned.withColumn("split", hash_split(F.col(id_col), splits))
-    shards = pack_documents(
-        with_split,
-        id_col=id_col,
-        text_col="clean_text",
-        budget=budget,
-        group_cols=("split", *group_cols),
-        n_buckets=n_buckets,
+    shards = mat(
+        "shards",
+        pack_documents(
+            with_split,
+            id_col=id_col,
+            text_col="clean_text",
+            budget=budget,
+            group_cols=("split", *group_cols),
+            n_buckets=n_buckets,
+        ),
     )
     manifest = pack_stats(shards, budget, ("split", *group_cols))
     return {
@@ -133,15 +149,30 @@ def run_curation_pipeline(
     """Materialize the curation DAG under ``out_dir`` through the catalog
     seam. Shards are partitioned by (split, bucket) so a loader reading
     one split's shards prunes to its directories; verdicts ride the same
-    partition-by-nothing audit-table convention as the lineage table."""
-    frames = curate_corpus(documents, **kwargs)
-    paths = {name: os.path.join(out_dir, name) for name in frames}
-    catalog.write_table(frames["verdicts"], paths["verdicts"])
+    partition-by-nothing audit-table convention as the lineage table.
+
+    Stage-table reuse (measured at 1M docs, tools/curation_job.py): the
+    verdicts and shards tables are written ONCE and read back for their
+    downstream consumers, so the verdict projection and the two
+    chunk-fingerprint windows never recompute per output — without the
+    hook, four lazy writes re-execute the shared upstream four times."""
+    paths = {
+        name: os.path.join(out_dir, name)
+        for name in ("verdicts", "reasons", "shards", "manifest")
+    }
+
+    def _mat(name: str, df: DataFrame) -> DataFrame:
+        if name == "shards":
+            catalog.write_table(
+                df.repartition("split", "bucket"),
+                paths[name],
+                partition_by=("split", "bucket"),
+            )
+        else:
+            catalog.write_table(df, paths[name])
+        return catalog.read_table(spark, paths[name])
+
+    frames = curate_corpus(documents, materialize=_mat, **kwargs)
     catalog.write_table(frames["reasons"], paths["reasons"])
-    catalog.write_table(
-        frames["shards"].repartition("split", "bucket"),
-        paths["shards"],
-        partition_by=("split", "bucket"),
-    )
     catalog.write_table(frames["manifest"], paths["manifest"])
     return paths
