@@ -472,6 +472,18 @@ def _opt_bindings(graph, main, opats):
     return out
 
 
+def _with_fresh_var(opats, main_vars):
+    """Guarantee the OPTIONAL introduces >=1 fresh (maybe-null) variable:
+    when every drawn var is already main-bound, rebind the first pattern's
+    object to ?z (kept out of VARS so it is always fresh) — generating the
+    shape directly instead of assume()-filtering most draws away."""
+    ovars = {t.value for p in opats for t in (p.s, p.p, p.o) if t.kind == "var"}
+    if ovars - main_vars:
+        return opats
+    first = opats[0]
+    return [Pattern(first.s, first.p, Term("var", "z"))] + list(opats[1:])
+
+
 @st.composite
 def exists_pat_st(draw, mvar, main_vars):
     """One correlated pattern anchored on the maybe-null var, with the
@@ -503,11 +515,12 @@ def test_exists_through_optional_var_matches_naive(_spark, negated, graph, main,
     from ferenda_spark.operators.sparql import sparql_select as sel
 
     main_vars = {t.value for p in main for t in (p.s, p.p, p.o) if t.kind == "var"}
-    opats = data.draw(bgp_connected_st(used_seed=tuple(sorted(main_vars))))
+    opats = _with_fresh_var(
+        data.draw(bgp_connected_st(used_seed=tuple(sorted(main_vars)))),
+        main_vars,
+    )
     ovars = {t.value for p in opats for t in (p.s, p.p, p.o) if t.kind == "var"}
-    maybe = sorted(ovars - main_vars)
-    assume(maybe)
-    mvar = maybe[0]
+    mvar = sorted(ovars - main_vars)[0]
     epats = data.draw(exists_pat_st(mvar, main_vars))
     kw = "NOT EXISTS" if negated else "EXISTS"
     q = (
@@ -539,7 +552,10 @@ def test_exists_through_optional_var_matches_naive(_spark, negated, graph, main,
 @settings(
     max_examples=25,
     deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.filter_too_much,  # assume(False) on documented-
+    ],  # unsupported MINUS variants
 )
 def test_minus_through_optional_var_matches_naive(_spark, graph, main, data):
     """MINUS compatibility over a maybe-null shared var: rows leaving it
@@ -551,11 +567,12 @@ def test_minus_through_optional_var_matches_naive(_spark, graph, main, data):
     from ferenda_spark.operators.sparql import sparql_select as sel
 
     main_vars = {t.value for p in main for t in (p.s, p.p, p.o) if t.kind == "var"}
-    opats = data.draw(bgp_connected_st(used_seed=tuple(sorted(main_vars))))
+    opats = _with_fresh_var(
+        data.draw(bgp_connected_st(used_seed=tuple(sorted(main_vars)))),
+        main_vars,
+    )
     ovars = {t.value for p in opats for t in (p.s, p.p, p.o) if t.kind == "var"}
-    maybe = sorted(ovars - main_vars)
-    assume(maybe)
-    mvar = maybe[0]
+    mvar = sorted(ovars - main_vars)[0]
     mpats = data.draw(exists_pat_st(mvar, main_vars))
     q = (
         f"SELECT * WHERE {{ {_body(main)} OPTIONAL {{ {_body(opats)} }} "
