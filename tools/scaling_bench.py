@@ -208,9 +208,10 @@ def main() -> None:
     busy_4n = results[4 * n]["avg_busy_cores"]
     applicable = ceil_hi if busy_4n <= 4 * n * 1.25 else ceil_lo
     norm_pt = round(eff / applicable, 3) if applicable else "n/a"
-    # build the history BEFORE opening for write — open(..., "w") truncates,
-    # and the section reads the previous file's rows
+    # build the carried-forward sections BEFORE opening for write —
+    # open(..., "w") truncates, and they read the previous file's contents
     history = history_section(ts, n_docs, n, t_n, t_4n, eff)
+    curation = curation_section()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — measured numbers ({ts})
 
@@ -264,7 +265,7 @@ and the skinny entity-edge dedup (see tools/kg_job.py docstring);
 everything else is map-side.
 
 {history}
-Correctness at this corpus: identical triple counts at both parallelism
+{curation}Correctness at this corpus: identical triple counts at both parallelism
 levels; triple P/R = 1.0 vs golden truth triples
 (tests/test_pipeline_pr.py); extracted text byte-identical per url
 (sha256 goldens, tests/test_extract.py). Relational/curation query wall
@@ -274,6 +275,25 @@ times at sf0.1 are in BENCH_r*.json (driver-recorded, `bench.py`).
 
 
 _HISTORY_HEADER = "## Cross-config / cross-session history"
+_CURATION_HEADER = "## Curation pipeline at corpus scale"
+
+
+def curation_section() -> str:
+    """Carry the curation-at-corpus-scale section (written by hand from
+    tools/curation_job.py output) forward across BASELINE.md rewrites."""
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    try:
+        with open(path) as f:
+            text = f.read()
+    except OSError:
+        return ""
+    if _CURATION_HEADER not in text:
+        return ""
+    block = text.split(_CURATION_HEADER, 1)[1]
+    # the section runs until the next "## " heading or the fixed trailing
+    # correctness paragraph (which the template always re-emits)
+    body = block.split("\n## ", 1)[0].split("Correctness at this corpus", 1)[0]
+    return _CURATION_HEADER + body.rstrip() + "\n\n"
 
 
 def history_section(ts, n_docs, n, t_n, t_4n, eff) -> str:
