@@ -1149,36 +1149,66 @@ def _scan(
     return out, set(cols)
 
 
+#: legs double per maybe-null var; 4 → 16 equi-joins, beyond which the
+#: plan (and the query) has outgrown this rewrite — refuse loudly instead
+_MAX_MAYBE_NULL = 4
+
+
 def _null_tolerant_correlate(
-    df: DataFrame, sdf: DataFrame, on: list[str], mvar: str, how: str
+    df: DataFrame,
+    sdf: DataFrame,
+    on: list[str],
+    maybe: list[str],
+    how: str,
+    minus: bool = False,
 ) -> DataFrame:
     """Correlated semi/anti join under SPARQL's unbound-is-compatible rule
-    when exactly ONE outer join variable (``mvar``) may be SQL NULL
+    when some outer join variables (``maybe``) may be SQL NULL
     (OPTIONAL/UNION-introduced): an unbound variable is a FREE variable in
-    the correlated pattern — it matches anything — so the outer rows split
-    into two equi-join legs instead of one non-equi condition (which would
-    force a nested-loop join):
+    the correlated pattern — it matches anything — so instead of one
+    non-equi condition (``a = b OR a IS NULL`` forces a nested-loop join)
+    the outer rows split by their null-mask over ``maybe`` into 2^k
+    equi-join legs (k ≤ _MAX_MAYBE_NULL):
 
-    - rows binding ``mvar``: plain equi semi/anti join on all shared vars;
-    - rows leaving it unbound: equi join on the REMAINING shared vars only
-      (the free var is projected away); with no other shared vars the test
-      degenerates to pattern non-emptiness — probed with a broadcast
-      limit(1), never a full-pattern materialization.
+    - each leg filters the outer side to one exact null-mask and equi
+      semi/anti joins on the vars that are NON-null under that mask;
+    - the all-null leg (no join keys left): for EXISTS the test degenerates
+      to pattern non-emptiness — probed with a broadcast limit(1), never a
+      full-pattern materialization; for MINUS (``minus=True``) the variable
+      domains are disjoint, so the spec KEEPS the row unconditionally.
 
-    Both legs are hash joins over the same child plans, so the split costs
-    one extra scan of the (already small) correlated pattern, not a shuffle
+    All legs are hash joins over the same child plans, so the split costs
+    k extra scans of the (already small) correlated pattern, not a shuffle
     of the outer side."""
-    sure = [v for v in on if v != mvar]
-    bound_leg = df.filter(F.col(mvar).isNotNull()).join(
-        sdf.select(*on), on=on, how=how
-    )
-    null_rows = df.filter(F.col(mvar).isNull())
-    if sure:
-        free_leg = null_rows.join(sdf.select(*sure), on=sure, how=how)
-    else:
-        probe = F.broadcast(sdf.limit(1).select(F.lit(1).alias("__probe")))
-        free_leg = null_rows.join(probe, F.lit(True), how=how)
-    return bound_leg.unionByName(free_leg)
+    if len(maybe) > _MAX_MAYBE_NULL:
+        raise SparqlUnsupportedError(
+            f"correlation through more than {_MAX_MAYBE_NULL} maybe-unbound "
+            f"variables: {sorted(maybe)}"
+        )
+    sure = [v for v in on if v not in maybe]
+    legs: list[DataFrame] = []
+    for mask in range(1 << len(maybe)):
+        null_vars = [v for i, v in enumerate(maybe) if mask >> i & 1]
+        keys = sure + [v for v in maybe if v not in null_vars]
+        rows = df
+        for v in null_vars:
+            rows = rows.filter(F.col(v).isNull())
+        for v in keys:
+            if v in maybe:
+                rows = rows.filter(F.col(v).isNotNull())
+        if keys:
+            legs.append(rows.join(sdf.select(*keys), on=keys, how=how))
+        elif minus:
+            # MINUS with every shared var unbound on this row: disjoint
+            # variable domains — the solution is never removed
+            legs.append(rows)
+        else:
+            probe = F.broadcast(sdf.limit(1).select(F.lit(1).alias("__probe")))
+            legs.append(rows.join(probe, F.lit(True), how=how))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def _join_group(
@@ -1189,11 +1219,11 @@ def _join_group(
     ``maybe_null_vars`` ⊆ bound_vars: variables a row can carry as SQL NULL
     (introduced by OPTIONAL, or private to some UNION branch). SPARQL's
     unbound-is-compatible join rule cannot be expressed as ONE equi-join on
-    such a variable — EXISTS/MINUS handle the single-maybe-null-var case by
-    splitting into two equi-join legs (_null_tolerant_correlate); every
-    other join site (and the multi-maybe-null cases) raises
-    SparqlUnsupportedError rather than silently dropping/keeping rows the
-    spec wouldn't."""
+    such a variable — EXISTS/MINUS split the outer rows by null-mask into
+    2^k equi-join legs (_null_tolerant_correlate, k ≤ _MAX_MAYBE_NULL);
+    every other join site (and patterns whose OWN shared vars may be
+    unbound) raises SparqlUnsupportedError rather than silently
+    dropping/keeping rows the spec wouldn't."""
     if not (
         group.patterns
         or group.optionals
@@ -1374,20 +1404,15 @@ def _join_group(
                 f"may leave unbound: {sorted(set(on) & snull)}"
             )
         maybe = sorted(set(on) & nullable)
-        if len(maybe) > 1:
-            raise SparqlUnsupportedError(
-                "EXISTS correlated on more than one variable that may be "
-                f"unbound in the outer group: {maybe}"
-            )
         how = "left_anti" if negated else "left_semi"
         if not maybe:
             # correlated on the shared variables → semi/anti join (the J6
             # skeleton shape). Equivalent to SPARQL's binding substitution.
             df = df.join(sdf.select(*on), on=on, how=how)
         else:
-            # SPARQL substitution semantics with ONE maybe-unbound outer
-            # var: an unbound var is FREE in the pattern (matches anything)
-            df = _null_tolerant_correlate(df, sdf, on, maybe[0], how)
+            # SPARQL substitution semantics with maybe-unbound outer vars:
+            # an unbound var is FREE in the pattern (matches anything)
+            df = _null_tolerant_correlate(df, sdf, on, maybe, how)
     for sub in group.minuses:
         sdf, svars, snull = _join_group(triples, pos_triples, sub)
         if svars & bind_names:
@@ -1412,20 +1437,17 @@ def _join_group(
                 "multi-variable MINUS where the MINUS pattern may leave a "
                 f"shared variable unbound: {sorted(set(on) & snull)}"
             )
-        if len(on) > 1 and len(maybe) > 1:
-            raise SparqlUnsupportedError(
-                "MINUS correlated on more than one variable that may be "
-                f"unbound in the outer group: {maybe}"
+        if len(on) > 1 and maybe:
+            # compatibility with maybe-unbound outer vars: rows binding a
+            # var must agree on it to be removed; rows leaving it unbound
+            # are compatible regardless (trivially), and the row survives
+            # only if EVERY shared var is unbound (disjoint domains) — the
+            # null-mask legs express exactly that. (With ONE shared var,
+            # null-never-matches already coincides with the domain-overlap
+            # rule: an unbound side → disjoint domains → row kept.)
+            df = _null_tolerant_correlate(
+                df, sdf, on, maybe, "left_anti", minus=True
             )
-        if len(on) > 1 and len(maybe) == 1:
-            # compatibility with ONE maybe-unbound outer var: rows binding
-            # it must agree on ALL shared vars to be removed; rows leaving
-            # it unbound are compatible regardless of it (trivially) and
-            # domain overlap holds via the remaining sure vars → anti join
-            # on those alone. (With ONE shared var, null-never-matches
-            # already coincides with the domain-overlap rule: an unbound
-            # side → disjoint domains → row kept.)
-            df = _null_tolerant_correlate(df, sdf, on, maybe[0], "left_anti")
         else:
             df = df.join(sdf.select(*on), on=on, how="left_anti")
     for v, expr in group.binds:

@@ -323,16 +323,19 @@ def test_maybe_null_correlation_refused(spark, graph):
         + "FILTER NOT EXISTS { ?x dcterms:title ?t } }",
     ).collect()
     assert got == []
-    # TWO maybe-null correlated vars stays refused (documented)
-    with pytest.raises(SparqlUnsupportedError):
-        sparql_select(
-            graph,
-            PREFIX
-            + "SELECT ?d WHERE { ?d dcterms:references ?r . "
-            + "OPTIONAL { ?d dcterms:title ?t } "
-            + "OPTIONAL { ?d dcterms:language ?l } "
-            + "FILTER EXISTS { ?x dcterms:title ?t . ?x dcterms:language ?l } }",
-        )
+    # TWO maybe-null correlated vars: null-mask leg enumeration (supported
+    # since round 3). d2 rows bind ?t (?l unbound) → leg joins on ?t alone:
+    # no ?x carries BOTH a Beta* title and a language → dropped. d3 rows
+    # leave both unbound → non-emptiness probe: d1 has title+language → kept.
+    got = sparql_select(
+        graph,
+        PREFIX
+        + "SELECT ?d WHERE { ?d dcterms:references ?r . "
+        + "OPTIONAL { ?d dcterms:title ?t } "
+        + "OPTIONAL { ?d dcterms:language ?l } "
+        + "FILTER EXISTS { ?x dcterms:title ?t . ?x dcterms:language ?l } }",
+    ).collect()
+    assert sorted(r.d for r in got) == ["http://ex.org/d3", "http://ex.org/d3"]
     # VALUES joined on a union-padded (maybe-null) variable: same refusal
     with pytest.raises(SparqlUnsupportedError):
         sparql_select(

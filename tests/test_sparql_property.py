@@ -604,3 +604,166 @@ def test_minus_through_optional_var_matches_naive(_spark, graph, main, data):
 
     want = [b for b in _opt_bindings(graph, main, opats) if not removed(b)]
     assert got == _tuples(want, out_vars)
+
+
+# ------------- EXISTS / MINUS through TWO maybe-null vars (two OPTIONALs)
+
+
+def _rename_fresh(opats, main_vars, prefix):
+    """Namespace every non-main variable of an OPTIONAL body with ``prefix``
+    so two OPTIONALs never couple through a shared fresh var (the compiler
+    would refuse a nullable OPTIONAL join var — a different, documented
+    shape), then force >=1 fresh var exactly like _with_fresh_var."""
+
+    def r(t):
+        if t.kind == "var" and t.value not in main_vars:
+            return Term("var", f"{prefix}{t.value}")
+        return t
+
+    out = [Pattern(r(p.s), r(p.p), r(p.o)) for p in opats]
+    if not any(
+        t.kind == "var" and t.value.startswith(prefix)
+        for p in out
+        for t in (p.s, p.p, p.o)
+    ):
+        first = out[0]
+        out[0] = Pattern(first.s, first.p, Term("var", f"{prefix}z"))
+    return out
+
+
+def _chain_opt_bindings(graph, main, opt_bodies):
+    """Sequential left-join semantics over several OPTIONAL groups."""
+    bindings = _naive(graph, main)
+    for opats in opt_bodies:
+        nxt = []
+        for b in bindings:
+            exts = _naive_from(graph, opats, b)
+            nxt.extend(exts if exts else [b])
+        bindings = nxt
+    return bindings
+
+
+def _two_optional_fixture(data, main):
+    main_vars = {t.value for p in main for t in (p.s, p.p, p.o) if t.kind == "var"}
+    o1 = _rename_fresh(
+        data.draw(bgp_connected_st(used_seed=tuple(sorted(main_vars)))),
+        main_vars, "m1_",
+    )
+    o2 = _rename_fresh(
+        data.draw(bgp_connected_st(used_seed=tuple(sorted(main_vars)))),
+        main_vars, "m2_",
+    )
+    mv1 = sorted(
+        t.value for p in o1 for t in (p.s, p.p, p.o)
+        if t.kind == "var" and t.value.startswith("m1_")
+    )[0]
+    mv2 = sorted(
+        t.value for p in o2 for t in (p.s, p.p, p.o)
+        if t.kind == "var" and t.value.startswith("m2_")
+    )[0]
+    # correlated pattern anchored on BOTH maybe-null vars (possibly plus a
+    # sure main var as one object) — the multi-maybe-null join shape
+    def obj():
+        if main_vars and data.draw(st.booleans()):
+            return Term("var", data.draw(st.sampled_from(sorted(main_vars))))
+        return Term(
+            data.draw(st.sampled_from(["iri", "lit"])),
+            data.draw(st.sampled_from(SUBJECTS + OBJ_LEX)),
+        )
+
+    epats = [
+        Pattern(Term("var", mv1), Term("iri", data.draw(st.sampled_from(PREDS))), obj()),
+        Pattern(Term("var", mv2), Term("iri", data.draw(st.sampled_from(PREDS))), obj()),
+    ]
+    all_vars = main_vars | {
+        t.value for p in o1 + o2 for t in (p.s, p.p, p.o) if t.kind == "var"
+    }
+    return o1, o2, epats, sorted(all_vars)
+
+
+def _graph_df(spark, graph):
+    df = spark.createDataFrame(
+        graph or [("x", "x", "x", True)],
+        "subj string, pred string, obj string, obj_is_uri boolean",
+    )
+    return df if graph else df.filter("1=0")
+
+
+@given(graph=graph_st, main=bgp_st(), data=st.data())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@pytest.mark.parametrize("negated", [False, True])
+def test_exists_through_two_optional_vars_matches_naive(
+    _spark, negated, graph, main, data
+):
+    """Null-mask leg enumeration: EXISTS correlated on TWO variables that
+    may each be unbound (introduced by two sibling OPTIONALs) — the shape
+    the single-var rewrite used to refuse."""
+    from ferenda_spark.operators.sparql import sparql_select as sel
+
+    o1, o2, epats, out_vars = _two_optional_fixture(data, main)
+    kw = "NOT EXISTS" if negated else "EXISTS"
+    q = (
+        f"SELECT * WHERE {{ {_body(main)} OPTIONAL {{ {_body(o1)} }} "
+        f"OPTIONAL {{ {_body(o2)} }} FILTER {kw} {{ {_body(epats)} }} }}"
+    )
+    got = sorted(
+        (
+            tuple(r[v] for v in out_vars)
+            for r in sel(_graph_df(_spark, graph), q).collect()
+        ),
+        key=lambda x: tuple(("", "") if v is None else ("x", v) for v in x),
+    )
+    want = [
+        b
+        for b in _chain_opt_bindings(graph, main, [o1, o2])
+        if bool(_naive_from(graph, epats, b)) != negated
+    ]
+    assert got == _tuples(want, out_vars)
+
+
+@given(graph=graph_st, main=bgp_st(), data=st.data())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.filter_too_much,
+    ],
+)
+def test_minus_through_two_optional_vars_matches_naive(_spark, graph, main, data):
+    """MINUS compatibility over two maybe-null shared vars: a row is
+    removed iff some MINUS solution agrees on every var the row binds AND
+    at least one shared var is bound on both sides (domain overlap)."""
+    from hypothesis import assume
+
+    from ferenda_spark.operators.sparql import SparqlUnsupportedError
+    from ferenda_spark.operators.sparql import sparql_select as sel
+
+    o1, o2, epats, out_vars = _two_optional_fixture(data, main)
+    q = (
+        f"SELECT * WHERE {{ {_body(main)} OPTIONAL {{ {_body(o1)} }} "
+        f"OPTIONAL {{ {_body(o2)} }} MINUS {{ {_body(epats)} }} }}"
+    )
+    try:
+        rows = sel(_graph_df(_spark, graph), q).collect()
+    except SparqlUnsupportedError:
+        assume(False)  # a still-unsupported variant (documented) — skip
+    got = sorted(
+        (tuple(r[v] for v in out_vars) for r in rows),
+        key=lambda x: tuple(("", "") if v is None else ("x", v) for v in x),
+    )
+    m2s = _naive(graph, epats)
+
+    def removed(b):
+        for m2 in m2s:
+            common = set(b) & set(m2)
+            if common and all(b[k] == m2[k] for k in common):
+                return True
+        return False
+
+    want = [b for b in _chain_opt_bindings(graph, main, [o1, o2]) if not removed(b)]
+    assert got == _tuples(want, out_vars)
