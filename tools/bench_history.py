@@ -72,6 +72,14 @@ def main() -> None:
             "- Suspected box noise in r02 (flagged by the round-2 judge):"
             " chunk_dedup_stats, tpch_q3ish, sparql_groupby — the round-3"
             " local re-leg column(s) adjudicate.\n"
+            "- **Adjudication (local_r03quiet, 2026-08-18, BEST_OF=3, quiet"
+            " 32-vCPU box): all three land BELOW their r01 values"
+            " (chunk_dedup_stats 1.22 vs 1.46/2.70; tpch_q3ish 1.50 vs"
+            " 1.74/2.31; sparql_groupby 0.68 vs 0.90/1.57) with unchanged"
+            " code paths → the r02 readings were box noise, no plan"
+            " regression.** pii_redact's 3.94→0.30 swing is the same box"
+            " effect amplified by pure-CPU regex work (query and oracle"
+            " unchanged since r02; oracle-green in CHECK_ORACLE.json).\n"
         )
     print(f"wrote {out} ({len(queries)} queries x {len(runs)} runs)")
 
