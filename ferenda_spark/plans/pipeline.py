@@ -63,6 +63,7 @@ def run_pipeline(
     with_lsh: bool = True,
     base_url: str = "https://kg.example.org",
     facets=None,
+    publish_html: bool = False,
 ) -> dict[str, str]:
     """Run (or resume) the full DAG; returns stage-table paths.
 
@@ -85,6 +86,7 @@ def run_pipeline(
         "triple_stats": _p(out_dir, "triple_stats"),
         "atom": _p(out_dir, "atom"),
         "toc_pages": _p(out_dir, "toc_pages"),
+        "generated": _p(out_dir, "generated"),
         "ledger": _p(out_dir, "ledger"),
     }
 
@@ -190,6 +192,9 @@ def run_pipeline(
         ledger.mark("triples", lin_rows, run_id=run_id)
 
     # --------------------------------------------------------------- rollup
+    import time as _time
+
+    _t0 = _time.monotonic()
     triples_tbl = catalog.read_table(spark, paths["triples_spo"])
     docmeta = docmeta_from_triples(triples_tbl)
     write_stage_partitioned(docmeta, paths["docmeta"])
@@ -198,6 +203,23 @@ def run_pipeline(
     catalog.write_table(feeds_topk(dm, facets=facets), paths["feeds"])
     catalog.write_table(feed_main(dm), paths["feed_main"])
     catalog.write_table(triple_stats(triples_tbl), paths["triple_stats"])
+    # lineage for the rerun-whole stages too (completes the north_rule
+    # "per-partition lineage + metrics" across ALL four stages; rollup and
+    # publish have one logical partition, part_key=-1, matching their
+    # ledger rows). n_in/n_out are parquet-footer counts (no data read);
+    # bytes_in is the same pure file listing the triples stage uses.
+    catalog.append_table(
+        _whole_stage_lineage(
+            spark,
+            stage="rollup",
+            n_in=triples_tbl.count(),
+            n_out=dm.count(),
+            bytes_in=_table_bytes(spark, paths["triples_spo"]),
+            wall_ms=int((_time.monotonic() - _t0) * 1000),
+            run_id=run_id,
+        ),
+        paths["lineage"],
+    )
     ledger.mark_parts("rollup", [-1], run_id=run_id)
 
     # -------------------------------------------------------------- publish
@@ -206,13 +228,73 @@ def run_pipeline(
     from ferenda_spark.operators.atom import atom_feeds
     from ferenda_spark.operators.toc_html import toc_pages
 
-    catalog.write_table(
-        atom_feeds(catalog.read_table(spark, paths["feeds"]), base_url),
-        paths["atom"],
-    )
-    catalog.write_table(
-        toc_pages(catalog.read_table(spark, paths["toc"]), base_url),
-        paths["toc_pages"],
+    _t0 = _time.monotonic()
+    feeds_tbl = catalog.read_table(spark, paths["feeds"])
+    toc_tbl = catalog.read_table(spark, paths["toc"])
+    catalog.write_table(atom_feeds(feeds_tbl, base_url), paths["atom"])
+    catalog.write_table(toc_pages(toc_tbl, base_url), paths["toc_pages"])
+    if publish_html:
+        # the reference's generate step (T10): parsed layer → browser HTML
+        # via the XSLT-subset transformer. Corpus-sized but map-only (one
+        # mapInPandas over the docs table, part_key partitioning reused by
+        # the sink — no shuffle), resumable at partition granularity via
+        # the same ledger pattern as parse/triples.
+        from ferenda_spark.operators.transformer import generate_html
+        from ferenda_spark.operators.xhtml import render_xhtml
+
+        gen_todo = ledger.pending(docs_tbl, "generate")
+        if gen_todo.limit(1).count() > 0:
+            html = generate_html(render_xhtml(gen_todo))
+            write_stage_partitioned(html, paths["generated"])
+            gen_parts = [
+                r["part_key"]
+                for r in gen_todo.select("part_key").distinct().collect()
+            ]
+            ledger.mark_parts("generate", gen_parts, run_id=run_id)
+    catalog.append_table(
+        _whole_stage_lineage(
+            spark,
+            stage="publish",
+            n_in=feeds_tbl.count() + toc_tbl.count(),
+            n_out=catalog.read_table(spark, paths["atom"]).count()
+            + catalog.read_table(spark, paths["toc_pages"]).count(),
+            bytes_in=_table_bytes(spark, paths["feeds"])
+            + _table_bytes(spark, paths["toc"]),
+            wall_ms=int((_time.monotonic() - _t0) * 1000),
+            run_id=run_id,
+        ),
+        paths["lineage"],
     )
     ledger.mark_parts("publish", [-1], run_id=run_id)
     return paths
+
+
+def _table_bytes(spark: SparkSession, path: str) -> int:
+    """Total on-disk parquet bytes of a stage table — pure file listing."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("length")
+    )
+    row = files.agg(F.sum("length").alias("b")).collect()[0]
+    return int(row["b"] or 0)
+
+
+def _whole_stage_lineage(
+    spark: SparkSession,
+    stage: str,
+    n_in: int,
+    n_out: int,
+    bytes_in: int,
+    wall_ms: int,
+    run_id: str,
+) -> DataFrame:
+    """One lineage row for a rerun-whole stage (part_key=-1) in the same
+    schema as the parse/triples per-partition rows."""
+    return spark.createDataFrame(
+        [(stage, -1, None, n_in, n_out, bytes_in, wall_ms, run_id)],
+        "stage string, part_key int, partition_id int, n_in long, "
+        "n_out long, bytes_in long, wall_ms long, run_id string",
+    )

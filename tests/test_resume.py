@@ -296,3 +296,59 @@ def test_triples_lineage_carries_real_metrics(spark, full_run):
         .collect()
     }
     assert per_pk == docs_pk
+
+
+def test_rollup_publish_lineage_rows(spark, full_run):
+    """Rerun-whole stages carry lineage too: one part_key=-1 row per run
+    with real n_in/n_out/bytes_in/wall_ms — the north_rule's lineage story
+    covers all four stages, not just the per-partition ones."""
+    lin = spark.read.parquet(full_run["lineage"])
+    for stage in ("rollup", "publish"):
+        rows = lin.filter(F.col("stage") == stage).collect()
+        assert len(rows) == 1, f"expected one {stage} lineage row"
+        r = rows[0]
+        assert r["part_key"] == -1
+        assert r["n_in"] is not None and r["n_in"] > 0
+        assert r["n_out"] is not None and r["n_out"] > 0
+        assert r["bytes_in"] is not None and r["bytes_in"] > 0
+        assert r["wall_ms"] is not None and r["wall_ms"] >= 0
+    # rollup n_in is the triples table, n_out the docmeta table
+    roll = lin.filter(F.col("stage") == "rollup").collect()[0]
+    assert roll["n_in"] == spark.read.parquet(full_run["triples_spo"]).count()
+    assert roll["n_out"] == spark.read.parquet(full_run["docmeta"]).count()
+
+
+def test_publish_html_generate_stage(spark, tmp_path_factory):
+    """publish_html=True adds the T10 generate sink: one browser-HTML row
+    per doc, error-free, partition-resumable via the ledger."""
+    out = str(tmp_path_factory.mktemp("gen"))
+    corpus = generate_corpus(spark, 24)
+    d = dictionary_df(spark)
+    paths = run_pipeline(
+        spark, corpus, d, out, n_parts=4, with_lsh=False, run_id="g1",
+        publish_html=True,
+    )
+    gen = spark.read.parquet(paths["generated"])
+    assert gen.count() == 24
+    assert gen.filter(F.col("transform_error").isNotNull()).count() == 0
+    assert gen.filter(F.col("html").isNull()).count() == 0
+    led = Ledger(spark, paths["ledger"]).read()
+    marked = led.filter(F.col("stage") == "generate")
+    assert marked.count() == 4  # one row per part_key
+    # resume: nothing pending → second run leaves the table byte-identical
+    import os
+
+    def snapshot(p):
+        return {
+            f: os.path.getsize(os.path.join(dp, f))
+            for dp, _dn, fn in os.walk(p)
+            for f in fn
+            if f.endswith(".parquet")
+        }
+
+    before = snapshot(paths["generated"])
+    run_pipeline(
+        spark, corpus, d, out, n_parts=4, with_lsh=False, run_id="g2",
+        publish_html=True,
+    )
+    assert snapshot(paths["generated"]) == before
