@@ -1526,6 +1526,58 @@ def _q_docx_struct_triples(spark, sf_dir):
     )
 
 
+def _q_gopher_quality_stats(spark, sf_dir):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public
+    paper) rolled up per language: duplicate-line / duplicate-line-char
+    fractions + bullet/ellipsis line fractions (HOF branch, zero shuffle)
+    and top-2-gram / duplicated-5-gram char fractions (linear
+    explode-groupBy branch), plus the threshold-gate flag count.
+    operators/repetition.py; per-doc values are exact int-ratio doubles in
+    both engines, averages rounded to 6."""
+    from ferenda_spark.operators.repetition import (
+        repetition_flag,
+        repetition_signals,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sig = repetition_signals(d).join(d.select("doc_id", "lang"), "doc_id")
+    flagged = repetition_flag(
+        F.col("dup_line_frac"),
+        F.col("top_2gram_char_frac"),
+        F.col("ellipsis_end_frac"),
+        F.col("bullet_start_frac"),
+    )
+    return sig.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dup_line_frac"), 6).alias("avg_dup_line_frac"),
+        F.round(F.avg("dup_line_char_frac"), 6).alias("avg_dup_line_char_frac"),
+        F.round(F.avg("bullet_start_frac"), 6).alias("avg_bullet_frac"),
+        F.round(F.avg("ellipsis_end_frac"), 6).alias("avg_ellipsis_frac"),
+        F.round(F.avg("top_2gram_char_frac"), 6).alias("avg_top_2gram_frac"),
+        F.round(F.avg("dup_5gram_char_frac"), 6).alias("avg_dup_5gram_frac"),
+        F.sum(F.when(flagged, 1).otherwise(0)).cast("bigint").alias("n_flagged"),
+    )
+
+
+def _q_domain_cap_sample(spark, sf_dir):
+    """Per-domain document cap (Common-Crawl-style host-level
+    down-sampling before training): keep at most 20 docs per source,
+    chosen by a deterministic md5 'random' order so the sample is unbiased
+    w.r.t. document order but reproducible across engines and cluster
+    sizes. One window shuffle keyed on the domain; at 100 TB the same
+    shape holds (domains are the natural partition key and the cap bounds
+    per-group state)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("source", F.col("rn").cast("int").alias("rn"), "doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -1591,6 +1643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_training_shards": _q_pack_training_shards,
         "facet_rollup_custom": _q_facet_rollup_custom,
         "docx_struct_triples": _q_docx_struct_triples,
+        "gopher_quality_stats": _q_gopher_quality_stats,
+        "domain_cap_sample": _q_domain_cap_sample,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -2349,5 +2403,112 @@ def oracle_sql() -> dict[str, str]:
                        ELSE pat.objk
                    END AS obj
             FROM ids CROSS JOIN pat
+        """,
+        # Gopher repetition signals: line stats via unnest/groupBy, word
+        # n-gram stats via list_transform(generate_series)/unnest — the
+        # same per-doc integer ratios the Spark HOF/explode branches
+        # compute, averaged per lang (round 6)
+        "gopher_quality_stats": r"""
+            WITH l0 AS (
+                SELECT doc_id,
+                       trim(unnest(string_split(text, chr(10)))) AS line
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, line FROM l0 WHERE len(line) > 0
+            ), linesig AS (
+                SELECT doc_id,
+                       count(*) AS n_lines,
+                       count(*) - count(DISTINCT line) AS n_dup,
+                       sum(len(line)) AS total_chars,
+                       sum(CASE WHEN substr(line, 1, 1) IN ('-', '*', '•')
+                           THEN 1 ELSE 0 END) AS n_bullet,
+                       sum(CASE WHEN line LIKE '%...' OR line LIKE '%…'
+                           THEN 1 ELSE 0 END) AS n_ell
+                FROM lines GROUP BY doc_id
+            ), percnt AS (
+                SELECT doc_id, line, count(*) AS c, len(line) AS ll
+                FROM lines GROUP BY doc_id, line
+            ), dupchars AS (
+                SELECT doc_id, sum((c - 1) * ll) AS dup_chars
+                FROM percnt GROUP BY doc_id
+            ), toks AS (
+                SELECT doc_id, len(text) AS nc,
+                       CASE WHEN len(trim(text)) = 0 THEN []
+                            ELSE regexp_split_to_array(trim(text), '\s+')
+                       END AS t
+                FROM documents
+            ), g2 AS (
+                SELECT doc_id, nc,
+                       unnest(list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i + 1])) AS gram
+                FROM toks WHERE len(t) >= 2
+            ), g2c AS (
+                SELECT doc_id, gram, count(*) AS c
+                FROM g2 GROUP BY doc_id, gram
+            ), top2 AS (
+                SELECT doc_id, max(c * len(gram)) AS top_chars
+                FROM g2c GROUP BY doc_id
+            ), g5 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(t) - 4),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
+                FROM toks WHERE len(t) >= 5
+            ), g5c AS (
+                SELECT doc_id, gram, count(*) AS c
+                FROM g5 GROUP BY doc_id, gram
+            ), dup5 AS (
+                SELECT doc_id,
+                       sum(CASE WHEN c > 1 THEN c * len(gram) ELSE 0 END)
+                           AS dup_chars5
+                FROM g5c GROUP BY doc_id
+            ), sig AS (
+                SELECT d.doc_id, d.lang,
+                       COALESCE(CAST(ls.n_dup AS DOUBLE)
+                                / NULLIF(ls.n_lines, 0), 0.0) AS dlf,
+                       COALESCE(CAST(dc.dup_chars AS DOUBLE)
+                                / NULLIF(ls.total_chars, 0), 0.0) AS dlcf,
+                       COALESCE(CAST(ls.n_bullet AS DOUBLE)
+                                / NULLIF(ls.n_lines, 0), 0.0) AS bf,
+                       COALESCE(CAST(ls.n_ell AS DOUBLE)
+                                / NULLIF(ls.n_lines, 0), 0.0) AS ef,
+                       COALESCE(CAST(t2.top_chars AS DOUBLE)
+                                / NULLIF(tk.nc, 0), 0.0) AS top2,
+                       COALESCE(CAST(d5.dup_chars5 AS DOUBLE)
+                                / NULLIF(tk.nc, 0), 0.0) AS dup5
+                FROM documents d
+                LEFT JOIN linesig ls USING (doc_id)
+                LEFT JOIN dupchars dc USING (doc_id)
+                LEFT JOIN toks tk USING (doc_id)
+                LEFT JOIN top2 t2 USING (doc_id)
+                LEFT JOIN dup5 d5 USING (doc_id)
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   round(avg(dlf), 6) AS avg_dup_line_frac,
+                   round(avg(dlcf), 6) AS avg_dup_line_char_frac,
+                   round(avg(bf), 6) AS avg_bullet_frac,
+                   round(avg(ef), 6) AS avg_ellipsis_frac,
+                   round(avg(top2), 6) AS avg_top_2gram_frac,
+                   round(avg(dup5), 6) AS avg_dup_5gram_frac,
+                   CAST(sum(CASE WHEN dlf > 0.30 OR top2 > 0.20
+                                 OR ef > 0.30 OR bf > 0.90
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+            FROM sig GROUP BY lang
+        """,
+        # deterministic per-domain cap: md5-ordered row_number <= 20
+        "domain_cap_sample": """
+            WITH r AS (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT source, CAST(rn AS INT) AS rn, doc_id
+            FROM r WHERE rn <= 20
         """,
     }

@@ -39,6 +39,11 @@ def curation_verdict(
     max_pii_per_kchar: float = 5.0,
     dup_fraction_col: Column | None = None,
     max_dup_fraction: float = 0.6,
+    line_repetition: bool = False,
+    max_dup_line_fraction: float = 0.30,
+    max_bullet_fraction: float = 0.90,
+    max_ellipsis_fraction: float = 0.30,
+    ngram_flag_col: Column | None = None,
 ) -> Column:
     """STRUCT(keep: boolean, reasons: array<string>) for one text column.
 
@@ -47,7 +52,16 @@ def curation_verdict(
     (quality_score below threshold), ``gibberish`` (mean token length
     outside [1.5, 14] — binary junk or no word separators), ``pii_dense``
     (recognized PII spans per 1000 chars above threshold), and
-    ``repetitive`` when a duplicate-chunk fraction column is supplied."""
+    ``repetitive`` when a duplicate-chunk fraction column is supplied.
+
+    Gopher-style repetition rules (operators/repetition.py) are opt-in:
+    ``line_repetition=True`` adds ``dup_lines`` / ``listy`` from the
+    zero-shuffle line signals inline in the same projection; the n-gram
+    signals need their own explode-groupBy pass, so callers compute them
+    with ``repetition_signals()`` and pass the gate as ``ngram_flag_col``
+    (reason ``ngram_repetition``). Off by default: thresholds assume
+    real-page lengths and the driver-contract queries pin the default
+    reason set."""
     # NULL text (extraction failed / never ran) must not sail through: a
     # NULL token count would make every rule condition NULL → no reasons →
     # keep. Treat missing text as zero tokens so too_short fires.
@@ -70,6 +84,25 @@ def curation_verdict(
     ]
     if dup_fraction_col is not None:
         rules.append(("repetitive", dup_fraction_col > max_dup_fraction))
+    if line_repetition:
+        from ferenda_spark.operators.repetition import (
+            bullet_start_fraction,
+            duplicate_line_fraction,
+            ellipsis_end_fraction,
+        )
+
+        rules.append(
+            ("dup_lines", duplicate_line_fraction(text) > max_dup_line_fraction)
+        )
+        rules.append(
+            (
+                "listy",
+                (bullet_start_fraction(text) > max_bullet_fraction)
+                | (ellipsis_end_fraction(text) > max_ellipsis_fraction),
+            )
+        )
+    if ngram_flag_col is not None:
+        rules.append(("ngram_repetition", F.coalesce(ngram_flag_col, F.lit(False))))
 
     reasons = F.filter(
         F.array(
