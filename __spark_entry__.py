@@ -1578,6 +1578,71 @@ def _q_domain_cap_sample(spark, sf_dir):
     )
 
 
+def _q_pagerank_hosts(spark, sf_dir):
+    """Host-graph PageRank (operators/graph.py:pagerank — the hyperlink
+    quality prior of web-corpus curation). Edges are derived
+    DETERMINISTICALLY from doc_id so both engines build the identical
+    graph with no external data: doc i links to (7i + 11j) mod C for
+    j ∈ {1,2,3} (C = doc count, self-loops dropped). Every node is a
+    source with outdegree ≥ 2, so the graph has no dangling nodes and the
+    unrolled-SQL oracle can omit the dangling-mass term the Spark operator
+    computes (it is exactly 0.0 here). 6 fixed iterations, damping 0.85,
+    ranks rounded to 6 (per-iteration engine FP skew ~1e-16 ≪ grain)."""
+    from ferenda_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    c = d.count()
+    e = d.select(
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 11 * F.col("j")) % c).alias("dst"),
+    )
+    pr = pagerank(e, n_iter=6)
+    return pr.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _pagerank_oracle(n_iter: int = 6, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank in ANSI SQL mirroring
+    _q_pagerank_hosts exactly (same graph construction, same update rule;
+    no dangling term — the constructed graph has none)."""
+    head = f"""
+        WITH cnt AS (SELECT count(*) AS c FROM documents),
+        e AS (
+            SELECT DISTINCT doc_id AS src,
+                   (doc_id * 7 + 11 * j) % (SELECT c FROM cnt) AS dst
+            FROM documents, unnest([1, 2, 3]) AS u(j)
+            WHERE (doc_id * 7 + 11 * j) % (SELECT c FROM cnt) <> doc_id
+        ),
+        nodes AS (
+            SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(f"""
+        r{k} AS (
+            SELECT nd.node,
+                   (1.0 - {damping}) / (SELECT n FROM nn)
+                   + {damping} * COALESCE(m.mass, 0.0) AS rank
+            FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank / deg.deg) AS mass
+                FROM e JOIN deg USING (src)
+                JOIN r{k - 1} r ON r.node = e.src
+                GROUP BY e.dst
+            ) m ON m.node = nd.node
+        )""")
+    tail = f"""
+        SELECT node AS doc_id, round(rank, 6) AS rank FROM r{n_iter}"""
+    return head + "," + ",".join(steps) + tail
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -1645,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_struct_triples": _q_docx_struct_triples,
         "gopher_quality_stats": _q_gopher_quality_stats,
         "domain_cap_sample": _q_domain_cap_sample,
+        "pagerank_hosts": _q_pagerank_hosts,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -2511,4 +2577,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(rn AS INT) AS rn, doc_id
             FROM r WHERE rn <= 20
         """,
+        "pagerank_hosts": _pagerank_oracle(6),
     }

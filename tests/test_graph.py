@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from ferenda_spark.operators.graph import cluster_sizes, connected_components
 
 
@@ -124,3 +126,63 @@ def test_checkpoint_blocks_freed_per_round(spark):
     # at most the final round's checkpoint survives (plus whatever the
     # session already had persisted before the call)
     assert after - before <= 1
+
+
+# ------------------------------------------------------------ pagerank
+
+
+def _pagerank_ref(edges, d=0.85, it=8):
+    import numpy as np
+
+    e = sorted({(a, b) for a, b in edges if a != b})
+    nodes = sorted({x for p in e for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {v: 0 for v in nodes}
+    for a, _ in e:
+        out[a] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(it):
+        nr = np.zeros(n)
+        dm = sum(r[idx[v]] for v in nodes if out[v] == 0)
+        for a, b in e:
+            nr[idx[b]] += r[idx[a]] / out[a]
+        r = (1 - d) / n + d * (nr + dm / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_reference_with_dangling(spark):
+    from ferenda_spark.operators.graph import pagerank
+
+    # node 3 is dangling (no out-edges); self-loop and duplicate edge must
+    # be ignored; node 4 only appears as a source
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (1, 1), (0, 1), (4, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, n_iter=8).collect()}
+    exp = _pagerank_ref(edges)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-12)
+    # full damping mass conservation (dangling redistributed)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_deterministic_across_parallelism(spark):
+    from ferenda_spark.operators.graph import pagerank
+
+    edges = [(i, (7 * i + 11 * j) % 40) for i in range(40) for j in (1, 2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r.node: r.rank for r in pagerank(df, n_iter=6).collect()}
+    b = {
+        r.node: r.rank
+        for r in pagerank(df.repartition(13), n_iter=6).collect()
+    }
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
+def test_pagerank_empty_edges(spark):
+    from ferenda_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df, n_iter=3).count() == 0
