@@ -1643,6 +1643,34 @@ def _pagerank_oracle(n_iter: int = 6, damping: float = 0.85) -> str:
     return head + "," + ",".join(steps) + tail
 
 
+def _q_snapshot_time_travel(spark, sf_dir):
+    """Iceberg-lite snapshot layer (sources/snapshots.py) driver-visible:
+    commit the first half of documents as snapshot v1, append the second
+    half as v2, then read VERSION 1 via time travel and aggregate it. The
+    oracle reconstructs v1's content relationally (doc_id < count/2), so
+    equality proves the manifest-pinned read returns exactly the committed
+    snapshot — nothing from v2 leaks in, nothing from v1 is lost."""
+    import os as _os
+    import shutil as _shutil
+
+    from ferenda_spark.sources.snapshots import commit_snapshot, read_snapshot
+
+    d = _t(spark, sf_dir, "documents")
+    half = d.count() // 2
+    root = f"/tmp/ferenda_spark_snap_q_{_os.path.basename(sf_dir.rstrip('/'))}"
+    # recreate from scratch (stale snapshots from an older revision would
+    # shift version numbers and flake the oracle)
+    _shutil.rmtree(root, ignore_errors=True)
+    commit_snapshot(d.filter(F.col("doc_id") < half), root)
+    commit_snapshot(d.filter(F.col("doc_id") >= half), root)
+    v1 = read_snapshot(spark, root, version=1)
+    return v1.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -1711,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_stats": _q_gopher_quality_stats,
         "domain_cap_sample": _q_domain_cap_sample,
         "pagerank_hosts": _q_pagerank_hosts,
+        "snapshot_time_travel": _q_snapshot_time_travel,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -2578,4 +2607,14 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn <= 20
         """,
         "pagerank_hosts": _pagerank_oracle(6),
+        # snapshot v1 == first half of documents by construction
+        "snapshot_time_travel": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   max(doc_id) AS max_doc_id
+            FROM documents
+            WHERE doc_id < (SELECT count(*) // 2 FROM documents)
+            GROUP BY lang
+        """,
     }
