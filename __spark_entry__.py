@@ -1671,6 +1671,38 @@ def _q_snapshot_time_travel(spark, sf_dir):
     )
 
 
+def _q_asof_purchase_attribution(spark, sf_dir):
+    """As-of join (operators/asof.py — union-window form, one shuffle, no
+    join node): each click event attributed to the user's newest purchase
+    at-or-before it. Exact-timestamp ties among purchases resolve to the
+    largest event_id — mirrored in the oracle by deduping to one purchase
+    per (user_id, ts) before DuckDB's native ASOF LEFT JOIN."""
+    from ferenda_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        payload=["event_id", "value"],
+        right_order="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("purchase_ts"),
+        F.col("event_id_right").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -1740,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_sample": _q_domain_cap_sample,
         "pagerank_hosts": _q_pagerank_hosts,
         "snapshot_time_travel": _q_snapshot_time_travel,
+        "asof_purchase_attribution": _q_asof_purchase_attribution,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -2616,5 +2649,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id < (SELECT count(*) // 2 FROM documents)
             GROUP BY lang
+        """,
+        # DuckDB native ASOF LEFT JOIN, purchases pre-deduped per (user,ts)
+        # to the largest event_id (the operator's tie rule)
+        "asof_purchase_attribution": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ), p0 AS (
+                SELECT user_id, ts, value, event_id,
+                       row_number() OVER (
+                           PARTITION BY user_id, ts ORDER BY event_id DESC
+                       ) AS rn
+                FROM events WHERE event_type = 'purchase'
+            ), purch AS (
+                SELECT user_id, ts, value, event_id FROM p0 WHERE rn = 1
+            )
+            SELECT c.event_id, c.user_id, c.ts,
+                   p.ts AS purchase_ts,
+                   p.event_id AS purchase_id,
+                   p.value AS purchase_value
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
     }
