@@ -1703,6 +1703,22 @@ def _q_asof_purchase_attribution(spark, sf_dir):
     )
 
 
+def _q_token_budget_mix(spark, sf_dir):
+    """Data-mixture construction (functions/packing.py:token_budget_sample):
+    per-language greedy prefix sample in deterministic md5 order under a
+    6000-token budget (straddling doc included), rolled up per lang. The
+    oracle replays the identical window arithmetic."""
+    from ferenda_spark.functions.packing import token_budget_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = token_budget_sample(d, 6000, strata_col="lang")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.max("start_offset").alias("max_start"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -1773,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": _q_pagerank_hosts,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "asof_purchase_attribution": _q_asof_purchase_attribution,
+        "token_budget_mix": _q_token_budget_mix,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -2671,5 +2688,29 @@ def oracle_sql() -> dict[str, str]:
                    p.value AS purchase_value
             FROM clicks c ASOF LEFT JOIN purch p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        # greedy per-lang prefix under a token budget, md5 order (same
+        # token estimator as pack_training_shards)
+        "token_budget_mix": """
+            WITH t AS (
+                SELECT lang, doc_id,
+                       CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                            END AS BIGINT) AS n_tokens
+                FROM documents
+            ), o AS (
+                SELECT lang, doc_id, n_tokens,
+                       sum(n_tokens) OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) - n_tokens AS start_offset
+                FROM t
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(max(start_offset) AS BIGINT) AS max_start
+            FROM o WHERE start_offset < 6000 GROUP BY lang
         """,
     }

@@ -93,3 +93,57 @@ def pack_stats(
             (F.col("n_tokens") / F.lit(float(budget))).cast("double"),
         )
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int] | int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-mixture construction: a deterministic per-stratum sample under
+    a token budget — the step that turns per-source/per-language token
+    TARGETS (the mixture recipe of every public pretraining report: e.g.
+    "30% web, 4.5% code" in LLaMA's table 1) into an actual document set.
+
+    Within each stratum, documents are taken in md5(id) order (uniform,
+    engine-independent, reproducible) while their cumulative token START
+    offset is below the stratum's budget — greedy prefix: the straddling
+    document is INCLUDED, so a stratum reaches ≥ budget tokens when it has
+    them (overshoot bounded by one document), and a stratum with fewer
+    tokens than budget is taken whole.
+
+    ``budgets``: one int for all strata, or {stratum_value: budget} (strata
+    absent from the dict are dropped entirely — an explicit recipe).
+
+    Returns df's columns + ``n_tokens`` + ``start_offset``. One window
+    shuffle keyed on the stratum; at web scale strata (languages, source
+    buckets) are few and big, so shard hot strata first (see
+    pack_documents' n_buckets pattern) if a single stratum's stream
+    exceeds one task's comfort — for budget SELECTION the order must stay
+    global per stratum, so the scale path is: pre-filter with a cheap
+    per-bucket quantile of md5 order, then exact-window the survivors."""
+    ntok = (
+        F.col(tokens_col) if tokens_col else whitespace_tokens(F.col(text_col))
+    ).cast("bigint")
+    base = df.withColumn("n_tokens", ntok)
+    if isinstance(budgets, int):
+        budget_expr = F.lit(budgets).cast("bigint")
+    else:
+        pairs = [x for k, v in budgets.items() for x in (F.lit(k), F.lit(v))]
+        budget_expr = F.element_at(
+            F.create_map(*pairs), F.col(strata_col).cast("string")
+        ).cast("bigint")
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = base.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return out.filter(
+        budget_expr.isNotNull() & (F.col("start_offset") < budget_expr)
+    )

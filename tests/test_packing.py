@@ -76,3 +76,58 @@ def test_pack_property_matches_bruteforce(spark):
         for i, ntok in sorted(docs):
             assert got[i] == (b, off, off // budget), (i, src, b)
             off += ntok
+
+
+# ------------------------------------------------- token_budget_sample
+
+
+def test_token_budget_sample_greedy_prefix(spark):
+    from ferenda_spark.functions.packing import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "en", "w " * 100) for i in range(10)]
+        + [(100 + i, "de", "w " * 100) for i in range(2)],
+        "doc_id long, lang string, text string",
+    )
+    out = token_budget_sample(df, 250, strata_col="lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    # en: docs taken while start_offset < 250 → offsets 0,100,200 → 3 docs
+    assert len(by_lang["en"]) == 3
+    assert sorted(r.start_offset for r in by_lang["en"]) == [0, 100, 200]
+    # de has only 200 tokens total < budget → taken whole
+    assert len(by_lang["de"]) == 2
+
+
+def test_token_budget_sample_dict_budgets_drop_absent_strata(spark):
+    from ferenda_spark.functions.packing import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, "de", "a b c"), (3, "zh", "a b c")],
+        "doc_id long, lang string, text string",
+    )
+    out = token_budget_sample(
+        df, {"en": 10, "de": 1}, strata_col="lang"
+    ).collect()
+    langs = sorted(r.lang for r in out)
+    assert langs == ["de", "en"]  # zh absent from recipe → dropped
+    # de budget 1: first doc straddles (start 0 < 1) and is included whole
+    assert [r.n_tokens for r in out if r.lang == "de"] == [3]
+
+
+def test_token_budget_sample_deterministic_across_partitioning(spark):
+    from ferenda_spark.functions.packing import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "en", "tok " * (1 + i % 7)) for i in range(200)],
+        "doc_id long, lang string, text string",
+    )
+    a = sorted(
+        r.doc_id for r in token_budget_sample(df, 300).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in token_budget_sample(df.repartition(17), 300).collect()
+    )
+    assert a == b
