@@ -51,31 +51,68 @@ class SparkTripleStore:
     ``pos_path`` (optional) is the query-optimized layout that
     constant-predicate SPARQL patterns route to (partition-pruned)."""
 
-    def __init__(self, spark: SparkSession, spo_path: str, pos_path: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        spo_path: str,
+        pos_path: str | None = None,
+        snapshot_mode: bool = False,
+    ):
+        """``snapshot_mode=True`` stores the authoritative SPO table
+        through the Iceberg-lite snapshot layer (sources/snapshots.py):
+        ``add``/``rewrite``/``clear`` become atomic manifest commits
+        (readers never see a half-written store; a crashed write is
+        invisible), and ``triples(version=...)`` time-travels. The POS
+        layout stays plain (it is derived, query-optimized state —
+        rebuildable from any SPO snapshot) and always tracks the NEWEST
+        version, so version-pinned queries route to SPO only."""
         self.spark = spark
         self.spo_path = spo_path
         self.pos_path = pos_path
+        self.snapshot_mode = snapshot_mode
 
     # ------------------------------------------------------------- reading
 
-    def triples(self, context: str | None = None) -> DataFrame:
-        df = catalog.read_table(self.spark, self.spo_path)
+    def triples(
+        self, context: str | None = None, version: int | None = None
+    ) -> DataFrame:
+        if self.snapshot_mode:
+            from ferenda_spark.sources.snapshots import read_snapshot
+
+            df = read_snapshot(self.spark, self.spo_path, version=version)
+        else:
+            if version is not None:
+                raise ValueError(
+                    "time travel needs snapshot_mode=True (plain tables "
+                    "keep no version history)"
+                )
+            df = catalog.read_table(self.spark, self.spo_path)
         if context is not None:
             df = df.filter(_domain(F.col("src_url")) == context.lower())
         return df
 
-    def _pos(self, context: str | None):
-        if self.pos_path is None:
+    def _pos(self, context: str | None, version: int | None = None):
+        if self.pos_path is None or version is not None:
+            # POS tracks only the newest snapshot; pinned-version queries
+            # answer from the versioned SPO alone
             return None
         df = read_pos(self.spark, self.pos_path)
         if context is not None:
             df = df.filter(_domain(F.col("src_url")) == context.lower())
         return df
 
-    def select(self, query: str, context: str | None = None) -> DataFrame:
+    def select(
+        self,
+        query: str,
+        context: str | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
         """SPARQL SELECT → DataFrame (TripleStore.select returned row
-        dicts; ``.collect()`` reproduces that shape when wanted)."""
-        return sparql_select(self.triples(context), query, self._pos(context))
+        dicts; ``.collect()`` reproduces that shape when wanted).
+        ``version`` pins a snapshot (snapshot_mode only)."""
+        return sparql_select(
+            self.triples(context, version), query, self._pos(context, version)
+        )
 
     def construct(self, query: str, context: str | None = None) -> DataFrame:
         """SPARQL CONSTRUCT → graph as a (subj, pred, obj, obj_is_uri)
@@ -104,12 +141,23 @@ class SparkTripleStore:
         """Append a TRIPLES-schema frame (add_serialized's role — input is
         rows, not serialized RDF text; the parse stage already emits rows).
         POS stays consistent by appending the same rows in its layout."""
-        catalog.write_table(
-            triples.repartition("part_key").sortWithinPartitions("subj", "pred"),
-            self.spo_path,
-            partition_by=("part_key",),
-            mode="append",
+        clustered = triples.repartition("part_key").sortWithinPartitions(
+            "subj", "pred"
         )
+        if self.snapshot_mode:
+            from ferenda_spark.sources.snapshots import commit_snapshot
+
+            commit_snapshot(
+                clustered, self.spo_path, mode="append",
+                partition_by=("part_key",),
+            )
+        else:
+            catalog.write_table(
+                clustered,
+                self.spo_path,
+                partition_by=("part_key",),
+                mode="append",
+            )
         if self.pos_path is not None:
             catalog.write_table(
                 with_obj_bucket(triples)
@@ -130,10 +178,24 @@ class SparkTripleStore:
 
     def rewrite(self, triples: DataFrame) -> None:
         """Full (re)materialization of both layouts — the bulk-load path
-        the pipeline uses (dynamic partition overwrite, resume-idempotent)."""
-        write_spo(triples, self.spo_path)
+        the pipeline uses (dynamic partition overwrite, resume-idempotent;
+        in snapshot_mode an atomic overwrite commit — prior versions stay
+        time-travelable until expired)."""
+        if self.snapshot_mode:
+            from ferenda_spark.sources.snapshots import commit_snapshot
+
+            commit_snapshot(
+                triples.repartition("part_key").sortWithinPartitions(
+                    "subj", "pred"
+                ),
+                self.spo_path,
+                mode="overwrite",
+                partition_by=("part_key",),
+            )
+        else:
+            write_spo(triples, self.spo_path)
         if self.pos_path is not None:
-            write_pos(catalog.read_table(self.spark, self.spo_path), self.pos_path)
+            write_pos(self.triples(), self.pos_path)
 
     def clear(self, context: str) -> None:
         """Drop one context's triples (full-context rewrite, as the
@@ -147,20 +209,34 @@ class SparkTripleStore:
         in volatile executor block storage, where an executor loss
         mid-rewrite loses the store permanently."""
         kept = self.triples().filter(_domain(F.col("src_url")) != context.lower())
-        tmp = self.spo_path.rstrip("/") + ".clearing"
-        catalog.write_table(
-            kept.repartition("part_key").sortWithinPartitions("subj", "pred"),
-            tmp,
-            partition_by=("part_key",),
-            mode="overwrite",
-        )
-        catalog.swap_in(self.spark, tmp, self.spo_path)
+        if self.snapshot_mode:
+            # the snapshot layer IS the sibling+swap discipline: survivor
+            # files are durable before the manifest rename publishes them,
+            # and the pre-clear version stays readable (time travel) until
+            # expire_snapshots
+            from ferenda_spark.sources.snapshots import commit_snapshot
+
+            commit_snapshot(
+                kept.repartition("part_key").sortWithinPartitions(
+                    "subj", "pred"
+                ),
+                self.spo_path,
+                mode="overwrite",
+                partition_by=("part_key",),
+            )
+        else:
+            tmp = self.spo_path.rstrip("/") + ".clearing"
+            catalog.write_table(
+                kept.repartition("part_key").sortWithinPartitions("subj", "pred"),
+                tmp,
+                partition_by=("part_key",),
+                mode="overwrite",
+            )
+            catalog.swap_in(self.spark, tmp, self.spo_path)
         if self.pos_path is not None:
             # POS is derivable from the (already swapped, durable) SPO, so
             # a crash here loses nothing. write_pos owns the POS layout
             # (bucket count, sort, batch dirs, manifest reset) and is
             # internally staged at a durable sibling + swapped, so readers
             # never see a half-written POS table.
-            write_pos(
-                catalog.read_table(self.spark, self.spo_path), self.pos_path
-            )
+            write_pos(self.triples(), self.pos_path)

@@ -115,3 +115,60 @@ def test_clear_leaves_no_sibling_and_pos_consistent(store, spark, tmp_path):
         .collect()
     }
     assert spo == pos and len(spo) == 1
+
+
+# ------------------------------------------------------- snapshot_mode
+
+
+@pytest.fixture()
+def snap_store(spark, tmp_path):
+    rows = [
+        _row("https://a.example/1", P_TITLE, "One", False, "https://a.example/1", 1),
+        _row("https://a.example/1", P_REFS, "https://b.example/2", True,
+             "https://a.example/1", 1),
+        _row("https://b.example/2", P_TITLE, "Two", False, "https://b.example/2", 2),
+    ]
+    st = SparkTripleStore(
+        spark, str(tmp_path / "spo"), str(tmp_path / "pos"),
+        snapshot_mode=True,
+    )
+    st.rewrite(spark.createDataFrame(rows, SCHEMA))
+    return st
+
+
+def test_snapshot_add_and_time_travel(snap_store, spark):
+    assert snap_store.triple_count() == 3
+    snap_store.add(
+        spark.createDataFrame(
+            [_row("https://c.example/3", P_TITLE, "Three", False,
+                  "https://c.example/3", 3)],
+            SCHEMA,
+        )
+    )
+    assert snap_store.triple_count() == 4
+    # version 1 still answers with the pre-add graph
+    assert snap_store.triples(version=1).count() == 3
+    got = snap_store.select(
+        "SELECT ?t WHERE { <https://c.example/3> "
+        f"<{P_TITLE}> ?t . }}",
+    )
+    assert [r.t for r in got.collect()] == ["Three"]
+    # pinned-version query: the new subject is invisible at v1
+    got_v1 = snap_store.select(
+        "SELECT ?t WHERE { <https://c.example/3> "
+        f"<{P_TITLE}> ?t . }}",
+        version=1,
+    )
+    assert got_v1.count() == 0
+
+
+def test_snapshot_clear_keeps_history(snap_store):
+    snap_store.clear("a.example")
+    assert snap_store.triple_count() == 1
+    # pre-clear version intact
+    assert snap_store.triples(version=1).count() == 3
+
+
+def test_plain_store_rejects_version(store):
+    with pytest.raises(ValueError, match="snapshot_mode"):
+        store.triples(version=1)
