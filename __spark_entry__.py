@@ -1719,6 +1719,50 @@ def _q_token_budget_mix(spark, sf_dir):
     )
 
 
+def _q_range_window_events(spark, sf_dir):
+    """Range join (operators/ranges.py — interval bucketing: explode
+    intervals to ≤2 width-w buckets, equi-join, filter; never a
+    nested-loop join). Events land in 120 deterministic variable-width
+    maintenance windows (6h spacing, 13min phase jitter, 30–150min
+    lengths); both engines generate the identical window table and compare
+    in integer MICROSECONDS (unix_micros vs epoch_us — no float boundary
+    risk). Inner semantics: empty windows drop."""
+    from ferenda_spark.operators.ranges import range_join
+
+    t0 = 1704067200  # 2024-01-01T00:00:00Z, epoch seconds
+    wins = spark.range(120).select(
+        F.col("id").alias("win_id"),
+        (
+            (F.lit(t0) + F.col("id") * 21600 + (F.col("id") % 5) * 780)
+            * 1_000_000
+        ).alias("w_start"),
+        (
+            (
+                F.lit(t0)
+                + F.col("id") * 21600
+                + (F.col("id") % 5) * 780
+                + 1800
+                + (F.col("id") % 7) * 1200
+            )
+            * 1_000_000
+        ).alias("w_end"),
+    )
+    # ts is TIMESTAMP_NTZ; the session TZ is pinned UTC (session.py), so
+    # the cast to TIMESTAMP is the same instant DuckDB's epoch_us assumes
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    hits = range_join(ev, wins, "t_us", "w_start", "w_end")
+    return hits.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -1790,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_time_travel": _q_snapshot_time_travel,
         "asof_purchase_attribution": _q_asof_purchase_attribution,
         "token_budget_mix": _q_token_budget_mix,
+        "range_window_events": _q_range_window_events,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -2712,5 +2757,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
                    CAST(max(start_offset) AS BIGINT) AS max_start
             FROM o WHERE start_offset < 6000 GROUP BY lang
+        """,
+        # plain BETWEEN range join on the identical generated window
+        # table, integer-microsecond comparisons
+        "range_window_events": """
+            WITH wins AS (
+                SELECT k AS win_id,
+                       (1704067200 + k * 21600 + (k % 5) * 780)
+                           * 1000000 AS w_start,
+                       (1704067200 + k * 21600 + (k % 5) * 780
+                        + 1800 + (k % 7) * 1200) * 1000000 AS w_end
+                FROM generate_series(0, 119) AS t(k)
+            )
+            SELECT w.win_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_value
+            FROM events e JOIN wins w
+              ON epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) < w.w_end
+            GROUP BY w.win_id
         """,
     }
