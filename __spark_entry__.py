@@ -1197,6 +1197,23 @@ def _q_similarity_ivf(spark, sf_dir):
     return ivf_topk(indexed, cents, "embedding", "vec_id", q, k=10, n_probe=4)
 
 
+def _q_similarity_pq(spark, sf_dir):
+    """Product-quantization ANN top-10 with exact re-rank (approx —
+    rows-only; recall floors pinned in tests/test_similarity_multimodal).
+    32x-compressed code table, map-only ADC scan, TakeOrderedAndProject."""
+    from ferenda_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    books = train_pq_codebooks(e, "embedding", "vec_id", m=8, k=16)
+    enc = pq_encode(e, "embedding", books)
+    return pq_topk(enc, books, "vec_id", q, k=10, vec_col="embedding", rerank=16)
+
+
 def _q_kg_xhtml(spark, sf_dir):
     """Parsed-layer XHTML+RDFa rendering (render_xhtml port — rows-only:
     the serializer is column-expression string assembly over nested
@@ -1843,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "similarity_ivf": _q_similarity_ivf,
+        "similarity_pq": _q_similarity_pq,
         "media_features": _q_media_features,
         "curation_pipeline": _q_curation_pipeline,
         "kg_xhtml": _q_kg_xhtml,

@@ -49,6 +49,12 @@ BENCH_QUERIES = [
     "atom_feeds",
     "chunk_dedup_stats",
     "pii_redact",
+    # round-3 additions (each oracle-backed in __spark_entry__)
+    "gopher_quality_stats",
+    "pagerank_hosts",
+    "asof_purchase_attribution",
+    "range_window_events",
+    "token_budget_mix",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs

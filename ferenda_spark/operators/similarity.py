@@ -199,3 +199,158 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )
+
+
+# ------------------------------------------------------------------------ PQ
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    k: int = 16,
+    train_iters: int = 10,
+    train_points: int = 2048,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou, Douze, Schmid 2011 — public):
+    split the (L2-normalized) vector into ``m`` contiguous subvectors and
+    k-means each subspace to ``k`` centroids. Returns codebooks[sub][code]
+    = centroid (d/m floats).
+
+    Same determinism recipe as build_ivf_index: the training sample is the
+    ``train_points`` hash-smallest rows (TakeOrderedAndProject — no global
+    sort), init is the k hash-smallest sample rows per subspace, Lloyd
+    rounds run in driver numpy. At 100 TB the sample stays driver-sized
+    and training cost is O(sample × k × d) — the corpus never moves.
+    """
+    import numpy as np
+
+    rows = (
+        df.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            F.xxhash64(F.col(id_col)).alias("_h"),
+        )
+        .orderBy(F.col("_h"), F.col("cid"))
+        .limit(train_points)
+        .collect()
+    )
+    X = np.array([[float(x) for x in r["cvec"]] for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Xn = X / norms
+    sub = d // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        S = Xn[:, s * sub : (s + 1) * sub]
+        kk = min(k, len(S))
+        C = S[:kk].copy()
+        for _ in range(train_iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(kk):
+                members = S[assign == j]
+                if len(members):  # empty cell keeps its previous centroid
+                    C[j] = members.mean(axis=0)
+        books.append([[float(x) for x in C[j]] for j in range(kk)])
+    return books
+
+
+def _normalized(vec_col: str) -> F.Column:
+    v = F.col(vec_col)
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(v, lambda x: F.when(n > 0, x / n).otherwise(x))
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """df + ``pq_code`` (ARRAY<INT>, length m): per subspace, the index of
+    the L2-nearest codebook centroid of the NORMALIZED vector. One map-only
+    projection — codebooks ride the plan as literals (broadcast-by-plan),
+    the corpus never shuffles. d=64, m=8, k=16 → 8 small ints per vector in
+    the index instead of 64 doubles (the 100 TB memory story: the code
+    table fits hot storage at ~32× compression; raw vectors stay cold for
+    the optional exact re-rank)."""
+    sub = len(codebooks[0][0])
+    nv = _normalized(vec_col)
+    codes = []
+    for s, book in enumerate(codebooks):
+        sl = F.slice(nv, s * sub + 1, sub)
+        scored = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sl, _query_lit(c), lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    F.lit(j).alias("code"),
+                )
+                for j, c in enumerate(book)
+            ]
+        )
+        codes.append(F.sort_array(scored)[0]["code"])
+    return df.withColumn("pq_code", F.array(*codes))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    vec_col: str | None = None,
+    rerank: int = 4,
+) -> DataFrame:
+    """ADC top-k: the query is NOT quantized — per subspace a k-entry
+    lookup table of squared distances (query subvector vs each centroid)
+    is computed on the driver; a row's approximate distance is the sum of
+    m table lookups indexed by its code (``element_at`` over literal
+    arrays — pure codegen, no shuffle, TakeOrderedAndProject for the
+    top-k). With ``vec_col`` the ``rerank × k`` ADC candidates are
+    re-scored with exact cosine (the standard PQ refine step) — candidates
+    are already driver-k-sized, so the re-rank is a second
+    TakeOrderedAndProject over a tiny frame.
+
+    Returns (id, cosine) like brute_force_topk when re-ranking, else
+    (id, adc_d2) ascending."""
+    import numpy as np
+
+    q = np.array([float(x) for x in query_vec], dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    sub = len(codebooks[0][0])
+    luts = []
+    for s, book in enumerate(codebooks):
+        qs = q[s * sub : (s + 1) * sub]
+        luts.append([float(((qs - np.array(c)) ** 2).sum()) for c in book])
+
+    adc = None
+    for s, lut in enumerate(luts):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut]),
+            F.element_at("pq_code", s + 1) + 1,
+        )
+        adc = term if adc is None else adc + term
+    scored = encoded.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(vec_col).alias("_v")] if vec_col else [] ),
+        adc.alias("adc_d2"),
+    )
+    if vec_col is None:
+        return scored.orderBy(F.asc("adc_d2"), F.asc("id")).limit(k)
+    cands = scored.orderBy(F.asc("adc_d2"), F.asc("id")).limit(rerank * k)
+    return (
+        cands.select("id", cosine_to("_v", query_vec).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )

@@ -174,3 +174,76 @@ def test_ivf_recall_pinned_at_16_cells(emb):
             assert mean >= floor, f"n_probe={n_probe}: {mean} < {floor} ({recalls})"
     finally:
         indexed.unpersist()
+
+
+# ------------------------------------------------------------------------ PQ
+
+
+@pytest.fixture(scope="module")
+def pq_books(emb):
+    return similarity.train_pq_codebooks(emb, "embedding", "vec_id", m=8, k=16)
+
+
+@pytest.fixture(scope="module")
+def pq_encoded(emb, pq_books):
+    return similarity.pq_encode(emb, "embedding", pq_books).cache()
+
+
+def test_pq_code_shape_and_determinism(emb, pq_books, pq_encoded):
+    rows = pq_encoded.select("vec_id", "pq_code").collect()
+    assert all(len(r.pq_code) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.pq_code)
+    # encoding is a pure function of the vector: repartitioning must not
+    # change a single code
+    again = {
+        r.vec_id: list(r.pq_code)
+        for r in similarity.pq_encode(
+            emb.repartition(7), "embedding", pq_books
+        ).collect()
+    }
+    assert all(again[r.vec_id] == list(r.pq_code) for r in rows)
+
+
+def test_pq_rerank_recall_pinned(emb, pq_books, pq_encoded):
+    """Recall@10 floor for the PQ+exact-rerank path (deterministic: no
+    randomness anywhere in train/encode/search). Isotropic synthetic
+    embeddings are PQ's hardest case; the floors leave margin over the
+    measured values."""
+    queries = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    for rerank, floor in ((16, 0.8), (8, 0.6)):
+        recalls = []
+        for q in queries:
+            exact = {
+                r["id"]
+                for r in similarity.brute_force_topk(
+                    emb, "embedding", "vec_id", q, k=10
+                ).collect()
+            }
+            approx = {
+                r["id"]
+                for r in similarity.pq_topk(
+                    pq_encoded, pq_books, "vec_id", q, k=10,
+                    vec_col="embedding", rerank=rerank,
+                ).collect()
+            }
+            recalls.append(len(exact & approx) / 10)
+        mean = sum(recalls) / len(recalls)
+        assert mean >= floor, f"rerank={rerank}: {mean} < {floor} ({recalls})"
+
+
+def test_pq_adc_only_is_ascending_and_self_nearest(emb, pq_books, pq_encoded, query_vec):
+    top = similarity.pq_topk(pq_encoded, pq_books, "vec_id", query_vec, k=5).collect()
+    d2s = [r.adc_d2 for r in top]
+    assert d2s == sorted(d2s)
+    # the query IS vec 0: its quantized self must be in the ADC top-5
+    assert 0 in {r.id for r in top}
+
+
+def test_pq_plan_no_shuffle_before_topk(emb, pq_books, pq_encoded, query_vec):
+    out = similarity.pq_topk(pq_encoded, pq_books, "vec_id", query_vec, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # ADC scan is map-only
