@@ -104,13 +104,15 @@ def commit_snapshot(
     root: str,
     mode: str = "append",
     partition_by: tuple[str, ...] = (),
+    meta: dict | None = None,
 ) -> int:
     """Publish ``df`` as a new snapshot; returns the new version.
 
     ``append`` keeps the parent snapshot's commit dirs live; ``overwrite``
     starts the file list fresh. Data is durable before the manifest rename
     makes it visible; the rename's refusal to clobber gives last-writer-
-    retries optimistic concurrency."""
+    retries optimistic concurrency. ``meta`` is recorded verbatim in the
+    manifest (e.g. a streaming batch_id for replay dedup)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode={mode!r}; expected append|overwrite")
     spark = df.sparkSession
@@ -135,6 +137,7 @@ def commit_snapshot(
             "mode": mode,
             "dirs": dirs,
             "partition_by": list(partition_by),
+            "meta": meta or {},
         }
         tmp = jvm.org.apache.hadoop.fs.Path(
             f"{root}/snapshots/.v{version:05d}.{token}.tmp"
