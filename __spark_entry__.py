@@ -1214,6 +1214,32 @@ def _q_similarity_pq(spark, sf_dir):
     return pq_topk(enc, books, "vec_id", q, k=10, vec_col="embedding", rerank=16)
 
 
+def _q_bpe_token_stats(spark, sf_dir):
+    """Real trained-BPE token accounting (functions/bpe.py — rows-only:
+    the merge loop is not SQL-expressible; the tokenizer is pytest'd
+    against hand-computed merges and a reconstruction invariant). Per-lang
+    sum of BPE tokens and the compression ratio vs whitespace tokens —
+    the number an LLM data pipeline actually budgets with."""
+    from ferenda_spark.functions.bpe import bpe_token_count, train_bpe_merges
+    from ferenda_spark.functions.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(d, n_merges=200, sample_docs=512)
+    per = d.select(
+        "lang",
+        bpe_token_count(merges)(F.col("text")).alias("bpe"),
+        token_count(F.col("text")).alias("ws"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe").alias("sum_bpe_tokens"),
+        F.sum("ws").alias("sum_ws_tokens"),
+        F.round(
+            F.sum("bpe").cast("double") / F.sum("ws").cast("double"), 4
+        ).alias("bpe_per_word"),
+    )
+
+
 def _q_kg_xhtml(spark, sf_dir):
     """Parsed-layer XHTML+RDFa rendering (render_xhtml port — rows-only:
     the serializer is column-expression string assembly over nested
@@ -1861,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "similarity_ivf": _q_similarity_ivf,
         "similarity_pq": _q_similarity_pq,
+        "bpe_token_stats": _q_bpe_token_stats,
         "media_features": _q_media_features,
         "curation_pipeline": _q_curation_pipeline,
         "kg_xhtml": _q_kg_xhtml,
