@@ -73,18 +73,13 @@ def doc_lines(col: Column) -> Column:
     return F.filter(F.transform(raw, lambda l: F.trim(l)), lambda l: F.length(l) > 0)
 
 
-def duplicate_line_fraction(col: Column) -> Column:
-    lines = doc_lines(col)
+def _dup_line_fraction_of(lines: Column) -> Column:
     n = F.size(lines)
     dups = (n - F.size(F.array_distinct(lines))).cast("double")
     return F.when(n > 0, dups / n).otherwise(F.lit(0.0))
 
 
-def duplicate_line_char_fraction(col: Column) -> Column:
-    """Chars in beyond-first occurrences of repeated lines / total line
-    chars. O(distinct × lines) nested HOF — bounded by per-page line counts,
-    zero shuffle."""
-    lines = doc_lines(col)
+def _dup_line_char_fraction_of(lines: Column) -> Column:
     total = F.aggregate(
         lines, F.lit(0).cast("bigint"), lambda acc, l: acc + F.length(l)
     )
@@ -97,41 +92,77 @@ def duplicate_line_char_fraction(col: Column) -> Column:
     return F.when(total > 0, dup_chars.cast("double") / total).otherwise(F.lit(0.0))
 
 
-def bullet_start_fraction(col: Column) -> Column:
-    """Fraction of lines starting with a bullet marker (-, *, •)."""
-    lines = doc_lines(col)
+def _bullet_start_fraction_of(lines: Column) -> Column:
     n = F.size(lines)
     hits = F.size(F.filter(lines, lambda l: F.substring(l, 1, 1).isin("-", "*", "•")))
     return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
 
 
+def _ellipsis_end_fraction_of(lines: Column) -> Column:
+    n = F.size(lines)
+    hits = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+# Public per-text-column forms. NB for hot paths: these embed the
+# line-splitting expression, which higher-order-function lambdas re-evaluate
+# per element (see ngrams_from); repetition_signals() pre-projects the line
+# array once and uses the _of internals on the column reference instead.
+
+
+def duplicate_line_fraction(col: Column) -> Column:
+    return _dup_line_fraction_of(doc_lines(col))
+
+
+def duplicate_line_char_fraction(col: Column) -> Column:
+    """Chars in beyond-first occurrences of repeated lines / total line
+    chars. O(distinct × lines) nested HOF — bounded by per-page line counts,
+    zero shuffle."""
+    return _dup_line_char_fraction_of(doc_lines(col))
+
+
+def bullet_start_fraction(col: Column) -> Column:
+    """Fraction of lines starting with a bullet marker (-, *, •)."""
+    return _bullet_start_fraction_of(doc_lines(col))
+
+
 def ellipsis_end_fraction(col: Column) -> Column:
     """Fraction of lines ending in an ellipsis ('...' or '…') — truncated
     link-farm/teaser text."""
-    lines = doc_lines(col)
-    n = F.size(lines)
-    hits = F.size(
-        F.filter(
-            lines,
-            lambda l: l.endswith("...") | l.endswith("…"),
-        )
-    )
-    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+    return _ellipsis_end_fraction_of(doc_lines(col))
 
 
 # ------------------------------------------------------------ ngram signals
 
 
-def word_ngrams(col: Column, n: int) -> Column:
-    """Positional (non-distinct) word n-grams, space-joined. Documents with
-    fewer than n tokens yield an empty array."""
-    toks = tokens(col)
+def ngrams_from(toks: Column, n: int) -> Column:
+    """Positional word n-grams from a PRE-PROJECTED token-array column.
+
+    The token array must be a plain column reference, not the tokenizing
+    expression itself: a free expression inside a higher-order-function
+    lambda is re-evaluated PER ELEMENT (measured: the regex split re-ran
+    once per gram — O(tokens²) splits per document, ~8× the whole branch),
+    while a column reference is a row-field read. Grams are assembled with
+    O(1) ``element_at`` lookups, not per-gram ``slice`` allocations."""
     cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), cnt - (n - 1))
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(0)))
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
     )
     return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Positional (non-distinct) word n-grams, space-joined. Documents with
+    fewer than n tokens yield an empty array. Convenience form over a text
+    column; hot paths should pre-project ``tokens(col)`` and call
+    ``ngrams_from`` (see its docstring for why)."""
+    return ngrams_from(tokens(col), n)
 
 
 def _ngram_fractions(
@@ -139,12 +170,18 @@ def _ngram_fractions(
 ) -> DataFrame:
     """Per-doc (top_{top_n}gram_char_frac, dup_{dup_n}gram_char_frac) via
     ONE explode of both gram sizes tagged by n → groupBy(id, n, gram) with
-    map-side combine → per-doc agg. Returns (id, top_frac, dup_frac)."""
-    base = df.select(
+    map-side combine → per-doc agg. Returns (id, top_frac, dup_frac).
+    Tokenizes ONCE into a projected column (see ngrams_from)."""
+    toked = df.select(
         F.col(id_col).alias("_id"),
         F.length(F.col(text_col)).alias("_nc"),
-        word_ngrams(F.col(text_col), top_n).alias("_g_top"),
-        word_ngrams(F.col(text_col), dup_n).alias("_g_dup"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    base = toked.select(
+        "_id",
+        "_nc",
+        ngrams_from(F.col("_toks"), top_n).alias("_g_top"),
+        ngrams_from(F.col("_toks"), dup_n).alias("_g_dup"),
     )
     tagged = base.select(
         "_id",
@@ -200,12 +237,15 @@ def repetition_signals(
     explode-groupBy branch (n-gram signals — docs shorter than the gram
     size fall out of the branch and coalesce to 0.0). Both branches read
     the same scan once each; the join key is the doc id (uniform)."""
-    line_side = df.select(
+    lined = df.select(
+        F.col(id_col), doc_lines(F.col(text_col)).alias("_lines")
+    )
+    line_side = lined.select(
         F.col(id_col),
-        duplicate_line_fraction(F.col(text_col)).alias("dup_line_frac"),
-        duplicate_line_char_fraction(F.col(text_col)).alias("dup_line_char_frac"),
-        bullet_start_fraction(F.col(text_col)).alias("bullet_start_frac"),
-        ellipsis_end_fraction(F.col(text_col)).alias("ellipsis_end_frac"),
+        _dup_line_fraction_of(F.col("_lines")).alias("dup_line_frac"),
+        _dup_line_char_fraction_of(F.col("_lines")).alias("dup_line_char_frac"),
+        _bullet_start_fraction_of(F.col("_lines")).alias("bullet_start_frac"),
+        _ellipsis_end_fraction_of(F.col("_lines")).alias("ellipsis_end_frac"),
     )
     gram_side = _ngram_fractions(df, id_col, text_col, top_n, dup_n)
     out = line_side.join(
