@@ -216,6 +216,15 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     contrib_edges = e.join(outdeg, "src").cache()
 
+    # the DANGLING NODE SET is static across iterations (only the mass on
+    # it varies): detect emptiness once and skip the per-round anti-join +
+    # broadcast entirely — web link graphs built from "every page links
+    # out" constructions have no dangling nodes at all
+    dangling_nodes = nodes.join(
+        outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
+    ).cache()
+    has_dangling = bool(dangling_nodes.limit(1).collect())
+
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     prev_ckpt: DataFrame | None = None
     for _ in range(n_iter):
@@ -227,21 +236,22 @@ def pagerank(
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("in_mass"))
             .withColumnRenamed("dst", "node")
         )
-        dangling = ranks.join(
-            outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
-        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        new = nodes.join(contribs, "node", "left")
+        if has_dangling:
+            dangling = ranks.join(dangling_nodes, "node", "left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+            )
+            new = new.crossJoin(F.broadcast(dangling))
+            dm_term = F.col("dm") / F.lit(float(n))
+        else:
+            dm_term = F.lit(0.0)
         new = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
+            new.select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("in_mass"), F.lit(0.0))
-                        + F.col("dm") / F.lit(float(n))
-                    )
+                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + dm_term)
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
@@ -251,4 +261,5 @@ def pagerank(
         ranks, prev_ckpt = new, new
     nodes.unpersist()
     contrib_edges.unpersist()
+    dangling_nodes.unpersist()
     return ranks
