@@ -1806,6 +1806,23 @@ def _q_range_window_events(spark, sf_dir):
     )
 
 
+def _q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (operators/asof.py:sessionize — lag +
+    cumulative-sum in ONE Window node, one key shuffle; 30-min gap,
+    integer-microsecond comparisons). Per-session rollup; oracle replays
+    the identical window arithmetic."""
+    from ferenda_spark.operators.asof import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, key="user_id", ts="ts", gap_seconds=1800,
+                   tiebreak="event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -1878,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_attribution": _q_asof_purchase_attribution,
         "token_budget_mix": _q_token_budget_mix,
         "range_window_events": _q_range_window_events,
+        "event_sessions": _q_event_sessions,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -2821,5 +2839,28 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN wins w
               ON epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) < w.w_end
             GROUP BY w.win_id
+        """,
+        # identical lag+cumsum sessionization, integer-microsecond gap
+        "event_sessions": """
+            WITH o AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                    > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts,
+                       sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) - 1 AS session_id
+                FROM o
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS first_ts, max(ts) AS last_ts
+            FROM s GROUP BY user_id, session_id
         """,
     }

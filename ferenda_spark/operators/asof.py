@@ -124,3 +124,42 @@ def asof_join(
         m["__ts"].alias(matched_ts),
         *[m[c].alias(out_names[c]) for c in payload],
     )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: within each key, a new session starts when
+    the time since the previous event exceeds ``gap_seconds``. Returns the
+    input plus ``session_id`` (0-based per key) — the standard
+    lag-then-cumulative-sum window form (one shuffle on the key, two
+    window functions over the SAME sort — Spark evaluates them in one
+    Window node, no second sort).
+
+    The streaming twin of this batch form is a session window aggregation;
+    batch sessionization is what a training pipeline runs over historical
+    event logs (e.g. crawl fetch sessions per host for politeness audits).
+    """
+    order = [F.col(ts).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    # integer-microsecond gap test (cast through TIMESTAMP: NTZ columns
+    # refuse unix_micros directly; session TZ is pinned UTC) — exact, no
+    # float boundary risk, and oracle-replayable via epoch_us
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(
+        prev.isNull() | (us - prev > int(gap_seconds) * 1_000_000),
+        1,
+    ).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        (F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) - 1).cast("bigint"),
+    )

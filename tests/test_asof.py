@@ -131,3 +131,42 @@ def test_plan_is_window_not_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, "as-of must be the union-window form, not a join"
     assert plan.count("Exchange") == 1, "one shuffle on the key, no more"
+
+
+# --------------------------------------------------------- sessionize
+
+
+def test_sessionize_reference(spark):
+    from ferenda_spark.operators.asof import sessionize
+
+    rows = [
+        # user 1: events at 0, 10, 50 min → gaps 10, 40 → sessions 0,0,1
+        (1, BASE, 100),
+        (1, BASE + dt.timedelta(minutes=10), 101),
+        (1, BASE + dt.timedelta(minutes=50), 102),
+        # user 2: single event
+        (2, BASE, 200),
+        # user 1 again: exactly-30-min gap stays in session (strict >)
+        (1, BASE + dt.timedelta(minutes=80), 103),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = {
+        r.event_id: r.session_id
+        for r in sessionize(df, gap_seconds=1800, tiebreak="event_id").collect()
+    }
+    assert out == {100: 0, 101: 0, 102: 1, 103: 1, 200: 0}
+
+
+def test_sessionize_single_window_node(spark):
+    from ferenda_spark.operators.asof import sessionize
+
+    df = spark.createDataFrame(
+        [(1, BASE + dt.timedelta(minutes=i), i) for i in range(20)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    plan = (
+        sessionize(df, tiebreak="event_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") <= 2  # lag + cumsum share the sort
