@@ -1823,6 +1823,47 @@ def _q_event_sessions(spark, sf_dir):
     )
 
 
+def _q_robots_filtering(spark, sf_dir):
+    """RFC 9309 robots-exclusion filter (operators/robots.py — rules
+    parsed host-side via pandas UDF, URL matching JVM-side: broadcast
+    join + regexp_like + ONE max-of-struct precedence agg). Robots texts
+    and URLs are synthesized deterministically from the documents table
+    (prefix-only rules so the oracle can replay precedence with CASE):
+    disallow /private (len 8) < allow /private/ok (len 11); disallow
+    /tmp/. Per-source allowed/blocked counts."""
+    from ferenda_spark.operators.robots import (
+        parse_robots_rules,
+        robots_allowed,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    robots = d.select("source").distinct().select(
+        F.col("source").alias("host"),
+        F.lit(
+            "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+            "Disallow: /tmp/"
+        ).alias("robots_txt"),
+    )
+    rules = parse_robots_rules(robots, agent="ferenda-bot")
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/public/"), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private/"), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/private/ok/"), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("/tmp/"), F.col("doc_id")))
+        .otherwise(F.lit("/"))
+    )
+    urls = d.select(
+        "doc_id",
+        "source",
+        F.concat(F.lit("https://"), F.col("source"), path).alias("url"),
+    )
+    out = robots_allowed(urls, rules)
+    return out.groupBy("source").agg(
+        F.sum(F.when(F.col("allowed"), 1).otherwise(0)).cast("bigint").alias("n_allowed"),
+        F.sum(F.when(F.col("allowed"), 0).otherwise(1)).cast("bigint").alias("n_blocked"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -1896,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": _q_token_budget_mix,
         "range_window_events": _q_range_window_events,
         "event_sessions": _q_event_sessions,
+        "robots_filtering": _q_robots_filtering,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -2862,5 +2904,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    min(ts) AS first_ts, max(ts) AS last_ts
             FROM s GROUP BY user_id, session_id
+        """,
+        # fixed prefix rules → precedence is a CASE: /private/ok allows
+        # (longest), else /private and /tmp/ block, else allow
+        "robots_filtering": """
+            WITH u AS (
+                SELECT doc_id, source,
+                       CASE CAST(doc_id % 5 AS INT)
+                           WHEN 0 THEN '/public/' || doc_id
+                           WHEN 1 THEN '/private/' || doc_id
+                           WHEN 2 THEN '/private/ok/' || doc_id
+                           WHEN 3 THEN '/tmp/' || doc_id
+                           ELSE '/' END AS path
+                FROM documents
+            ), v AS (
+                SELECT source,
+                       CASE WHEN path LIKE '/private/ok%' THEN 1
+                            WHEN path LIKE '/private%' THEN 0
+                            WHEN path LIKE '/tmp/%' THEN 0
+                            ELSE 1 END AS allowed
+                FROM u
+            )
+            SELECT source,
+                   CAST(sum(allowed) AS BIGINT) AS n_allowed,
+                   CAST(sum(1 - allowed) AS BIGINT) AS n_blocked
+            FROM v GROUP BY source
         """,
     }
