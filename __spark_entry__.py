@@ -1864,6 +1864,43 @@ def _q_robots_filtering(spark, sf_dir):
     )
 
 
+def _q_structured_data_triples(spark, sf_dir):
+    """schema.org structured-data harvest (operators/structured.py):
+    JSON-LD script blocks AND microdata attributes → (src, subj, pred,
+    obj), one map-only pandas-UDF pass, zero shuffle. HTML is synthesized
+    deterministically from the documents columns (one JSON-LD Article
+    with a nested blank-node Person + one microdata WebPage scope) so the
+    oracle reconstructs the exact expected graph — exercises @context
+    vocab expansion, nested-object blanks, @type, url-attr props and
+    text-content props end-to-end."""
+    from ferenda_spark.operators.structured import structured_triples
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.format_string(
+            "https://%s/doc/%s", F.col("source"), F.col("doc_id")
+        ).alias("url"),
+        F.format_string(
+            '<html><head><script type="application/ld+json">'
+            '{"@context": "https://schema.org", "@id": "https://%s/doc/%s",'
+            ' "@type": "Article", "name": "Doc %s", "inLanguage": "%s",'
+            ' "wordCount": %s,'
+            ' "author": {"@type": "Person", "name": "Author %s"}}'
+            "</script></head><body>"
+            '<div itemscope itemtype="https://schema.org/WebPage"'
+            ' itemid="https://%s/page/%s">'
+            '<span itemprop="name">Page %s</span>'
+            '<a itemprop="url" href="https://%s/doc/%s">link</a>'
+            "</div></body></html>",
+            F.col("source"), F.col("doc_id"), F.col("doc_id"),
+            F.col("lang"), F.col("n_chars"), F.col("doc_id") % 7,
+            F.col("source"), F.col("doc_id"), F.col("doc_id"),
+            F.col("source"), F.col("doc_id"),
+        ).alias("html"),
+    )
+    return structured_triples(pages, html_col="html", src_col="url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -1938,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_window_events": _q_range_window_events,
         "event_sessions": _q_event_sessions,
         "robots_filtering": _q_robots_filtering,
+        "structured_data_triples": _q_structured_data_triples,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -2929,5 +2967,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(allowed) AS BIGINT) AS n_allowed,
                    CAST(sum(1 - allowed) AS BIGINT) AS n_blocked
             FROM v GROUP BY source
+        """,
+        # fixed page template → the expected graph is 10 triples per doc,
+        # reconstructed column-by-column (blank node _:b0 is doc-local)
+        "structured_data_triples": """
+            WITH d AS (
+                SELECT doc_id, source, lang, n_chars,
+                       'https://' || source || '/doc/' || doc_id AS doc_uri,
+                       'https://' || source || '/page/' || doc_id AS page_uri
+                FROM documents
+            ), rdf AS (
+                SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                       AS t
+            )
+            SELECT doc_uri AS src, doc_uri AS subj,
+                   (SELECT t FROM rdf) AS pred,
+                   'https://schema.org/Article' AS obj FROM d
+            UNION ALL SELECT doc_uri, doc_uri, 'https://schema.org/name',
+                   'Doc ' || doc_id FROM d
+            UNION ALL SELECT doc_uri, doc_uri,
+                   'https://schema.org/inLanguage', lang FROM d
+            UNION ALL SELECT doc_uri, doc_uri,
+                   'https://schema.org/wordCount',
+                   CAST(n_chars AS VARCHAR) FROM d
+            UNION ALL SELECT doc_uri, doc_uri,
+                   'https://schema.org/author', '_:b0' FROM d
+            UNION ALL SELECT doc_uri, '_:b0', (SELECT t FROM rdf),
+                   'https://schema.org/Person' FROM d
+            UNION ALL SELECT doc_uri, '_:b0', 'https://schema.org/name',
+                   'Author ' || (doc_id % 7) FROM d
+            UNION ALL SELECT doc_uri, page_uri, (SELECT t FROM rdf),
+                   'https://schema.org/WebPage' FROM d
+            UNION ALL SELECT doc_uri, page_uri, 'https://schema.org/name',
+                   'Page ' || doc_id FROM d
+            UNION ALL SELECT doc_uri, page_uri, 'https://schema.org/url',
+                   doc_uri FROM d
         """,
     }
