@@ -1901,6 +1901,62 @@ def _q_structured_data_triples(spark, sf_dir):
     return structured_triples(pages, html_col="html", src_col="url")
 
 
+def _q_outlink_anchor_graph(spark, sf_dir):
+    """Outlink + anchor-text harvest (operators/weblinks.py): one
+    map-only pandas-UDF pass per page (relative-URL resolution, fragment
+    strip, scheme filter, nofollow rel), then ONE dst-keyed aggregate.
+    HTML is synthesized deterministically per doc with a relative next
+    link, an absolute nofollow hub link, a fragment-only self link and
+    two dropped-scheme links (javascript:/mailto:) so the oracle can
+    replay resolution with string concat."""
+    from ferenda_spark.operators.weblinks import outlinks
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.format_string(
+            "https://%s/doc/%s", F.col("source"), F.col("doc_id")
+        ).alias("url"),
+        F.format_string(
+            '<html><body><a href="/doc/%s">next %s</a>'
+            '<a href="https://hub.example/cat/%s" rel="nofollow">cat %s</a>'
+            '<a href="#sec">self</a>'
+            '<a href="javascript:void(0)">js</a>'
+            '<a href="mailto:x@y.example">m</a></body></html>',
+            F.col("doc_id") + 1, F.col("doc_id") + 1,
+            F.col("lang"), F.col("lang"),
+        ).alias("html"),
+    )
+    links = outlinks(pages)
+    return links.groupBy("dst").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.sum(F.when(F.col("nofollow"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nofollow"),
+        F.countDistinct("src").alias("n_src"),
+        F.min("anchor").alias("min_anchor"),
+    )
+
+
+def _q_decontam_overlap(spark, sf_dir):
+    """Eval-set decontamination (operators/decontam.py): distinct word
+    n-gram overlap per doc vs a benchmark set — here the eval set is the
+    doc_id%17==0 slice of the corpus itself, so real overlaps exist and
+    the oracle can rebuild the identical gram sets with
+    list_transform/range. One (doc,gram) distinct shuffle + one bounded
+    gram join; short docs stay with n_grams=0, never flagged."""
+    from ferenda_spark.operators.decontam import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 17 == 0).select("text")
+    out = decontaminate(d, ev, n=3, threshold=0.25, min_hits=1)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        "n_matched",
+        "contaminated",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -1976,6 +2032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "robots_filtering": _q_robots_filtering,
         "structured_data_triples": _q_structured_data_triples,
+        "outlink_anchor_graph": _q_outlink_anchor_graph,
+        "decontam_overlap": _q_decontam_overlap,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -3002,5 +3060,63 @@ def oracle_sql() -> dict[str, str]:
                    'Page ' || doc_id FROM d
             UNION ALL SELECT doc_uri, page_uri, 'https://schema.org/url',
                    doc_uri FROM d
+        """,
+        # three kept links per doc (next / hub-nofollow / defragged self);
+        # javascript:/mailto: links are dropped by the scheme filter
+        "outlink_anchor_graph": """
+            WITH d AS (
+                SELECT doc_id, source, lang,
+                       'https://' || source || '/doc/' || doc_id AS src
+                FROM documents
+            ), l AS (
+                SELECT src,
+                       'https://' || source || '/doc/' || (doc_id + 1)
+                           AS dst,
+                       'next ' || (doc_id + 1) AS anchor, 0 AS nofollow
+                FROM d
+                UNION ALL SELECT src, 'https://hub.example/cat/' || lang,
+                       'cat ' || lang, 1 FROM d
+                UNION ALL SELECT src, src, 'self', 0 FROM d
+            )
+            SELECT dst, count(*) AS n_links,
+                   CAST(sum(nofollow) AS BIGINT) AS n_nofollow,
+                   CAST(count(DISTINCT src) AS BIGINT) AS n_src,
+                   min(anchor) AS min_anchor
+            FROM l GROUP BY dst
+        """,
+        # same token definition as text_quality (trim + \s+ split, empty
+        # fragments filtered); 3-grams via list slicing; FALSE AND NULL
+        # = FALSE keeps zero-gram docs unflagged in both engines
+        "decontam_overlap": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(trim(lower(text)), '\\s+'),
+                           t -> t != '') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(toks) - 1, 1)),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS gram
+                FROM tok
+            ), dg AS (
+                SELECT DISTINCT doc_id, gram FROM g
+            ), ev AS (
+                SELECT DISTINCT gram FROM dg WHERE doc_id % 17 = 0
+            ), tot AS (
+                SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id
+            ), mat AS (
+                SELECT dg.doc_id, count(*) AS n_matched
+                FROM dg JOIN ev USING (gram) GROUP BY dg.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(mat.n_matched, 0) AS BIGINT) AS n_matched,
+                   (coalesce(mat.n_matched, 0) >= 1
+                    AND coalesce(mat.n_matched, 0) * 1.0 / tot.n_grams
+                        >= 0.25) AS contaminated
+            FROM documents d
+            LEFT JOIN tot USING (doc_id) LEFT JOIN mat USING (doc_id)
         """,
     }

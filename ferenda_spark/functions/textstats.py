@@ -29,9 +29,11 @@ STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "in", "on", "it", "as", "at", "by"]
 
 def tokens(col: Column) -> Column:
     """Whitespace tokenization (the fast tier; `bpe_ish_tokens` below is the
-    regex tier). Empty string → empty array, not [''] ."""
-    t = F.split(F.trim(col), r"\s+")
-    return F.when(F.length(F.trim(col)) == 0, F.array().cast("array<string>")).otherwise(t)
+    regex tier). ALL empty fragments are filtered — not just the
+    empty-string case: trim() strips only 0x20, so text ending in \\t/\\n
+    used to leak a trailing '' token that the DuckDB oracle idiom
+    (list_filter(string_split_regex(...), t -> t != '')) never produces."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
 
 
 def token_count(col: Column) -> Column:

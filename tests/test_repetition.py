@@ -33,11 +33,9 @@ def _ref(text: str, top_n: int = 2, dup_n: int = 5) -> tuple:
         if n
         else 0.0
     )
-    # token definition matches textstats.tokens: trim then split on \s+
-    # (a leading tab after the space-only trim yields an empty first token
-    # in BOTH engines, so the reference must reproduce it)
-    stripped = text.strip(" ")
-    toks = re.split(r"\s+", stripped) if stripped else []
+    # token definition matches textstats.tokens: trim + split on \s+ with
+    # ALL empty fragments filtered — equivalent to str.split()
+    toks = text.split()
     nc = len(text)
 
     def grams(k):
