@@ -1686,6 +1686,89 @@ def _pagerank_oracle(n_iter: int = 6, damping: float = 0.85) -> str:
     return head + "," + ",".join(steps) + tail
 
 
+def _q_hits_hosts(spark, sf_dir):
+    """Fixed-iteration HITS (operators/graph.py:hits — hub/authority link
+    analysis, the complementary prior to pagerank for web-corpus
+    curation). Same deterministic-graph trick as pagerank_hosts with
+    different constants: doc i links to (5i + 13j) mod C for j ∈ {1,2}
+    (self-loops dropped by the operator). 4 iterations, L2-normalized
+    per half-step, scores rounded to 6 so per-engine FP summation-order
+    skew (~1e-15) disappears below the grain."""
+    from ferenda_spark.operators.graph import hits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    c = d.count()
+    e = d.select(
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("j"),
+    ).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 5 + 13 * F.col("j")) % c).alias("dst"),
+    )
+    out = hits(e, n_iter=4)
+    return out.select(
+        F.col("node").alias("doc_id"),
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _hits_oracle(n_iter: int = 4) -> str:
+    """Unrolled fixed-iteration HITS in ANSI SQL mirroring _q_hits_hosts
+    exactly: same graph construction, Σ-then-L2-normalize per half-step,
+    nodes without in(out)-edges coalesce to 0."""
+    head = """
+        WITH cnt AS (SELECT count(*) AS c FROM documents),
+        e AS MATERIALIZED (
+            SELECT DISTINCT doc_id AS src,
+                   (doc_id * 5 + 13 * j) % (SELECT c FROM cnt) AS dst
+            FROM documents, unnest([1, 2]) AS u(j)
+            WHERE (doc_id * 5 + 13 * j) % (SELECT c FROM cnt) <> doc_id
+        ),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e
+        ),
+        h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)"""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(f"""
+        a{k}u AS MATERIALIZED (
+            SELECT nd.node, COALESCE(m.v, 0.0) AS v
+            FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS node, sum(h.hub) AS v
+                FROM e JOIN h{k - 1} h ON h.node = e.src GROUP BY e.dst
+            ) m ON m.node = nd.node
+        ),
+        a{k}n AS MATERIALIZED (SELECT sqrt(sum(v * v)) AS s FROM a{k}u),
+        a{k} AS MATERIALIZED (
+            SELECT node,
+                   CASE WHEN (SELECT s FROM a{k}n) > 0
+                        THEN v / (SELECT s FROM a{k}n) ELSE 0.0 END
+                       AS authority
+            FROM a{k}u
+        ),
+        h{k}u AS MATERIALIZED (
+            SELECT nd.node, COALESCE(m.v, 0.0) AS v
+            FROM nodes nd LEFT JOIN (
+                SELECT e.src AS node, sum(a.authority) AS v
+                FROM e JOIN a{k} a ON a.node = e.dst GROUP BY e.src
+            ) m ON m.node = nd.node
+        ),
+        h{k}n AS MATERIALIZED (SELECT sqrt(sum(v * v)) AS s FROM h{k}u),
+        h{k} AS MATERIALIZED (
+            SELECT node,
+                   CASE WHEN (SELECT s FROM h{k}n) > 0
+                        THEN v / (SELECT s FROM h{k}n) ELSE 0.0 END AS hub
+            FROM h{k}u
+        )""")
+    tail = f"""
+        SELECT h.node AS doc_id, round(h.hub, 6) AS hub,
+               round(a.authority, 6) AS authority
+        FROM h{n_iter} h JOIN a{n_iter} a ON a.node = h.node"""
+    return head + "," + ",".join(steps) + tail
+
+
 def _q_snapshot_time_travel(spark, sf_dir):
     """Iceberg-lite snapshot layer (sources/snapshots.py) driver-visible:
     commit the first half of documents as snapshot v1, append the second
@@ -2025,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_stats": _q_gopher_quality_stats,
         "domain_cap_sample": _q_domain_cap_sample,
         "pagerank_hosts": _q_pagerank_hosts,
+        "hits_hosts": _q_hits_hosts,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "asof_purchase_attribution": _q_asof_purchase_attribution,
         "token_budget_mix": _q_token_budget_mix,
@@ -2903,6 +2987,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn <= 20
         """,
         "pagerank_hosts": _pagerank_oracle(6),
+        "hits_hosts": _hits_oracle(4),
         # snapshot v1 == first half of documents by construction
         "snapshot_time_travel": """
             SELECT lang,

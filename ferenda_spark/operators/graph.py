@@ -263,3 +263,92 @@ def pagerank(
     contrib_edges.unpersist()
     dangling_nodes.unpersist()
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    n_iter: int = 8,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) → (node, hub, authority).
+
+    The complementary link-analysis prior to ``pagerank`` above: hubs are
+    pages that link to many good authorities (directory/index pages — at
+    curation time often boilerplate to DOWNweight), authorities are pages
+    many good hubs point at. Same determinism discipline as pagerank:
+    fixed iteration count (no convergence probe), parallel edges collapse
+    (DISTINCT), self-loops drop, so an unrolled-SQL oracle reproduces the
+    result exactly.
+
+    Semantics (pinned, oracle-visible): hub/auth init 1.0 on every node;
+    per iteration auth(v) = Σ_{u→v} hub(u) then L2-normalized over ALL
+    nodes, hub(u) = Σ_{u→v} auth(v) from the FRESH auth then
+    L2-normalized; nodes without in(out)-edges hold 0.
+
+    Scale design: per iteration exactly TWO edge-sized map-side-combined
+    shuffles (groupBy dst for auth, groupBy src for hub); the L2 norms
+    are scalar aggregates broadcast back with crossJoin; rank frames stay
+    node-sized; ``localCheckpoint`` truncates lineage per round (same
+    rationale as connected_components/pagerank — analysis cost otherwise
+    doubles per iteration)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+
+    def _normalize(scores: DataFrame, col: str) -> DataFrame:
+        norm = scores.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n")
+        )
+        return scores.crossJoin(F.broadcast(norm)).select(
+            "node",
+            F.when(F.col("_n") > 0, F.col(col) / F.col("_n"))
+            .otherwise(F.lit(0.0))
+            .alias(col),
+        )
+
+    hubs = nodes.select("node", F.lit(1.0).alias("hub"))
+    auths = nodes.select("node", F.lit(0.0).alias("authority"))
+    prev: list[DataFrame] = []
+    for _ in range(n_iter):
+        a_raw = (
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("_v"))
+            .withColumnRenamed("dst", "node")
+        )
+        auths = _normalize(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce("_v", F.lit(0.0)).alias("authority")
+            ),
+            "authority",
+        ).localCheckpoint(eager=True)
+        h_raw = (
+            e.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("authority").alias("_v"))
+            .withColumnRenamed("src", "node")
+        )
+        hubs = _normalize(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce("_v", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        ).localCheckpoint(eager=True)
+        for p in prev:
+            _unpersist_checkpoint(p)
+        prev = [auths, hubs]
+    out = nodes.join(hubs, "node").join(auths, "node")
+    nodes.unpersist()
+    e.unpersist()
+    return out.select("node", "hub", "authority")

@@ -186,3 +186,64 @@ def test_pagerank_empty_edges(spark):
 
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df, n_iter=3).count() == 0
+
+
+def _hits_ref(edges, n_iter):
+    import numpy as np
+
+    nodes = sorted({u for e in edges for u in e if e[0] != e[1]})
+    dedup = sorted({e for e in edges if e[0] != e[1]})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for s, d in dedup:
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(n_iter):
+        a = A.T @ h
+        na = np.sqrt((a * a).sum())
+        a = a / na if na > 0 else a * 0.0
+        h = A @ a
+        nh = np.sqrt((h * h).sum())
+        h = h / nh if nh > 0 else h * 0.0
+    return {v: (h[idx[v]], a[idx[v]]) for v in nodes}
+
+
+def test_hits_matches_reference(spark):
+    from ferenda_spark.operators.graph import hits
+
+    # node 3: authority only; node 4: hub only; dup edge + self-loop drop
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (1, 1), (0, 1), (4, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.hub, r.authority) for r in hits(df, n_iter=8).collect()}
+    exp = _hits_ref(edges, 8)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v][0] == pytest.approx(exp[v][0], abs=1e-12)
+        assert got[v][1] == pytest.approx(exp[v][1], abs=1e-12)
+    # L2 norms are 1 after the final normalization
+    assert sum(h * h for h, _a in got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(a * a for _h, a in got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_deterministic_across_parallelism(spark):
+    from ferenda_spark.operators.graph import hits
+
+    edges = [(i, (5 * i + 13 * j) % 30) for i in range(30) for j in (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r.node: (r.hub, r.authority) for r in hits(df, n_iter=4).collect()}
+    b = {
+        r.node: (r.hub, r.authority)
+        for r in hits(df.repartition(11), n_iter=4).collect()
+    }
+    for v in a:
+        assert a[v][0] == pytest.approx(b[v][0], abs=1e-12)
+        assert a[v][1] == pytest.approx(b[v][1], abs=1e-12)
+
+
+def test_hits_empty_edges(spark):
+    from ferenda_spark.operators.graph import hits
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert hits(df, n_iter=3).count() == 0
