@@ -2040,6 +2040,25 @@ def _q_decontam_overlap(spark, sf_dir):
     )
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (functions/lm.py): stupid-backoff
+    bigram perplexity, trained on the deterministic doc_id%11==0 corpus
+    slice and scored over every doc — all relational (explode + hash
+    joins, no model on the driver), so the oracle replays training AND
+    scoring in SQL. avg_nll rounded to 6: ln() may differ by 1 ulp
+    across engines and summation order by ~1e-16, both ≪ the grain."""
+    from ferenda_spark.functions.lm import score_perplexity, train_ngram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    lm = train_ngram_lm(d.filter(F.col("doc_id") % 11 == 0).select("text"))
+    out = score_perplexity(d, lm)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_bigrams",
+        F.round("avg_nll", 6).alias("avg_nll"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2109,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_sample": _q_domain_cap_sample,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
+        "lm_perplexity": _q_lm_perplexity,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "asof_purchase_attribution": _q_asof_purchase_attribution,
         "token_budget_mix": _q_token_budget_mix,
@@ -2988,6 +3008,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_hosts": _pagerank_oracle(6),
         "hits_hosts": _hits_oracle(4),
+        # stupid-backoff bigram LM: train on the doc_id%11==0 slice,
+        # score every doc; MATERIALIZED or DuckDB re-inlines the token
+        # CTE per reference
+        "lm_perplexity": """
+            WITH tok AS MATERIALIZED (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(trim(lower(text)), '\\s+'),
+                           t -> t != '') AS toks
+                FROM documents
+            ), train_bi AS MATERIALIZED (
+                SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*) AS c_bi
+                FROM tok, unnest(range(1, len(toks))) AS u(i)
+                WHERE doc_id % 11 = 0 GROUP BY 1, 2
+            ), train_uni AS MATERIALIZED (
+                SELECT tokk AS tok, count(*) AS c_uni FROM (
+                    SELECT unnest(toks) AS tokk FROM tok WHERE doc_id % 11 = 0
+                ) GROUP BY 1
+            ), n AS (SELECT sum(c_uni) AS n_tokens FROM train_uni),
+            db AS MATERIALIZED (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                FROM tok, unnest(range(1, len(toks))) AS u(i)
+            ), s AS (
+                SELECT db.doc_id,
+                       CASE WHEN b.c_bi IS NOT NULL
+                            THEN b.c_bi * 1.0 / u1.c_uni
+                            ELSE 0.4 * (coalesce(u2.c_uni, 0) + 1)
+                                 / ((SELECT n_tokens FROM n) + 1) END AS sc
+                FROM db
+                LEFT JOIN train_bi b ON b.w1 = db.w1 AND b.w2 = db.w2
+                LEFT JOIN train_uni u1 ON u1.tok = db.w1
+                LEFT JOIN train_uni u2 ON u2.tok = db.w2
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   round(agg.avg_nll, 6) AS avg_nll
+            FROM documents d LEFT JOIN (
+                SELECT doc_id, count(*) AS n_bigrams,
+                       avg(-ln(sc)) AS avg_nll
+                FROM s GROUP BY doc_id
+            ) agg USING (doc_id)
+        """,
         # snapshot v1 == first half of documents by construction
         "snapshot_time_travel": """
             SELECT lang,
