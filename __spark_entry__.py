@@ -2059,6 +2059,39 @@ def _q_lm_perplexity(spark, sf_dir):
     )
 
 
+def _q_cross_batch_dedup(spark, sf_dir):
+    """Cross-batch incremental dedup (operators/dedup_store.py): batch 1
+    is the doc_id < C/2 half; batch 2 is the other half PLUS re-id'd
+    copies of batch 1's doc_id%10==0 texts (known cross-batch dups by
+    construction). Batch 2 dedups against the committed fingerprint
+    store in one anti-join — never rescanning batch 1's text — and the
+    oracle replays survivor selection with normalized-text equality
+    (min-id wins in batch, absent from batch 1's norm set)."""
+    import os as _os
+    import shutil as _shutil
+
+    from ferenda_spark.operators.dedup_store import dedup_against_store
+
+    d = _t(spark, sf_dir, "documents")
+    c = d.count()
+    half = c // 2
+    b1 = d.filter(F.col("doc_id") < half)
+    b2 = d.filter(F.col("doc_id") >= half).unionByName(
+        b1.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 10 * c
+        )
+    )
+    root = f"/tmp/ferenda_spark_fpstore_q_{_os.path.basename(sf_dir.rstrip('/'))}"
+    _shutil.rmtree(root, ignore_errors=True)
+    dedup_against_store(b1, root, "b1")
+    surv, _v = dedup_against_store(b2, root, "b2")
+    return surv.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2129,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "lm_perplexity": _q_lm_perplexity,
+        "cross_batch_dedup": _q_cross_batch_dedup,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "asof_purchase_attribution": _q_asof_purchase_attribution,
         "token_budget_mix": _q_token_budget_mix,
@@ -3050,6 +3084,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM s GROUP BY doc_id
             ) agg USING (doc_id)
         """,
+        "cross_batch_dedup": """
+            WITH c AS (SELECT count(*) AS n FROM documents),
+            norm AS MATERIALIZED (
+                SELECT doc_id, source,
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                           AS nt
+                FROM documents
+            ),
+            b1 AS MATERIALIZED (
+                SELECT * FROM norm WHERE doc_id < (SELECT n FROM c) // 2
+            ),
+            b2 AS MATERIALIZED (
+                SELECT doc_id, source, nt FROM norm
+                WHERE doc_id >= (SELECT n FROM c) // 2
+                UNION ALL
+                SELECT doc_id + 10 * (SELECT n FROM c), source, nt
+                FROM b1 WHERE doc_id % 10 = 0
+            ),
+            win AS (SELECT nt, min(doc_id) AS keep_id FROM b2 GROUP BY nt),
+            surv AS (
+                SELECT b2.doc_id, b2.source FROM b2
+                JOIN win ON b2.doc_id = win.keep_id AND b2.nt = win.nt
+                WHERE b2.nt NOT IN (SELECT nt FROM b1)
+            )
+            SELECT source, count(*) AS n_survivors,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM surv GROUP BY source
+        """,
+
         # snapshot v1 == first half of documents by construction
         "snapshot_time_travel": """
             SELECT lang,
