@@ -2092,6 +2092,34 @@ def _q_cross_batch_dedup(spark, sf_dir):
     )
 
 
+def _q_main_content_extract(spark, sf_dir):
+    """Boilerplate removal (functions/boilerplate.py): block-level
+    main-content extraction — nav/footer blocks and link-dense blocks
+    drop, headings survive the length gate, kept blocks join with blank
+    lines. One map-only pandas UDF. The synthesized page wraps each
+    doc's text in a 5-block template (nav / h1 / text / all-link
+    paragraph / footer) so the oracle reconstructs main_text, n_blocks
+    and n_kept from the columns."""
+    from ferenda_spark.functions.boilerplate import main_content
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.format_string(
+            "<html><body>"
+            '<nav>Site Nav | <a href="/l">links here</a></nav>'
+            "<h1>Title %s</h1>"
+            "<p>%s</p>"
+            '<p><a href="/a">all link text in this block</a></p>'
+            "<footer>footer for %s</footer>"
+            "</body></html>",
+            F.col("doc_id"), F.col("text"), F.col("source"),
+        ).alias("html"),
+    )
+    out = main_content(pages)
+    return out.select("doc_id", "n_blocks", "n_kept", "main_text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2163,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_hosts": _q_hits_hosts,
         "lm_perplexity": _q_lm_perplexity,
         "cross_batch_dedup": _q_cross_batch_dedup,
+        "main_content_extract": _q_main_content_extract,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "asof_purchase_attribution": _q_asof_purchase_attribution,
         "token_budget_mix": _q_token_budget_mix,
@@ -3112,6 +3141,27 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id, max(doc_id) AS max_id
             FROM surv GROUP BY source
         """,
+        # 5-block template: nav + footer are boilerplate, the all-link
+        # paragraph fails the density gate, the heading survives the
+        # length gate, the text block survives iff >= 25 normalized chars
+        "main_content_extract": """
+            WITH d AS (
+                SELECT doc_id,
+                       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(4 + CASE WHEN len(nt) > 0 THEN 1 ELSE 0 END
+                        AS INT) AS n_blocks,
+                   CAST(1 + CASE WHEN len(nt) >= 25 THEN 1 ELSE 0 END
+                        AS INT) AS n_kept,
+                   'Title ' || doc_id ||
+                   CASE WHEN len(nt) >= 25
+                        THEN chr(10) || chr(10) || nt ELSE '' END
+                       AS main_text
+            FROM d
+        """,
+
 
         # snapshot v1 == first half of documents by construction
         "snapshot_time_travel": """
