@@ -2120,6 +2120,46 @@ def _q_main_content_extract(spark, sf_dir):
     return out.select("doc_id", "n_blocks", "n_kept", "main_text")
 
 
+def _q_quality_classifier(spark, sf_dir):
+    """fastText-style quality classifier (functions/quality_clf.py):
+    deterministic driver-numpy logistic regression over hashed
+    bag-of-words (positives = the doc_id%7==0 reference slice,
+    negatives = vowel-mangled twins of the same texts), scored
+    JVM-side (explode + pmod(xxhash64) + broadcast weight join — no
+    UDF). Rows-only: the gradient-descent loop is not SQL-expressible;
+    pytest pins separability and cross-partitioning determinism.
+    Output: per (source, class) doc counts and flagged counts."""
+    from ferenda_spark.functions.quality_clf import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    mangle = F.regexp_replace(F.col("text"), "[aeiou]", "q")
+    pos = d.filter(F.col("doc_id") % 7 == 0).select("text")
+    neg = d.filter(F.col("doc_id") % 7 == 0).select(mangle.alias("text"))
+    model = train_quality_classifier(
+        pos, neg, n_buckets=1024, sample_per_class=500, epochs=100
+    )
+    both = d.select("doc_id", "source", F.lit("real").alias("cls"), "text").unionByName(
+        d.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "source",
+            F.lit("mangled").alias("cls"),
+            mangle.alias("text"),
+        )
+    )
+    scored = score_quality(both, model, id_col="doc_id").join(
+        both.select(F.col("doc_id").alias("id"), "source", "cls"), "id"
+    )
+    return scored.groupBy("source", "cls").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("quality_score") > 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged_quality"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2192,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "cross_batch_dedup": _q_cross_batch_dedup,
         "main_content_extract": _q_main_content_extract,
+        "quality_classifier": _q_quality_classifier,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "asof_purchase_attribution": _q_asof_purchase_attribution,
         "token_budget_mix": _q_token_budget_mix,

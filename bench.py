@@ -55,6 +55,14 @@ BENCH_QUERIES = [
     "asof_purchase_attribution",
     "range_window_events",
     "token_budget_mix",
+    # round-3 webtext additions (each oracle-backed in __spark_entry__)
+    "structured_data_triples",
+    "outlink_anchor_graph",
+    "decontam_overlap",
+    "hits_hosts",
+    "lm_perplexity",
+    "main_content_extract",
+    "robots_filtering",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs
