@@ -497,9 +497,14 @@ def link_mentions(
     exact_keys = dictionary.filter(F.col("is_exact")).select("alias_key").distinct()
     unresolved = mentions.join(F.broadcast(exact_keys), "alias_key", "left_anti")
     if fuzzy_strategy == "auto":
-        fuzzy_strategy = (
-            "ngram" if dictionary.count() <= _NGRAM_DICT_MAX else "lsh"
+        # bounded probe: limit(MAX+1) stops scanning as soon as the
+        # threshold is crossed instead of counting the whole dictionary
+        # (round-2 review nit: a full count() was an extra job per call)
+        over = (
+            dictionary.limit(_NGRAM_DICT_MAX + 1).count()
+            > _NGRAM_DICT_MAX
         )
+        fuzzy_strategy = "lsh" if over else "ngram"
     fuzzy = (
         _ngram_tier(unresolved, dictionary, threshold=lsh_threshold)
         if fuzzy_strategy == "ngram"
