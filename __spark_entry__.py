@@ -2160,6 +2160,36 @@ def _q_quality_classifier(spark, sf_dir):
     )
 
 
+def _q_langid_trained(spark, sf_dir):
+    """Trained char-trigram Naive-Bayes language ID
+    (functions/langid_trained.py) — train on the even-doc_id half
+    (labeled by the lang column), predict the odd half. The corpus text
+    is lang-agnostic word soup, so each text gets a deterministic
+    per-lang marker suffix (repeat(lang||'xx ', 10)) making the
+    profiles separable in BOTH engines; the oracle replays training and
+    scoring in SQL. Prediction ties/FP pinned by (round(score,9) DESC,
+    lang ASC) row_number in both engines."""
+    from ferenda_spark.functions.langid_trained import (
+        predict_lang,
+        train_langid,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.concat(
+            F.col("text"), F.lit(" "),
+            F.repeat(F.concat(F.col("lang"), F.lit("xx ")), 10),
+        ).alias("text"),
+    )
+    model = train_langid(d.filter(F.col("doc_id") % 2 == 0))
+    out = predict_lang(d.filter(F.col("doc_id") % 2 == 1), model)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "lang_pred",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2233,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_batch_dedup": _q_cross_batch_dedup,
         "main_content_extract": _q_main_content_extract,
         "quality_classifier": _q_quality_classifier,
+        "langid_trained": _q_langid_trained,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "asof_purchase_attribution": _q_asof_purchase_attribution,
         "token_budget_mix": _q_token_budget_mix,
@@ -3202,6 +3233,67 @@ def oracle_sql() -> dict[str, str]:
                        AS main_text
             FROM d
         """,
+        # trained char-trigram NB langid: training AND scoring replayed;
+        # MATERIALIZED everywhere or DuckDB re-inlines the gram explode
+        "langid_trained": """
+            WITH marked AS MATERIALIZED (
+                SELECT doc_id, lang,
+                       lower(text || ' ' || repeat(lang || 'xx ', 10)) AS s
+                FROM documents
+            ), tg AS MATERIALIZED (
+                SELECT m.lang, substring(s, i, 3) AS gram
+                FROM marked m, unnest(range(1, len(s) - 1)) AS u(i)
+                WHERE doc_id % 2 = 0
+            ), counts AS MATERIALIZED (
+                SELECT lang, gram, count(*) AS c FROM tg GROUP BY 1, 2
+            ), v AS (SELECT count(DISTINCT gram) AS v FROM counts),
+            nl AS MATERIALIZED (
+                SELECT lang, sum(c) AS n_lang FROM counts GROUP BY 1
+            ), nd AS MATERIALIZED (
+                SELECT lang, count(*) AS nd FROM marked
+                WHERE doc_id % 2 = 0 GROUP BY 1
+            ), ndt AS (
+                SELECT count(*) AS ndt FROM marked WHERE doc_id % 2 = 0
+            ), probs AS MATERIALIZED (
+                SELECT c.lang, c.gram,
+                       ln((c.c + 1) * 1.0
+                          / (nl.n_lang + (SELECT v FROM v))) AS logp
+                FROM counts c JOIN nl USING (lang)
+            ), stats AS MATERIALIZED (
+                SELECT nd.lang,
+                       ln(nd.nd * 1.0 / (SELECT ndt FROM ndt)) AS log_prior,
+                       ln(1.0 / (nl.n_lang + (SELECT v FROM v)))
+                           AS log_fallback
+                FROM nd JOIN nl USING (lang)
+            ), dg AS MATERIALIZED (
+                SELECT doc_id, substring(s, i, 3) AS gram
+                FROM marked, unnest(range(1, len(s) - 1)) AS u(i)
+                WHERE doc_id % 2 = 1
+            ), tot AS MATERIALIZED (
+                SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1
+            ), mat AS MATERIALIZED (
+                SELECT dg.doc_id, p.lang, sum(p.logp) AS m_sum,
+                       count(*) AS m_cnt
+                FROM dg JOIN probs p USING (gram) GROUP BY 1, 2
+            ), scored AS MATERIALIZED (
+                SELECT b.doc_id, s.lang,
+                       s.log_prior + coalesce(m.m_sum, 0.0)
+                       + (coalesce(t.n_grams, 0) - coalesce(m.m_cnt, 0))
+                         * s.log_fallback AS score
+                FROM (SELECT DISTINCT doc_id FROM marked
+                      WHERE doc_id % 2 = 1) b
+                CROSS JOIN stats s
+                LEFT JOIN tot t ON t.doc_id = b.doc_id
+                LEFT JOIN mat m ON m.doc_id = b.doc_id AND m.lang = s.lang
+            )
+            SELECT doc_id, lang AS lang_pred, round(score, 6) AS score
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY round(score, 9) DESC, lang) AS r
+                  FROM scored)
+            WHERE r = 1
+        """,
+
 
 
         # snapshot v1 == first half of documents by construction
