@@ -44,6 +44,7 @@ def curation_verdict(
     max_bullet_fraction: float = 0.90,
     max_ellipsis_fraction: float = 0.30,
     ngram_flag_col: Column | None = None,
+    extra_rules: list[tuple[str, Column]] | None = None,
 ) -> Column:
     """STRUCT(keep: boolean, reasons: array<string>) for one text column.
 
@@ -103,6 +104,11 @@ def curation_verdict(
         )
     if ngram_flag_col is not None:
         rules.append(("ngram_repetition", F.coalesce(ngram_flag_col, F.lit(False))))
+    if extra_rules:
+        # caller-computed gate columns (decontamination, LM perplexity,
+        # classifier score, …) — each (reason_name, boolean Column); a
+        # NULL condition contributes no reason, same as every rule above
+        rules.extend(extra_rules)
 
     reasons = F.filter(
         F.array(

@@ -55,6 +55,13 @@ def curate_corpus(
     splits: dict[str, float] | None = None,
     min_clean_tokens: int = 10,
     materialize=None,
+    decontam_eval: DataFrame | None = None,
+    decontam_n: int = 8,
+    decontam_threshold: float = 0.5,
+    lm_model=None,
+    max_avg_nll: float = 8.0,
+    quality_model=None,
+    min_quality_prob: float = 0.5,
     **thresholds,
 ) -> dict[str, DataFrame]:
     """Pure-DataFrame form of the DAG — returns the four output frames
@@ -86,6 +93,59 @@ def curate_corpus(
         dup.select(F.col("id").alias(id_col), "dup_fraction"), id_col, "left"
     ).withColumn("dup_fraction", F.coalesce("dup_fraction", F.lit(0.0)))
 
+    # C1.5: opt-in webtext gates — each computes its signal in its own
+    # bounded pass (shuffle shapes documented in the operator modules) and
+    # joins ONE column back on the id; the verdict then reads plain
+    # columns, so the audit table records these reasons like any other.
+    # Defaults off: the driver-contract queries pin the default reason
+    # set, and each gate's cost is only paid when its model/eval set is
+    # supplied.
+    extra_rules: list[tuple[str, F.Column]] = []
+    if decontam_eval is not None:
+        from ferenda_spark.operators.decontam import decontaminate
+
+        dec = decontaminate(
+            documents, decontam_eval, id_col, text_col,
+            n=decontam_n, threshold=decontam_threshold,
+        )
+        with_dup = with_dup.join(
+            dec.select(F.col("id").alias(id_col),
+                       F.col("contaminated").alias("_contaminated")),
+            id_col, "left",
+        )
+        extra_rules.append(
+            ("contaminated", F.coalesce("_contaminated", F.lit(False)))
+        )
+    if lm_model is not None:
+        from ferenda_spark.functions.lm import score_perplexity
+
+        ppl = score_perplexity(documents, lm_model, id_col, text_col)
+        with_dup = with_dup.join(
+            ppl.select(F.col("id").alias(id_col),
+                       F.col("avg_nll").alias("_avg_nll")),
+            id_col, "left",
+        )
+        # NULL avg_nll (< 2 tokens) adds no reason — too_short covers it
+        extra_rules.append(
+            ("high_perplexity", F.col("_avg_nll") > F.lit(max_avg_nll))
+        )
+    if quality_model is not None:
+        from ferenda_spark.functions.quality_clf import score_quality
+
+        qs = score_quality(documents, quality_model, id_col, text_col)
+        with_dup = with_dup.join(
+            qs.select(F.col("id").alias(id_col),
+                      F.col("quality_score").alias("_quality_prob")),
+            id_col, "left",
+        )
+        extra_rules.append(
+            (
+                "low_quality_model",
+                F.coalesce("_quality_prob", F.lit(0.0))
+                < F.lit(min_quality_prob),
+            )
+        )
+
     # C2: verdicts (audit form)
     verdicts = mat(
         "verdicts",
@@ -93,8 +153,9 @@ def curate_corpus(
             with_dup,
             text_col=text_col,
             dup_fraction_col=F.col("dup_fraction"),
+            extra_rules=extra_rules or None,
             **thresholds,
-        ),
+        ).drop("_contaminated", "_avg_nll", "_quality_prob"),
     )
     reasons = reason_histogram(verdicts.filter(~F.col("keep")))
 

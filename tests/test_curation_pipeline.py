@@ -94,3 +94,52 @@ def test_run_pipeline_writes_partitioned_shards(spark, corpus, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "split" in plan.split("PartitionFilters", 1)[1][:120]
     assert spark.read.parquet(paths["verdicts"]).count() == 6
+
+
+def test_webtext_gates_add_reasons(spark, corpus):
+    """Opt-in decontamination / LM-perplexity / classifier gates flow
+    into the verdict audit table as ordinary reasons."""
+    from ferenda_spark.functions.lm import train_ngram_lm
+    from ferenda_spark.functions.quality_clf import train_quality_classifier
+
+    # eval set = doc 1's text → doc 1 must flag contaminated
+    ev = corpus.filter(F.col("doc_id") == 1).select("text")
+    # LM trained on docs 0-2 (boiler+body): doc 4's vocabulary is unseen
+    # → high perplexity with a tight gate
+    lm = train_ngram_lm(corpus.filter(F.col("doc_id") <= 2).select("text"))
+    # classifier: positives = doc 0-2 style, negatives = mangled
+    qm = train_quality_classifier(
+        corpus.filter(F.col("doc_id") <= 2).select("text"),
+        corpus.filter(F.col("doc_id") <= 2).select(
+            F.regexp_replace("text", "[aeiou]", "q").alias("text")
+        ),
+        n_buckets=256,
+        sample_per_class=5,
+        epochs=50,
+    )
+    out = curate_corpus(
+        corpus,
+        budget=64,
+        n_buckets=2,
+        chunk_n=64,
+        min_clean_tokens=5,
+        decontam_eval=ev,
+        decontam_n=8,
+        decontam_threshold=0.9,
+        lm_model=lm,
+        max_avg_nll=6.0,
+        quality_model=qm,
+        min_quality_prob=0.5,
+    )
+    v = {r["doc_id"]: r for r in out["verdicts"].collect()}
+    assert len(v) == 6  # audit table always has every input doc
+    assert "contaminated" in v[1]["reasons"]
+    assert "contaminated" not in v[4]["reasons"]
+    assert "high_perplexity" in v[4]["reasons"]  # unseen vocabulary
+    assert "high_perplexity" not in v[0]["reasons"]  # in-domain
+    # helper columns must not leak into the audit schema
+    cols = set(out["verdicts"].columns)
+    assert not cols & {"_contaminated", "_avg_nll", "_quality_prob"}
+    # reasons histogram picks the new reasons up like any rule
+    reasons = {r["reason"] for r in out["reasons"].collect()}
+    assert "contaminated" in reasons and "high_perplexity" in reasons
