@@ -64,6 +64,7 @@ def run_pipeline(
     base_url: str = "https://kg.example.org",
     facets=None,
     publish_html: bool = False,
+    harvest_structured: bool = False,
 ) -> dict[str, str]:
     """Run (or resume) the full DAG; returns stage-table paths.
 
@@ -105,6 +106,68 @@ def run_pipeline(
         lin_rows = metrics.lineage_df(spark, stage="parse", run_id=run_id)
         catalog.append_table(lin_rows, paths["lineage"])
         ledger.mark("parse", lin_rows, run_id=run_id)
+
+    # --------------------------------------- structured harvest (opt-in)
+    # publisher-asserted graphs (JSON-LD/microdata) + the outlink graph,
+    # harvested from the same html pass family as parse but kept as
+    # SEPARATE stage tables from the grammar triples — provenance
+    # (asserted-by-publisher vs derived-by-parse) must stay queryable, so
+    # they never silently union into SPO. Resumable at part_key
+    # granularity via the same ledger contract as parse; per-partition
+    # lineage carries real n_in/n_out/bytes_in (html bytes) with the
+    # measured stage wall apportioned by bytes share (triples-stage
+    # discipline).
+    if harvest_structured:
+        paths["structured"] = _p(out_dir, "structured")
+        paths["links"] = _p(out_dir, "links")
+        todo_s = ledger.pending(keyed, "structured")
+        if todo_s.limit(1).count() > 0:
+            import time as _tm
+
+            from ferenda_spark.operators.structured import structured_triples
+            from ferenda_spark.operators.weblinks import outlinks
+
+            _t0s = _tm.monotonic()
+            st = structured_triples(
+                todo_s, html_col="html", src_col="url"
+            ).withColumn("part_key", part_key_col(F.col("src"), n_parts))
+            write_stage_partitioned(st, paths["structured"])
+            lk = outlinks(todo_s, html_col="html", url_col="url").withColumn(
+                "part_key", part_key_col(F.col("src"), n_parts)
+            )
+            write_stage_partitioned(lk, paths["links"])
+            wall_s = int((_tm.monotonic() - _t0s) * 1000)
+            stats_in = todo_s.groupBy("part_key").agg(
+                F.count(F.lit(1)).alias("n_in"),
+                F.sum(F.length("html")).alias("bytes_in"),
+            )
+            st_out = (
+                catalog.read_table(spark, paths["structured"])
+                .groupBy("part_key")
+                .agg(F.count(F.lit(1)).alias("n_out"))
+            )
+            # ≤ n_parts rows — vocabulary-sized collect
+            rows = stats_in.join(st_out, "part_key", "left").collect()
+            total_b = sum(r["bytes_in"] or 0 for r in rows) or 1
+            lin_s = spark.createDataFrame(
+                [
+                    (
+                        "structured",
+                        int(r["part_key"]),
+                        None,
+                        int(r["n_in"]),
+                        int(r["n_out"] or 0),
+                        int(r["bytes_in"] or 0),
+                        int(wall_s * (r["bytes_in"] or 0) / total_b),
+                        run_id,
+                    )
+                    for r in rows
+                ],
+                "stage string, part_key int, partition_id int, n_in long, "
+                "n_out long, bytes_in long, wall_ms long, run_id string",
+            )
+            catalog.append_table(lin_s, paths["lineage"])
+            ledger.mark("structured", lin_s, run_id=run_id)
 
     # -------------------------------------------------------------- triples
     docs_tbl = catalog.read_table(spark, paths["docs"])

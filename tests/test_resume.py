@@ -352,3 +352,47 @@ def test_publish_html_generate_stage(spark, tmp_path_factory):
         publish_html=True,
     )
     assert snapshot(paths["generated"]) == before
+
+
+def test_structured_harvest_stage_resumable(spark, tmp_path):
+    """Opt-in structured-harvest stage: JSON-LD triples + outlinks land
+    in their own stage tables with real per-partition lineage, and a
+    resume run recomputes nothing."""
+    from ferenda_spark.plans.pipeline import run_pipeline
+    from ferenda_spark.sources.corpus import dictionary_df, generate_corpus
+
+    out = str(tmp_path / "kg")
+    extra = (
+        '<script type="application/ld+json">'
+        '{"@id": "d:X", "k": "v"}</script>'
+    ).encode()
+    corpus = generate_corpus(spark, 40).withColumn(
+        "html", F.concat(F.col("html"), F.lit(extra))
+    )
+    paths = run_pipeline(
+        spark, corpus, dictionary_df(spark), out, n_parts=8,
+        harvest_structured=True,
+    )
+    st = spark.read.parquet(paths["structured"])
+    assert st.count() == 40  # one JSON-LD triple per doc
+    assert st.filter("subj = 'd:X' and pred = 'k' and obj = 'v'").count() == 40
+    lk = spark.read.parquet(paths["links"])
+    # corpus html carries fragment-only <a href="#..."> links → self-links
+    assert lk.count() > 0
+    assert lk.filter("dst != src").count() == 0
+    lin = spark.read.parquet(paths["lineage"]).filter("stage = 'structured'")
+    rows = lin.collect()
+    assert {r["part_key"] for r in rows} <= set(range(8))
+    assert sum(r["n_out"] for r in rows) == 40
+    assert all(r["bytes_in"] > 0 for r in rows)
+    assert sum(r["wall_ms"] for r in rows) > 0
+    # resume: nothing pending → tables unchanged, no duplicate lineage
+    run_pipeline(
+        spark, corpus, dictionary_df(spark), out, n_parts=8,
+        harvest_structured=True, run_id="resume",
+    )
+    assert spark.read.parquet(paths["structured"]).count() == 40
+    lin2 = spark.read.parquet(paths["lineage"]).filter(
+        "stage = 'structured'"
+    )
+    assert lin2.filter("run_id = 'resume'").count() == 0
