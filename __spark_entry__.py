@@ -2190,6 +2190,38 @@ def _q_langid_trained(spark, sf_dir):
     )
 
 
+def _q_wet_export_roundtrip(spark, sf_dir):
+    """WET sink/source (sources/wet.py): documents → WARC conversion
+    records (one archive per partition, content-hash names) → read back
+    through the strict WARC parser (keep_types=conversion) — per-url
+    sha256-exact text round-trip plus the WARC-Date timestamp carried
+    as doc_id epoch seconds. The oracle reconstructs the expected rows
+    straight from the documents columns."""
+    import os as _os
+    import shutil as _shutil
+
+    from ferenda_spark.sources.wet import read_wet, write_wet
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        F.format_string(
+            "https://%s/doc/%s", F.col("source"), F.col("doc_id")
+        ).alias("url"),
+        F.timestamp_seconds(F.col("doc_id")).alias("warc_ts"),
+        "text",
+    )
+    out = f"/tmp/ferenda_spark_wet_q_{_os.path.basename(sf_dir.rstrip('/'))}"
+    _shutil.rmtree(out, ignore_errors=True)
+    write_wet(docs, out)
+    back = read_wet(spark, out)
+    return back.filter(F.col("warc_error").isNull()).select(
+        "url",
+        F.unix_timestamp("warc_ts").cast("bigint").alias("ts_sec"),
+        F.sha2(F.col("html").cast("string"), 256).alias("text_sha256"),
+        F.length(F.col("html").cast("string")).cast("bigint").alias("n_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2264,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content_extract": _q_main_content_extract,
         "quality_classifier": _q_quality_classifier,
         "langid_trained": _q_langid_trained,
+        "wet_export_roundtrip": _q_wet_export_roundtrip,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "asof_purchase_attribution": _q_asof_purchase_attribution,
         "token_budget_mix": _q_token_budget_mix,
@@ -3293,6 +3326,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE r = 1
         """,
+        "wet_export_roundtrip": """
+            SELECT 'https://' || source || '/doc/' || doc_id AS url,
+                   doc_id AS ts_sec,
+                   sha256(text) AS text_sha256,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+
 
 
 

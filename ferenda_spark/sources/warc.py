@@ -53,7 +53,9 @@ def _decompress(name: str, blob: bytes) -> bytes:
     return blob
 
 
-def parse_warc_bytes(raw: bytes, source: str) -> Iterator[dict]:
+def parse_warc_bytes(
+    raw: bytes, source: str, keep_types: tuple[str, ...] = ("response",)
+) -> Iterator[dict]:
     """Strict sequential parse of one WARC archive. Yields dicts in the
     corpus schema; a structural error yields one final warc_error dict."""
     pos = 0
@@ -121,7 +123,7 @@ def parse_warc_bytes(raw: bytes, source: str) -> Iterator[dict]:
                 "lang": None, "warc_error": "truncated record body",
             }
             return
-        if headers.get("warc-type") == "response":
+        if headers.get("warc-type") in keep_types:
             body = raw[body_start:body_end]
             # strip the HTTP envelope when present (response records carry
             # status line + headers + payload)
@@ -150,7 +152,10 @@ def parse_warc_bytes(raw: bytes, source: str) -> Iterator[dict]:
         pos = body_end
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(
+    spark: SparkSession, path: str,
+    keep_types: tuple[str, ...] = ("response",),
+) -> DataFrame:
     """Directory (or glob) of .warc/.warc.gz files → corpus-schema frame
     plus a ``warc_error`` column (NULL on good rows). Drop the error column
     after routing errors to lineage to get the exact input_hint schema."""
@@ -168,7 +173,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                         "warc_error": f"bad gzip: {exc}",
                     })
                     continue
-                out.extend(parse_warc_bytes(raw, name))
+                out.extend(parse_warc_bytes(raw, name, keep_types))
             yield pd.DataFrame(
                 out,
                 columns=[
