@@ -2222,6 +2222,54 @@ def _q_wet_export_roundtrip(spark, sf_dir):
     )
 
 
+def _q_sitemap_url_inventory(spark, sf_dir):
+    """Sitemap ingestion (sources/sitemaps.py): one synthesized urlset
+    per source (entries deterministically derived from doc columns,
+    doc_id-sorted), parsed by the namespace-tolerant stdlib parser in
+    one map-only pandas UDF, then per-sitemap URL inventory stats. The
+    oracle reconstructs loc/lastmod/priority straight from documents."""
+    from ferenda_spark.sources.sitemaps import parse_sitemaps
+
+    d = _t(spark, sf_dir, "documents")
+    entry = F.format_string(
+        "<url><loc>https://%s/doc/%s</loc>"
+        "<lastmod>2024-01-%02d</lastmod><priority>0.%s</priority></url>",
+        F.col("source"), F.col("doc_id"),
+        F.col("doc_id") % 28 + 1, F.col("doc_id") % 10,
+    )
+    xml = (
+        d.select("source", F.struct("doc_id", entry.alias("e")).alias("s"))
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list("s")).alias("_es"))
+        .select(
+            F.format_string(
+                "https://%s/sitemap.xml", F.col("source")
+            ).alias("sitemap_url"),
+            F.concat(
+                F.lit(
+                    '<urlset xmlns='
+                    '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                ),
+                F.array_join(
+                    F.transform("_es", lambda s: s["e"]), ""
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+    )
+    parsed = parse_sitemaps(xml, xml_col="xml")
+    return parsed.filter(F.col("kind") == "url").groupBy(
+        "sitemap_url"
+    ).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.min("lastmod").alias("first_mod"),
+        F.max("lastmod").alias("last_mod"),
+        F.round(F.avg(F.col("priority").cast("double")), 6).alias(
+            "avg_priority"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2297,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "langid_trained": _q_langid_trained,
         "wet_export_roundtrip": _q_wet_export_roundtrip,
+        "sitemap_url_inventory": _q_sitemap_url_inventory,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "asof_purchase_attribution": _q_asof_purchase_attribution,
         "token_budget_mix": _q_token_budget_mix,
@@ -3333,6 +3382,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
         """,
+        "sitemap_url_inventory": """
+            SELECT 'https://' || source || '/sitemap.xml' AS sitemap_url,
+                   count(*) AS n_urls,
+                   min('2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                                          2, '0')) AS first_mod,
+                   max('2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                                          2, '0')) AS last_mod,
+                   round(avg(CAST('0.' || (doc_id % 10) AS DOUBLE)), 6)
+                       AS avg_priority
+            FROM documents GROUP BY source
+        """,
+
 
 
 
