@@ -2270,6 +2270,30 @@ def _q_sitemap_url_inventory(spark, sf_dir):
     )
 
 
+def _q_zorder_events(spark, sf_dir):
+    """Z-order clustering value (functions/zorder.py): the Morton
+    interleave as a pure codegen'd expression — per-z-prefix-bucket
+    event stats over (event_id%256, user_id%256). The oracle runs the
+    IDENTICAL unrolled shift/mask/or interleave in SQL (zorder_sql),
+    proving bit-exactness; the layout-locality win (box filters touch
+    few z-ordered files) is pinned in tests/test_zorder.py."""
+    from ferenda_spark.functions.zorder import zorder_value
+
+    e = _t(spark, sf_dir, "events")
+    z = zorder_value(
+        [F.col("event_id") % 256, F.col("user_id") % 256], bits=8
+    )
+    return (
+        e.withColumn("_z", z)
+        .groupBy(F.shiftright("_z", 10).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("_z").alias("z_min"),
+            F.max("_z").alias("z_max"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2346,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_trained": _q_langid_trained,
         "wet_export_roundtrip": _q_wet_export_roundtrip,
         "sitemap_url_inventory": _q_sitemap_url_inventory,
+        "zorder_events": _q_zorder_events,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "asof_purchase_attribution": _q_asof_purchase_attribution,
         "token_budget_mix": _q_token_budget_mix,
@@ -3393,6 +3418,16 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_priority
             FROM documents GROUP BY source
         """,
+        "zorder_events": """
+            WITH z AS (
+                SELECT ((((((event_id % 256) & 255) >> 0) & 1) << 0) | (((((user_id % 256) & 255) >> 0) & 1) << 1) | (((((event_id % 256) & 255) >> 1) & 1) << 2) | (((((user_id % 256) & 255) >> 1) & 1) << 3) | (((((event_id % 256) & 255) >> 2) & 1) << 4) | (((((user_id % 256) & 255) >> 2) & 1) << 5) | (((((event_id % 256) & 255) >> 3) & 1) << 6) | (((((user_id % 256) & 255) >> 3) & 1) << 7) | (((((event_id % 256) & 255) >> 4) & 1) << 8) | (((((user_id % 256) & 255) >> 4) & 1) << 9) | (((((event_id % 256) & 255) >> 5) & 1) << 10) | (((((user_id % 256) & 255) >> 5) & 1) << 11) | (((((event_id % 256) & 255) >> 6) & 1) << 12) | (((((user_id % 256) & 255) >> 6) & 1) << 13) | (((((event_id % 256) & 255) >> 7) & 1) << 14) | (((((user_id % 256) & 255) >> 7) & 1) << 15)) AS zv
+                FROM events
+            )
+            SELECT zv >> 10 AS z_bucket, count(*) AS n_events,
+                   min(zv) AS z_min, max(zv) AS z_max
+            FROM z GROUP BY 1
+        """,
+
 
 
 
