@@ -2294,6 +2294,38 @@ def _q_zorder_events(spark, sf_dir):
     )
 
 
+def _q_anchor_topk_profiles(spark, sf_dir):
+    """Anchor-text profiles (operators/weblinks.py:anchor_profiles —
+    the alias-evidence table entity linking consumes): top-k anchors
+    per target by (count DESC, anchor ASC) over the same synthesized
+    link set as outlink_anchor_graph, exploded to scalar rows (dst,
+    rank, anchor) so the oracle replays the window deterministically."""
+    from ferenda_spark.operators.weblinks import anchor_profiles, outlinks
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.format_string(
+            "https://%s/doc/%s", F.col("source"), F.col("doc_id")
+        ).alias("url"),
+        F.format_string(
+            '<a href="/doc/%s">next</a>'
+            '<a href="https://hub.example/cat/%s">cat %s</a>'
+            '<a href="https://hub.example/cat/%s">category</a>',
+            F.col("doc_id") + 1, F.col("lang"), F.col("lang"),
+            F.col("lang"),
+        ).alias("html"),
+    )
+    prof = anchor_profiles(outlinks(pages), k=2)
+    return prof.select(
+        "dst", "n_links", "n_src",
+        F.posexplode("anchors"),
+    ).select(
+        "dst", "n_links", "n_src",
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("col").alias("anchor"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2371,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_export_roundtrip": _q_wet_export_roundtrip,
         "sitemap_url_inventory": _q_sitemap_url_inventory,
         "zorder_events": _q_zorder_events,
+        "anchor_topk_profiles": _q_anchor_topk_profiles,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "asof_purchase_attribution": _q_asof_purchase_attribution,
         "token_budget_mix": _q_token_budget_mix,
@@ -3427,6 +3460,36 @@ def oracle_sql() -> dict[str, str]:
                    min(zv) AS z_min, max(zv) AS z_max
             FROM z GROUP BY 1
         """,
+        "anchor_topk_profiles": """
+            WITH d AS (
+                SELECT doc_id, source, lang,
+                       'https://' || source || '/doc/' || doc_id AS src
+                FROM documents
+            ), l AS (
+                SELECT src,
+                       'https://' || source || '/doc/' || (doc_id + 1)
+                           AS dst, 'next' AS anchor FROM d
+                UNION ALL SELECT src, 'https://hub.example/cat/' || lang,
+                       'cat ' || lang FROM d
+                UNION ALL SELECT src, 'https://hub.example/cat/' || lang,
+                       'category' FROM d
+            ), pa AS (
+                SELECT dst, anchor, count(*) AS n FROM l GROUP BY 1, 2
+            ), tk AS (
+                SELECT dst, anchor,
+                       row_number() OVER (PARTITION BY dst
+                                          ORDER BY n DESC, anchor) AS rank
+                FROM pa
+            ), tot AS (
+                SELECT dst, count(*) AS n_links,
+                       CAST(count(DISTINCT src) AS BIGINT) AS n_src
+                FROM l GROUP BY 1
+            )
+            SELECT t.dst, tot.n_links, tot.n_src,
+                   CAST(t.rank AS INT) AS rank, t.anchor
+            FROM tk t JOIN tot USING (dst) WHERE t.rank <= 2
+        """,
+
 
 
 
