@@ -2326,6 +2326,62 @@ def _q_anchor_topk_profiles(spark, sf_dir):
     )
 
 
+def _q_frontier_seed_list(spark, sf_dir):
+    """Crawl-frontier composition: sitemap-discovered URLs gated by the
+    robots policy — parse_sitemaps (sources/sitemaps.py) feeds
+    robots_allowed (operators/robots.py), per-host seed counts out. The
+    sitemap paths reuse robots_filtering's prefix rules so the oracle
+    replays both the XML reconstruction and the precedence CASE."""
+    from ferenda_spark.operators.robots import (
+        parse_robots_rules,
+        robots_allowed,
+    )
+    from ferenda_spark.sources.sitemaps import parse_sitemaps
+
+    d = _t(spark, sf_dir, "documents")
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/public/"), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private/"), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/private/ok/"), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("/tmp/"), F.col("doc_id")))
+        .otherwise(F.lit("/"))
+    )
+    entry = F.format_string(
+        "<url><loc>https://%s%s</loc></url>",
+        F.col("source"), path,
+    )
+    xml = (
+        d.select("source", F.struct("doc_id", entry.alias("e")).alias("s"))
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list("s")).alias("_es"))
+        .select(
+            F.col("source").alias("sitemap_url"),
+            F.concat(
+                F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                F.array_join(F.transform("_es", lambda s: s["e"]), ""),
+                F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+    )
+    seeds = parse_sitemaps(xml, xml_col="xml").filter(
+        F.col("kind") == "url"
+    ).select(F.col("loc").alias("url"))
+    robots = d.select("source").distinct().select(
+        F.col("source").alias("host"),
+        F.lit(
+            "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+            "Disallow: /tmp/"
+        ).alias("robots_txt"),
+    )
+    rules = parse_robots_rules(robots, agent="ferenda-bot")
+    gated = robots_allowed(seeds, rules)
+    host = F.regexp_extract(F.col("url"), r"^https://([^/]+)", 1)
+    return gated.groupBy(host.alias("host")).agg(
+        F.count(F.lit(1)).alias("n_seeds"),
+        F.sum(F.when(F.col("allowed"), 1).otherwise(0)).cast("bigint").alias("n_allowed"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2404,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_url_inventory": _q_sitemap_url_inventory,
         "zorder_events": _q_zorder_events,
         "anchor_topk_profiles": _q_anchor_topk_profiles,
+        "frontier_seed_list": _q_frontier_seed_list,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "asof_purchase_attribution": _q_asof_purchase_attribution,
         "token_budget_mix": _q_token_budget_mix,
@@ -3489,6 +3546,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.rank AS INT) AS rank, t.anchor
             FROM tk t JOIN tot USING (dst) WHERE t.rank <= 2
         """,
+        "frontier_seed_list": """
+            WITH u AS (
+                SELECT source,
+                       CASE CAST(doc_id % 5 AS INT)
+                           WHEN 0 THEN '/public/' || doc_id
+                           WHEN 1 THEN '/private/' || doc_id
+                           WHEN 2 THEN '/private/ok/' || doc_id
+                           WHEN 3 THEN '/tmp/' || doc_id
+                           ELSE '/' END AS path
+                FROM documents
+            )
+            SELECT source AS host, count(*) AS n_seeds,
+                   CAST(sum(CASE WHEN path LIKE '/private/ok%' THEN 1
+                                 WHEN path LIKE '/private%' THEN 0
+                                 WHEN path LIKE '/tmp/%' THEN 0
+                                 ELSE 1 END) AS BIGINT) AS n_allowed
+            FROM u GROUP BY source
+        """,
+
 
 
 
