@@ -2382,6 +2382,62 @@ def _q_frontier_seed_list(spark, sf_dir):
     )
 
 
+def _q_sameas_canonical(spark, sf_dir):
+    """owl:sameAs canonicalization (operators/sameas.py): publisher-style
+    equivalence assertions (each doc entity sameAs its group-of-4 base)
+    collapsed via connected components (min-URI canonical), then every
+    fact's subj — and obj when it is a URI — rewritten through the class
+    map, and value-identical duplicates created by the merge collapsed
+    keeping the minimum (src_url, part_key) provenance. The oracle replays
+    the closure with a recursive CTE and the dedup with QUALIFY
+    row_number; literals (p:lang) must pass through untouched."""
+    from ferenda_spark.operators.sameas import OWL_SAMEAS, canonicalize_sameas
+    from ferenda_spark.schemas import TRIPLES
+
+    d = _t(spark, sf_dir, "documents")
+    ent = F.concat(F.lit("ent:"), F.col("doc_id").cast("string"))
+    src_url = F.concat(F.lit("u:"), F.col("doc_id").cast("string"))
+    pk = (F.col("doc_id") % 8).cast("int")
+    null_s = F.lit(None).cast("string")
+    sameas = d.select(
+        ent.alias("subj"),
+        F.lit(OWL_SAMEAS).alias("pred"),
+        F.concat(
+            F.lit("ent:"), (F.col("doc_id") - F.col("doc_id") % 4).cast("string")
+        ).alias("obj"),
+        F.lit(True).alias("obj_is_uri"),
+        null_s.alias("obj_lang"),
+        null_s.alias("obj_dtype"),
+        src_url.alias("src_url"),
+        pk.alias("part_key"),
+    )
+    lang_fact = d.select(
+        ent.alias("subj"),
+        F.lit("p:lang").alias("pred"),
+        F.col("lang").alias("obj"),
+        F.lit(False).alias("obj_is_uri"),
+        F.col("lang").alias("obj_lang"),
+        null_s.alias("obj_dtype"),
+        src_url.alias("src_url"),
+        pk.alias("part_key"),
+    )
+    cites = d.select(
+        ent.alias("subj"),
+        F.lit("p:cites").alias("pred"),
+        F.concat(
+            F.lit("ent:"), (F.col("doc_id") - F.col("doc_id") % 10).cast("string")
+        ).alias("obj"),
+        F.lit(True).alias("obj_is_uri"),
+        null_s.alias("obj_lang"),
+        null_s.alias("obj_dtype"),
+        src_url.alias("src_url"),
+        pk.alias("part_key"),
+    )
+    triples = sameas.unionByName(lang_fact).unionByName(cites)
+    assert [f.name for f in TRIPLES.fields] == triples.columns
+    return canonicalize_sameas(triples)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2470,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structured_data_triples": _q_structured_data_triples,
         "outlink_anchor_graph": _q_outlink_anchor_graph,
         "decontam_overlap": _q_decontam_overlap,
+        "sameas_canonical": _q_sameas_canonical,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -3572,6 +3629,60 @@ def oracle_sql() -> dict[str, str]:
 
 
 
+        # owl:sameAs closure as a recursive CTE (same idiom as
+        # dedup_components), rewrite via left joins, merge-dedup keeping
+        # min (src_url, part_key) via QUALIFY — mirrors the Spark
+        # struct-min exactly (no NULL provenance here)
+        "sameas_canonical": """
+            WITH RECURSIVE base AS (SELECT doc_id, lang FROM documents),
+            same_edges AS (
+                SELECT 'ent:' || doc_id AS a,
+                       'ent:' || (doc_id - doc_id % 4) AS b
+                FROM base WHERE doc_id % 4 <> 0
+            ),
+            und AS (
+                SELECT a, b FROM same_edges
+                UNION SELECT b, a FROM same_edges
+            ),
+            reach(n, m) AS (
+                SELECT DISTINCT a, a FROM und
+                UNION
+                SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a
+            ),
+            cls AS (SELECT n AS node, min(m) AS canonical FROM reach GROUP BY n),
+            facts AS (
+                SELECT 'ent:' || doc_id AS subj, 'p:lang' AS pred,
+                       lang AS obj, FALSE AS obj_is_uri, lang AS obj_lang,
+                       CAST(NULL AS VARCHAR) AS obj_dtype,
+                       'u:' || doc_id AS src_url,
+                       CAST(doc_id % 8 AS INT) AS part_key
+                FROM base
+                UNION ALL
+                SELECT 'ent:' || doc_id, 'p:cites',
+                       'ent:' || (doc_id - doc_id % 10), TRUE,
+                       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                       'u:' || doc_id, CAST(doc_id % 8 AS INT)
+                FROM base
+            ),
+            rew AS (
+                SELECT coalesce(s.canonical, f.subj) AS subj, f.pred,
+                       CASE WHEN f.obj_is_uri
+                            THEN coalesce(o.canonical, f.obj)
+                            ELSE f.obj END AS obj,
+                       f.obj_is_uri, f.obj_lang, f.obj_dtype,
+                       f.src_url, f.part_key
+                FROM facts f
+                LEFT JOIN cls s ON f.subj = s.node
+                LEFT JOIN cls o ON f.obj = o.node
+            )
+            SELECT subj, pred, obj, obj_is_uri, obj_lang, obj_dtype,
+                   src_url, part_key
+            FROM rew
+            QUALIFY row_number() OVER (
+                PARTITION BY subj, pred, obj, obj_is_uri, obj_lang, obj_dtype
+                ORDER BY src_url, part_key
+            ) = 1
+        """,
         # snapshot v1 == first half of documents by construction
         "snapshot_time_travel": """
             SELECT lang,
