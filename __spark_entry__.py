@@ -2438,6 +2438,64 @@ def _q_sameas_canonical(spark, sf_dir):
     return canonicalize_sameas(triples)
 
 
+def _q_rdfs_inference(spark, sf_dir):
+    """RDFS entailment materialization (operators/inference.py): a tiny
+    vocabulary (class chain c:0⊑c:1⊑c:2, c:Doc⊑c:Thing; p:cites⊑p:related
+    carrying p:related's domain/range c:Doc; p:label⊑p:note for the
+    literal leg) over instance facts synthesized from documents. Returns
+    the INFERRED rows only (asserted facts anti-joined out null-safely);
+    the oracle replays each rule as a CTE: property inheritance, inherited
+    domain/range typing, subclass type inheritance, materialized schema
+    closures, then min-provenance dedup via QUALIFY."""
+    from ferenda_spark.operators.inference import (
+        RDF_TYPE,
+        RDFS_DOMAIN,
+        RDFS_RANGE,
+        RDFS_SUBCLASSOF,
+        RDFS_SUBPROPERTYOF,
+        rdfs_closure,
+    )
+    from ferenda_spark.schemas import TRIPLES
+
+    schema_rows = [
+        ("c:0", RDFS_SUBCLASSOF, "c:1", True, None, None, "u:schema", 0),
+        ("c:1", RDFS_SUBCLASSOF, "c:2", True, None, None, "u:schema", 0),
+        ("c:Doc", RDFS_SUBCLASSOF, "c:Thing", True, None, None, "u:schema", 0),
+        ("p:cites", RDFS_SUBPROPERTYOF, "p:related", True, None, None, "u:schema", 0),
+        ("p:label", RDFS_SUBPROPERTYOF, "p:note", True, None, None, "u:schema", 0),
+        ("p:related", RDFS_DOMAIN, "c:Doc", True, None, None, "u:schema", 0),
+        ("p:related", RDFS_RANGE, "c:Doc", True, None, None, "u:schema", 0),
+    ]
+    schema = spark.createDataFrame(schema_rows, TRIPLES)
+
+    d = _t(spark, sf_dir, "documents")
+    ent = F.concat(F.lit("ent:"), F.col("doc_id").cast("string"))
+    src_url = F.concat(F.lit("u:"), F.col("doc_id").cast("string"))
+    pk = (F.col("doc_id") % 8).cast("int")
+    null_s = F.lit(None).cast("string")
+    cites = d.select(
+        ent.alias("subj"), F.lit("p:cites").alias("pred"),
+        F.concat(F.lit("ent:"),
+                 (F.col("doc_id") - F.col("doc_id") % 10).cast("string")).alias("obj"),
+        F.lit(True).alias("obj_is_uri"), null_s.alias("obj_lang"),
+        null_s.alias("obj_dtype"), src_url.alias("src_url"), pk.alias("part_key"),
+    )
+    atypes = d.select(
+        ent.alias("subj"), F.lit(RDF_TYPE).alias("pred"),
+        F.concat(F.lit("c:"), (F.col("doc_id") % 3).cast("string")).alias("obj"),
+        F.lit(True).alias("obj_is_uri"), null_s.alias("obj_lang"),
+        null_s.alias("obj_dtype"), src_url.alias("src_url"), pk.alias("part_key"),
+    )
+    labels = d.select(
+        ent.alias("subj"), F.lit("p:label").alias("pred"),
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string")).alias("obj"),
+        F.lit(False).alias("obj_is_uri"), null_s.alias("obj_lang"),
+        null_s.alias("obj_dtype"), src_url.alias("src_url"), pk.alias("part_key"),
+    )
+    triples = schema.unionByName(cites).unionByName(atypes).unionByName(labels)
+    return rdfs_closure(triples)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2527,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_anchor_graph": _q_outlink_anchor_graph,
         "decontam_overlap": _q_decontam_overlap,
         "sameas_canonical": _q_sameas_canonical,
+        "rdfs_inference": _q_rdfs_inference,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -3629,6 +3688,132 @@ def oracle_sql() -> dict[str, str]:
 
 
 
+        # RDFS entailment replayed rule-by-rule: subclass closure as a
+        # recursive CTE, property inheritance / inherited-domain-range /
+        # type-inheritance as joins, min-provenance dedup via QUALIFY,
+        # asserted facts anti-joined out (all on non-null cols here)
+        "rdfs_inference": """
+            WITH RECURSIVE base AS (SELECT doc_id FROM documents),
+            sc(sub, sup) AS (
+                VALUES ('c:0','c:1'), ('c:1','c:2'), ('c:Doc','c:Thing')
+            ),
+            scc(sub, sup) AS (
+                SELECT sub, sup FROM sc
+                UNION
+                SELECT s.sub, t.sup FROM scc s JOIN sc t
+                ON s.sup = t.sub AND s.sub <> t.sup
+            ),
+            spc(sub, sup) AS (
+                VALUES ('p:cites','p:related'), ('p:label','p:note')
+            ),
+            dm(p, cls) AS (VALUES ('p:related','c:Doc')),
+            rg(p, cls) AS (VALUES ('p:related','c:Doc')),
+            idom AS (
+                SELECT p, cls FROM dm
+                UNION SELECT s.sub, d.cls FROM spc s JOIN dm d ON s.sup = d.p
+            ),
+            irng AS (
+                SELECT p, cls FROM rg
+                UNION SELECT s.sub, d.cls FROM spc s JOIN rg d ON s.sup = d.p
+            ),
+            facts AS (
+                SELECT 'ent:' || doc_id AS subj, 'p:cites' AS pred,
+                       'ent:' || (doc_id - doc_id % 10) AS obj,
+                       TRUE AS obj_is_uri,
+                       'u:' || doc_id AS src_url,
+                       CAST(doc_id % 8 AS INT) AS part_key
+                FROM base
+                UNION ALL
+                SELECT 'ent:' || doc_id, 'p:label', 'Doc ' || doc_id,
+                       FALSE, 'u:' || doc_id, CAST(doc_id % 8 AS INT)
+                FROM base
+            ),
+            atypes AS (
+                SELECT 'ent:' || doc_id AS subj,
+                       'c:' || (doc_id % 3) AS obj,
+                       'u:' || doc_id AS src_url,
+                       CAST(doc_id % 8 AS INT) AS part_key
+                FROM base
+            ),
+            prop_sup AS (
+                SELECT f.subj, s.sup AS pred, f.obj, f.obj_is_uri,
+                       f.src_url, f.part_key
+                FROM facts f JOIN spc s ON f.pred = s.sub
+            ),
+            prop_all AS (
+                SELECT * FROM facts UNION ALL SELECT * FROM prop_sup
+            ),
+            dom_types AS (
+                SELECT p.subj, d.cls AS obj, p.src_url, p.part_key
+                FROM prop_all p JOIN idom d ON p.pred = d.p
+            ),
+            rng_types AS (
+                SELECT p.obj AS subj, d.cls AS obj, p.src_url, p.part_key
+                FROM prop_all p JOIN irng d ON p.pred = d.p
+                WHERE p.obj_is_uri
+            ),
+            all_types AS (
+                SELECT subj, obj, src_url, part_key FROM atypes
+                UNION ALL SELECT * FROM dom_types
+                UNION ALL SELECT * FROM rng_types
+            ),
+            super_types AS (
+                SELECT t.subj, c.sup AS obj, t.src_url, t.part_key
+                FROM all_types t JOIN scc c ON t.obj = c.sub
+            ),
+            rdf_type AS (
+                SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS u
+            ),
+            inferred AS (
+                SELECT subj, pred, obj, obj_is_uri, src_url, part_key
+                FROM prop_sup
+                UNION ALL
+                SELECT subj, (SELECT u FROM rdf_type), obj, TRUE,
+                       src_url, part_key FROM dom_types
+                UNION ALL
+                SELECT subj, (SELECT u FROM rdf_type), obj, TRUE,
+                       src_url, part_key FROM rng_types
+                UNION ALL
+                SELECT subj, (SELECT u FROM rdf_type), obj, TRUE,
+                       src_url, part_key FROM super_types
+                UNION ALL
+                SELECT sub, 'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+                       sup, TRUE, CAST(NULL AS VARCHAR), CAST(NULL AS INT)
+                FROM scc
+                UNION ALL
+                SELECT sub, 'http://www.w3.org/2000/01/rdf-schema#subPropertyOf',
+                       sup, TRUE, CAST(NULL AS VARCHAR), CAST(NULL AS INT)
+                FROM spc
+            ),
+            asserted AS (
+                SELECT subj, pred, obj, obj_is_uri FROM facts
+                UNION ALL
+                SELECT subj, (SELECT u FROM rdf_type), obj, TRUE FROM atypes
+                UNION ALL
+                SELECT sub, 'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+                       sup, TRUE FROM sc
+                UNION ALL
+                SELECT sub, 'http://www.w3.org/2000/01/rdf-schema#subPropertyOf',
+                       sup, TRUE FROM spc
+            ),
+            deduped AS (
+                SELECT subj, pred, obj, obj_is_uri,
+                       CAST(NULL AS VARCHAR) AS obj_lang,
+                       CAST(NULL AS VARCHAR) AS obj_dtype,
+                       src_url, part_key
+                FROM inferred
+                QUALIFY row_number() OVER (
+                    PARTITION BY subj, pred, obj, obj_is_uri
+                    ORDER BY src_url NULLS FIRST, part_key NULLS FIRST
+                ) = 1
+            )
+            SELECT d.* FROM deduped d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM asserted a
+                WHERE a.subj = d.subj AND a.pred = d.pred
+                  AND a.obj = d.obj AND a.obj_is_uri = d.obj_is_uri
+            )
+        """,
         # owl:sameAs closure as a recursive CTE (same idiom as
         # dedup_components), rewrite via left joins, merge-dedup keeping
         # min (src_url, part_key) via QUALIFY — mirrors the Spark
