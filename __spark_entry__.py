@@ -2496,6 +2496,29 @@ def _q_rdfs_inference(spark, sf_dir):
     return rdfs_closure(triples)
 
 
+def _q_hostline_boilerplate(spark, sf_dir):
+    """Corpus-frequency boilerplate removal (functions/boilerplate.py::
+    remove_frequent_lines — the CCNet/RefinedWeb step, vs main_content's
+    per-page structural rules): per-host nav/footer chrome is synthesized
+    around every document's text, then any trimmed line appearing in ≥5
+    docs and ≥1% of a host's docs is stripped; clean_text must be
+    byte-exact surviving lines. The oracle replays doc-frequency counting
+    and ORDER BY pos reassembly (string_agg skips removed-line NULLs)."""
+    from ferenda_spark.functions.boilerplate import remove_frequent_lines
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("NAV "), F.col("source"), F.lit("\n"),
+            F.col("text"),
+            F.lit("\nCopyright "), F.col("source"),
+        ).alias("text"),
+    )
+    return remove_frequent_lines(aug, min_docs=5, min_frac=0.01)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2586,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": _q_decontam_overlap,
         "sameas_canonical": _q_sameas_canonical,
         "rdfs_inference": _q_rdfs_inference,
+        "hostline_boilerplate": _q_hostline_boilerplate,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -3688,6 +3712,57 @@ def oracle_sql() -> dict[str, str]:
 
 
 
+        # per-host frequent-line removal replayed with unnest+subscripts,
+        # doc-frequency over trimmed lines, ORDER BY pos reassembly
+        "hostline_boilerplate": """
+            WITH aug AS (
+                SELECT doc_id, source,
+                       'NAV ' || source || chr(10) || text || chr(10)
+                       || 'Copyright ' || source AS text
+                FROM documents
+            ),
+            sp AS (
+                SELECT doc_id, source,
+                       string_split(text, chr(10)) AS parts
+                FROM aug
+            ),
+            lines AS (
+                SELECT doc_id, source,
+                       unnest(parts) AS line,
+                       generate_subscripts(parts, 1) AS pos
+                FROM sp
+            ),
+            freq AS (
+                SELECT source, trim(line) AS key,
+                       count(DISTINCT doc_id) AS df
+                FROM lines WHERE trim(line) <> ''
+                GROUP BY source, trim(line)
+            ),
+            hd AS (
+                SELECT source, count(DISTINCT doc_id) AS n_docs
+                FROM aug GROUP BY source
+            ),
+            drops AS (
+                SELECT f.source, f.key
+                FROM freq f JOIN hd USING (source)
+                WHERE f.df >= 5 AND f.df >= hd.n_docs * 0.01
+            ),
+            marked AS (
+                SELECT l.doc_id, l.source, l.line, l.pos,
+                       (trim(l.line) <> '' AND d.key IS NOT NULL) AS removed
+                FROM lines l
+                LEFT JOIN drops d
+                  ON l.source = d.source AND trim(l.line) = d.key
+            )
+            SELECT doc_id, source,
+                   coalesce(string_agg(
+                       CASE WHEN NOT removed THEN line END,
+                       chr(10) ORDER BY pos), '') AS clean_text,
+                   CAST(count(*) AS INT) AS n_lines,
+                   CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS INT)
+                       AS n_removed
+            FROM marked GROUP BY doc_id, source
+        """,
         # RDFS entailment replayed rule-by-rule: subclass closure as a
         # recursive CTE, property inheritance / inherited-domain-range /
         # type-inheritance as joins, min-provenance dedup via QUALIFY,

@@ -164,3 +164,108 @@ def main_content(
         F.col("_mc.n_blocks").alias("n_blocks"),
         F.col("_mc.n_kept").alias("n_kept"),
     )
+
+
+# --------------------------------------------------------- corpus-frequency
+def remove_frequent_lines(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    host_col: str = "source",
+    text_col: str = "text",
+    min_docs: int = 3,
+    min_frac: float = 0.0,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style per-host boilerplate removal by CORPUS
+    statistics (vs ``main_content``'s per-page structural rules): a line
+    whose trimmed form appears in ≥ ``min_docs`` distinct documents of the
+    same host AND in ≥ ``min_frac`` of the host's documents is navigation/
+    footer chrome, not content — strip it from every document of that
+    host.
+
+    Returns ``(id_col, host_col, clean_text, n_lines, n_removed)``:
+    ``clean_text`` is the byte-exact original lines that survive, joined
+    by ``\\n`` in original order (duplicates within a doc preserved);
+    blank lines (trim = '') are structural, never counted and never
+    removed.
+
+    Scale shape (the CCNet step is famously shuffle-heavy; this is the
+    bounded version):
+
+    - lines travel as ``md5(trim(line))`` 128-bit keys through the
+      frequency join, never as text — the shuffle stays narrow whatever
+      the line length (md5 rather than xxhash64 so the DuckDB oracle can
+      replay key-for-key);
+    - doc-frequency = groupBy (host, key) over the per-doc DISTINCT line
+      set — two map-side-combinable aggregations on a key that is uniform
+      by construction (hash);
+    - the per-host doc count is a host-cardinality dim, broadcast;
+    - the frequent-line set joins back against the exploded lines on
+      (host, key) — fan-out 1 — and reassembly is ONE groupBy(doc)
+      sort_array; everything else is codegen'd column work.
+    """
+    exploded = docs.select(
+        F.col(id_col),
+        F.col(host_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "_pos", "_line"
+        ),
+    ).select(
+        id_col,
+        host_col,
+        "_pos",
+        "_line",
+        F.md5(F.trim(F.col("_line"))).alias("_key"),
+        (F.trim(F.col("_line")) == "").alias("_blank"),
+    )
+
+    host_docs = docs.groupBy(host_col).agg(
+        F.countDistinct(id_col).alias("_host_docs")
+    )
+    freq = (
+        exploded.filter(~F.col("_blank"))
+        .select(host_col, "_key", id_col)
+        .distinct()
+        .groupBy(host_col, "_key")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .join(F.broadcast(host_docs), host_col)
+        .filter(
+            (F.col("_df") >= min_docs)
+            & (F.col("_df") >= F.col("_host_docs") * min_frac)
+        )
+        .select(host_col, "_key", F.lit(True).alias("_drop"))
+    )
+
+    marked = exploded.join(freq, [host_col, "_key"], "left").withColumn(
+        "_removed", F.coalesce("_drop", F.lit(False)) & ~F.col("_blank")
+    )
+    return (
+        marked.groupBy(id_col, host_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("_removed").cast("int")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_removed"),
+                                F.struct(
+                                    F.col("_pos"), F.col("_line").alias("line")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .select(
+            id_col,
+            host_col,
+            "clean_text",
+            F.col("n_lines").cast("int").alias("n_lines"),
+            F.col("n_removed").cast("int").alias("n_removed"),
+        )
+    )

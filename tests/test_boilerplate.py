@@ -96,3 +96,93 @@ def test_spark_main_content(spark):
     assert got[1]["n_kept"] == 2 and "Short title" in got[1]["main_text"]
     assert (got[2]["n_blocks"], got[2]["n_kept"]) == (1, 0)
     assert got[3]["main_text"] == "" and got[3]["n_blocks"] == 0
+
+
+# ------------------------------------------- corpus-frequency line removal
+import random as _random
+
+from ferenda_spark.functions.boilerplate import remove_frequent_lines
+
+
+def _naive_linefreq(rows, min_docs, min_frac):
+    from collections import defaultdict
+
+    host_docs = defaultdict(set)
+    df = defaultdict(set)
+    for i, h, t in rows:
+        host_docs[h].add(i)
+        for ln in {x.strip() for x in t.split("\n")}:
+            if ln:
+                df[(h, ln)].add(i)
+    out = {}
+    for i, h, t in rows:
+        kept, removed = [], 0
+        lines = t.split("\n")
+        for ln in lines:
+            s = ln.strip()
+            n = len(df.get((h, s), ()))
+            if s and n >= min_docs and n >= len(host_docs[h]) * min_frac:
+                removed += 1
+            else:
+                kept.append(ln)
+        out[i] = ("\n".join(kept), len(lines), removed)
+    return out
+
+
+def _run_linefreq(spark, rows, **kw):
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = remove_frequent_lines(df, **kw).collect()
+    return {r.doc_id: (r.clean_text, r.n_lines, r.n_removed) for r in got}
+
+
+def test_linefreq_basic_nav_stripped(spark):
+    rows = [
+        (1, "a.com", "NAV\nreal one\nCopyright"),
+        (2, "a.com", "NAV\nreal two\nCopyright"),
+        (3, "a.com", "NAV\nreal three\nCopyright"),
+        (4, "b.com", "NAV\nother host keeps it"),  # freq only on a.com
+    ]
+    got = _run_linefreq(spark, rows, min_docs=3)
+    assert got[1] == ("real one", 3, 2)
+    assert got[2] == ("real two", 3, 2)
+    assert got[4] == ("NAV\nother host keeps it", 2, 0)
+    assert got == _naive_linefreq(rows, 3, 0.0)
+
+
+def test_linefreq_blank_lines_exempt_and_bytes_exact(spark):
+    rows = [
+        (1, "a.com", "  spaced  \n\nNAV\n\ttabbed\t"),
+        (2, "a.com", "NAV\n\nx"),
+        (3, "a.com", "NAV"),
+    ]
+    got = _run_linefreq(spark, rows, min_docs=3)
+    # blank line survives; kept lines keep their exact bytes
+    assert got[1] == ("  spaced  \n\n\ttabbed\t", 4, 1)
+    assert got[3] == ("", 1, 1)  # every line removed → empty text
+    assert got == _naive_linefreq(rows, 3, 0.0)
+
+
+def test_linefreq_min_frac_gate(spark):
+    # line in 2 of 10 docs: passes min_docs=2 but not min_frac=0.5
+    rows = [(i, "h", f"unique {i}\nSEMI" if i < 2 else f"unique {i}")
+            for i in range(10)]
+    got = _run_linefreq(spark, rows, min_docs=2, min_frac=0.5)
+    assert got[0] == ("unique 0\nSEMI", 2, 0)
+    got2 = _run_linefreq(spark, rows, min_docs=2, min_frac=0.2)
+    assert got2[0] == ("unique 0", 2, 1)
+    assert got == _naive_linefreq(rows, 2, 0.5)
+    assert got2 == _naive_linefreq(rows, 2, 0.2)
+
+
+def test_linefreq_random_matches_naive(spark):
+    rnd = _random.Random(7)
+    pool = ["NAV", "Copyright 2026", "alpha", "beta gamma", "  indent",
+            "", "x", "NAV", "longer line with words"]
+    rows = []
+    for i in range(60):
+        host = f"h{i % 3}"
+        lines = [rnd.choice(pool) for _ in range(rnd.randint(1, 8))]
+        rows.append((i, host, "\n".join(lines)))
+    for md, mf in [(2, 0.0), (3, 0.3), (5, 0.9)]:
+        assert _run_linefreq(spark, rows, min_docs=md, min_frac=mf) == \
+            _naive_linefreq(rows, md, mf)
