@@ -2519,6 +2519,23 @@ def _q_hostline_boilerplate(spark, sf_dir):
     return remove_frequent_lines(aug, min_docs=5, min_frac=0.01)
 
 
+def _q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (functions/sketches.py): per-source
+    cardinality estimate of doc_id%4096 at k=128 — above k so the
+    (k-1)*2^60/kth estimator path is exercised, alongside the exact
+    countDistinct for comparison. The oracle recomputes the k-th smallest
+    md5-60bit hash with row_number and the identical double arithmetic
+    (same operands → same IEEE result, no rounding needed)."""
+    from ferenda_spark.functions.sketches import kmv_estimate, kmv_sketch
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", (F.col("doc_id") % 4096).cast("string").alias("v")
+    )
+    est = kmv_estimate(kmv_sketch(d, ["source"], "v", k=128), k=128)
+    exact = d.groupBy("source").agg(F.countDistinct("v").alias("n_exact"))
+    return est.join(exact, "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2610,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sameas_canonical": _q_sameas_canonical,
         "rdfs_inference": _q_rdfs_inference,
         "hostline_boilerplate": _q_hostline_boilerplate,
+        "kmv_distinct": _q_kmv_distinct,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -3712,6 +3730,45 @@ def oracle_sql() -> dict[str, str]:
 
 
 
+        # KMV sketch replayed: k-th smallest md5-60bit hash via
+        # row_number, identical double arithmetic for the estimator
+        "kmv_distinct": """
+            WITH v AS (
+                SELECT source, CAST(doc_id % 4096 AS VARCHAR) AS val
+                FROM documents
+            ),
+            h AS (
+                SELECT DISTINCT source,
+                       try_cast(('0x' || substr(md5(val), 1, 15)) AS BIGINT)
+                           AS hh
+                FROM v
+            ),
+            r AS (
+                SELECT source, hh,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY hh
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY source) AS nd
+                FROM h
+            ),
+            agg AS (
+                SELECT source,
+                       CAST(least(max(nd), 128) AS INT) AS sketch_size,
+                       max(CASE WHEN rn = 128 THEN hh END) AS kth,
+                       max(nd) AS nd
+                FROM r GROUP BY source
+            ),
+            ex AS (
+                SELECT source, count(DISTINCT val) AS n_exact FROM v
+                GROUP BY source
+            )
+            SELECT a.source, a.sketch_size,
+                   CASE WHEN a.nd < 128 THEN CAST(a.nd AS DOUBLE)
+                        ELSE (127.0 * 1152921504606846976.0)
+                             / CAST(a.kth AS DOUBLE) END AS est_distinct,
+                   e.n_exact
+            FROM agg a JOIN ex e USING (source)
+        """,
         # per-host frequent-line removal replayed with unnest+subscripts,
         # doc-frequency over trimmed lines, ORDER BY pos reassembly
         "hostline_boilerplate": """
