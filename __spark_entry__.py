@@ -2536,6 +2536,83 @@ def _q_kmv_distinct(spark, sf_dir):
     return est.join(exact, "source")
 
 
+def _q_shacl_violations(spark, sf_dir):
+    """SHACL-lite validation (operators/validation.py): declarative
+    shapes (minCount/maxCount/datatype/nodeKind/pattern, class-targeted)
+    over a synthesized graph with planted defects — doc_id%7 drops the
+    title (minCount), %11 doubles it (maxCount), %17 makes it a URI
+    (nodeKind Literal), %13 drops the issued datatype, %3 lower-cases the
+    code (pattern). The oracle enumerates each violation class with the
+    same modular arithmetic."""
+    from ferenda_spark.operators.validation import (
+        RDF_TYPE,
+        shapes_df,
+        validate_shapes,
+    )
+    from ferenda_spark.schemas import TRIPLES
+
+    d = _t(spark, sf_dir, "documents")
+    ent = F.concat(F.lit("ent:"), F.col("doc_id").cast("string"))
+    src_url = F.concat(F.lit("u:"), F.col("doc_id").cast("string"))
+    pk = (F.col("doc_id") % 8).cast("int")
+    null_s = F.lit(None).cast("string")
+
+    def row(frame, pred, obj, uri, dtype):
+        return frame.select(
+            ent.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj"),
+            uri.alias("obj_is_uri"), null_s.alias("obj_lang"),
+            dtype.alias("obj_dtype"), src_url.alias("src_url"),
+            pk.alias("part_key"),
+        )
+
+    types = row(d, RDF_TYPE, F.lit("c:Doc"), F.lit(True), null_s)
+    title1 = row(
+        d.filter(F.col("doc_id") % 7 != 0),
+        "p:title",
+        F.concat(F.lit("Title "), F.col("doc_id").cast("string")),
+        F.col("doc_id") % 17 == 0,
+        null_s,
+    )
+    title2 = row(
+        d.filter(F.col("doc_id") % 11 == 0),
+        "p:title",
+        F.concat(F.lit("Alt "), F.col("doc_id").cast("string")),
+        F.lit(False),
+        null_s,
+    )
+    issued = row(
+        d,
+        "p:issued",
+        F.lit("2026-01-01"),
+        F.lit(False),
+        F.when(F.col("doc_id") % 13 == 0, null_s).otherwise(F.lit("xsd:date")),
+    )
+    code = row(
+        d,
+        "p:code",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("abc-")).otherwise(F.lit("ABC-")),
+            F.col("doc_id").cast("string"),
+        ),
+        F.lit(False),
+        null_s,
+    )
+    triples = types.unionByName(title1).unionByName(title2) \
+        .unionByName(issued).unionByName(code)
+    assert [f.name for f in TRIPLES.fields] == triples.columns
+    shapes = shapes_df(spark, [
+        dict(shape="DocShape-title", target_class="c:Doc",
+             property="p:title", min_count=1, max_count=1,
+             node_kind="Literal"),
+        dict(shape="DocShape-issued", target_class="c:Doc",
+             property="p:issued", min_count=1, datatype="xsd:date"),
+        dict(shape="DocShape-code", target_class="c:Doc",
+             property="p:code", min_count=0,
+             pattern="^[A-Z]{3}-[0-9]+$"),
+    ])
+    return validate_shapes(triples, shapes)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2628,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_inference": _q_rdfs_inference,
         "hostline_boilerplate": _q_hostline_boilerplate,
         "kmv_distinct": _q_kmv_distinct,
+        "shacl_violations": _q_shacl_violations,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -3730,6 +3808,30 @@ def oracle_sql() -> dict[str, str]:
 
 
 
+        # SHACL-lite violations enumerated per planted-defect class with
+        # the same modular arithmetic the Spark side synthesizes with
+        "shacl_violations": """
+            WITH base AS (SELECT doc_id FROM documents)
+            SELECT 'ent:' || doc_id AS focus,
+                   'DocShape-title' AS shape,
+                   'minCount' AS constraint, '0' AS value
+            FROM base WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+            UNION ALL
+            SELECT 'ent:' || doc_id, 'DocShape-title', 'maxCount', '2'
+            FROM base WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0
+            UNION ALL
+            SELECT 'ent:' || doc_id, 'DocShape-title', 'nodeKind',
+                   'Title ' || doc_id
+            FROM base WHERE doc_id % 7 <> 0 AND doc_id % 17 = 0
+            UNION ALL
+            SELECT 'ent:' || doc_id, 'DocShape-issued', 'datatype',
+                   '2026-01-01'
+            FROM base WHERE doc_id % 13 = 0
+            UNION ALL
+            SELECT 'ent:' || doc_id, 'DocShape-code', 'pattern',
+                   'abc-' || doc_id
+            FROM base WHERE doc_id % 3 = 0
+        """,
         # KMV sketch replayed: k-th smallest md5-60bit hash via
         # row_number, identical double arithmetic for the estimator
         "kmv_distinct": """
