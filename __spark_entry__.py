@@ -2613,6 +2613,40 @@ def _q_shacl_violations(spark, sf_dir):
     return validate_shapes(triples, shapes)
 
 
+def _q_triangle_hosts(spark, sf_dir):
+    """Triangle counting (operators/graph.py::triangle_count): per-node
+    triangle membership over a deterministic doc_id-derived graph
+    (a=id%60, b=(id*7+3)%60) — degree-ordered orientation, one wedge join
+    + one closing-edge join. The oracle counts each triangle once via the
+    canonical a<b<c three-way join."""
+    from ferenda_spark.operators.graph import triangle_count
+
+    d = _t(spark, sf_dir, "documents")
+    edges = d.select(
+        (F.col("doc_id") % 60).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 60).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
+def _q_fact_versions_events(spark, sf_dir):
+    """Temporal SCD2 fact versioning (operators/temporal.py): each user's
+    event_type stream becomes validity intervals — consecutive re-crawls
+    of the same value extend the interval, changes open versions,
+    simultaneous conflicts break ties by value. The oracle replays the
+    lag change-filter and lead/row_number windows verbatim."""
+    from ferenda_spark.operators.temporal import fact_versions
+
+    e = _t(spark, sf_dir, "events")
+    assertions = e.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("subj"),
+        F.lit("p:status").alias("pred"),
+        F.col("event_type").alias("obj"),
+        F.col("ts"),
+    )
+    return fact_versions(assertions)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2706,6 +2740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hostline_boilerplate": _q_hostline_boilerplate,
         "kmv_distinct": _q_kmv_distinct,
         "shacl_violations": _q_shacl_violations,
+        "triangle_hosts": _q_triangle_hosts,
+        "fact_versions_events": _q_fact_versions_events,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -3808,6 +3844,66 @@ def oracle_sql() -> dict[str, str]:
 
 
 
+        # each triangle counted once via the canonical a<b<c 3-way join
+        "triangle_hosts": """
+            WITH e0 AS (
+                SELECT doc_id % 60 AS a, (doc_id * 7 + 3) % 60 AS b
+                FROM documents
+            ),
+            e1 AS (SELECT a, b FROM e0 WHERE a <> b),
+            und AS (SELECT a, b FROM e1 UNION SELECT b, a FROM e1),
+            canon AS (SELECT a, b FROM und WHERE a < b),
+            tri AS (
+                SELECT t1.a AS x, t1.b AS y, t2.b AS z
+                FROM canon t1
+                JOIN canon t2 ON t2.a = t1.b
+                JOIN canon t3 ON t3.a = t1.a AND t3.b = t2.b
+            ),
+            nodes AS (SELECT DISTINCT a AS node FROM und),
+            pn AS (
+                SELECT node, count(*) AS c FROM (
+                    SELECT x AS node FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri
+                ) GROUP BY node
+            )
+            SELECT n.node, CAST(coalesce(pn.c, 0) AS BIGINT) AS n_triangles
+            FROM nodes n LEFT JOIN pn USING (node)
+        """,
+        # lag change-filter + lead/row_number replayed over the same
+        # (ts, value) ordering; DISTINCT = the operator's idempotent
+        # duplicate-observation collapse
+        "fact_versions_events": """
+            WITH obs AS (
+                SELECT DISTINCT user_id, event_type AS value, ts
+                FROM events
+            ),
+            w1 AS (
+                SELECT user_id, value, ts,
+                       lag(value) OVER (
+                           PARTITION BY user_id ORDER BY ts, value
+                       ) AS prev
+                FROM obs
+            ),
+            ch AS (
+                SELECT user_id, value, ts FROM w1
+                WHERE prev IS NULL OR value <> prev
+            )
+            SELECT 'user:' || user_id AS subj,
+                   'p:status' AS pred,
+                   value,
+                   ts AS valid_from,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, value
+                   ) AS valid_to,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, value
+                   ) AS INT) AS version,
+                   (lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, value
+                   ) IS NULL) AS is_current
+            FROM ch
+        """,
         # SHACL-lite violations enumerated per planted-defect class with
         # the same modular arithmetic the Spark side synthesizes with
         "shacl_violations": """

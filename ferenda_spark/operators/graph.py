@@ -352,3 +352,78 @@ def hits(
     nodes.unpersist()
     e.unpersist()
     return out.select("node", "hub", "authority")
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph
+    (self-loops and duplicate/reverse edges collapsed first).
+
+    Returns ``(node, n_triangles)`` for every node that appears in an
+    edge (nodes in no triangle get 0).
+
+    Algorithm: degree-ordered edge orientation (each undirected edge
+    points from its (degree, id)-smaller endpoint to the larger), then
+    wedge join + closing-edge join. The orientation is THE scale move:
+    out-degree is bounded by O(sqrt(m)) regardless of hubs (a celebrity
+    host with 10^7 neighbors contributes wedges only through the ~sqrt(m)
+    neighbors that outrank it), so the wedge self-join — the only
+    super-linear step — never explodes on skew. Each triangle is produced
+    exactly once, as its unique orientation-ordered (a, b, c).
+
+    Shuffles: symmetrize+distinct, degree agg, two joins keyed on node
+    pairs, final explode+count — all equi-keyed, AQE-splittable.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    # no persist: the function is lazy end-to-end; the symmetrize+distinct
+    # Exchange is reused across the downstream joins by Spark's shuffle
+    # reuse within the single action that evaluates the result
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed(
+        "a", "node"
+    )
+    ranked = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    )
+    oriented = ranked.filter(
+        F.struct("da", "a") < F.struct("db", "b")
+    ).select("a", "b")
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.a") == F.col("e2.a"))
+        .filter(F.col("e1.b") < F.col("e2.b"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.least("e1.b", "e2.b").alias("y"),
+            F.greatest("e1.b", "e2.b").alias("z"),
+        )
+    )
+    # the closing edge may be oriented either way between y and z in the
+    # (degree, id) order — normalize wedge (y, z) by plain id above, so
+    # probe the oriented set in both directions
+    closing = oriented.select(
+        F.least("a", "b").alias("y"), F.greatest("a", "b").alias("z")
+    )
+    tris = wedges.join(closing, ["y", "z"]).select("x", "y", "z")
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+        )
+    )
+    return out

@@ -1,0 +1,83 @@
+"""Temporal fact versioning — SCD2-style validity intervals over
+re-crawled assertions.
+
+Reference analog: ferenda keeps one current RDF file per document and a
+DocumentEntry timestamp trail ([ref: ferenda/documententry.py ::
+DocumentEntry] — published/updated per action); history of VALUES is
+implicit in the VCS of the downloaded files and never queryable. A
+Common-Crawl-scale KG sees the same (subject, predicate) asserted by many
+crawls over time and must answer both "what is the current value" and
+"what did it say in March": the standard warehouse answer is a slowly-
+changing-dimension type-2 table of validity intervals, built here from
+the raw assertion stream.
+
+Semantics (all oracle-replayable window functions):
+
+- assertions are ordered per key by ``(ts, value)`` — the value tiebreak
+  makes simultaneous conflicting crawls deterministic;
+- consecutive repeats of the SAME value do NOT open a new version (a
+  re-crawl that observes no change extends the current interval) — the
+  change-detection filter ``value != lag(value)``;
+- each surviving change row becomes a version: ``valid_from`` = its ts,
+  ``valid_to`` = the NEXT change's ts (NULL = still current),
+  ``version`` = 1-based change ordinal, ``is_current`` = last version.
+
+Scale shape: everything rides ONE window partitioning (the key columns) —
+Spark plans the lag + the post-filter row_number/lead as one shuffle plus
+two sorts over it; keys are (subj, pred) so hot subjects spread across
+predicates. No UDFs, no collects.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fact_versions(
+    assertions: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("subj", "pred"),
+    value_col: str = "obj",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """``(*key_cols, value, valid_from, valid_to, version, is_current)``
+    — one row per VALUE CHANGE per key (see module docstring).
+
+    Exact duplicate observations (same key, ts, value) collapse first, so
+    re-ingesting a batch is idempotent."""
+    obs = assertions.select(
+        *key_cols,
+        F.col(value_col).alias("value"),
+        F.col(ts_col).alias("valid_from"),
+    ).dropDuplicates([*key_cols, "value", "valid_from"])
+
+    w = Window.partitionBy(*key_cols).orderBy("valid_from", "value")
+    changed = obs.withColumn("_prev", F.lag("value").over(w)).filter(
+        F.col("_prev").isNull() | (F.col("value") != F.col("_prev"))
+    )
+
+    w2 = Window.partitionBy(*key_cols).orderBy("valid_from", "value")
+    return changed.select(
+        *key_cols,
+        "value",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+def facts_as_of(versions: DataFrame, ts, *, ts_col_from: str = "valid_from",
+                ts_col_to: str = "valid_to") -> DataFrame:
+    """Time-travel view: the version rows valid at instant ``ts``
+    (``valid_from <= ts < valid_to``, open-ended current rows included).
+    A pure filter — partition/predicate pushdown applies when ``versions``
+    is stored partitioned by a date derivative of ``valid_from``."""
+    t = F.lit(ts)
+    return versions.filter(
+        (F.col(ts_col_from) <= t)
+        & (F.col(ts_col_to).isNull() | (F.col(ts_col_to) > t))
+    )
