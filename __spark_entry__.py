@@ -2647,6 +2647,55 @@ def _q_fact_versions_events(spark, sf_dir):
     return fact_versions(assertions)
 
 
+def _q_ntriples_roundtrip(spark, sf_dir):
+    """N-Triples interchange (sources/ntriples.py): triples with hostile
+    literals (embedded quote+backslash prefix, document text, lang tags,
+    typed literals, URI objects) are serialized to canonical NT lines,
+    parsed back, and re-serialized — the query returns the parsed value
+    columns plus the line, so the hash gates BOTH round-trip identity and
+    exact serialized bytes. The oracle rebuilds the escape chain
+    (\\\\ then \\" \\n \\r \\t) with nested replace()."""
+    from ferenda_spark.sources.ntriples import (
+        parse_ntriples_lines,
+        to_ntriples_lines,
+    )
+    from ferenda_spark.schemas import TRIPLES
+
+    d = _t(spark, sf_dir, "documents")
+    ent = F.concat(F.lit("ent:"), F.col("doc_id").cast("string"))
+    null_s = F.lit(None).cast("string")
+
+    def row(pred, obj, uri, lang, dtype):
+        return d.select(
+            ent.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj"),
+            F.lit(uri).alias("obj_is_uri"), lang.alias("obj_lang"),
+            dtype.alias("obj_dtype"),
+            F.concat(F.lit("u:"), F.col("doc_id").cast("string")).alias("src_url"),
+            (F.col("doc_id") % 8).cast("int").alias("part_key"),
+        )
+
+    tri = (
+        row("p:text", F.concat(F.lit('Q"\\ '), F.col("text")), False,
+            null_s, null_s)
+        .unionByName(row("p:label", F.concat(F.lit("L-"), F.col("lang")),
+                         False, F.col("lang"), null_s))
+        .unionByName(row("p:nchars", F.col("n_chars").cast("string"), False,
+                         null_s,
+                         F.lit("http://www.w3.org/2001/XMLSchema#integer")))
+        .unionByName(row("p:cites",
+                         F.concat(F.lit("ent:"),
+                                  ((F.col("doc_id") * 7 + 3) % 1000)
+                                  .cast("string")),
+                         True, null_s, null_s))
+    )
+    assert [f.name for f in TRIPLES.fields] == tri.columns
+    parsed = parse_ntriples_lines(to_ntriples_lines(tri).select("line"))
+    ok = parsed.filter(F.col("kind") == "triple").drop("kind")
+    return to_ntriples_lines(ok).select(
+        "subj", "pred", "obj", "obj_is_uri", "obj_lang", "obj_dtype", "line"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2742,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_violations": _q_shacl_violations,
         "triangle_hosts": _q_triangle_hosts,
         "fact_versions_events": _q_fact_versions_events,
+        "ntriples_roundtrip": _q_ntriples_roundtrip,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -3844,6 +3894,51 @@ def oracle_sql() -> dict[str, str]:
 
 
 
+        # NT lines rebuilt from scratch: escape chain \ -> \\ first, then
+        # " LF CR TAB; literal term + optional @lang / ^^<dtype> suffix
+        "ntriples_roundtrip": """
+            WITH esc AS (
+                SELECT doc_id,
+                       replace(replace(replace(replace(replace(
+                           'Q"\\ ' || text,
+                           '\\', '\\\\'), '"', '\\"'),
+                           chr(10), '\\n'), chr(13), '\\r'),
+                           chr(9), '\\t') AS etext,
+                       lang, n_chars
+                FROM documents
+            ),
+            rows_ AS (
+                SELECT 'ent:' || doc_id AS subj, 'p:text' AS pred,
+                       'Q"\\ ' || text AS obj, FALSE AS obj_is_uri,
+                       CAST(NULL AS VARCHAR) AS obj_lang,
+                       CAST(NULL AS VARCHAR) AS obj_dtype,
+                       '"' || e.etext || '"' AS obj_term
+                FROM documents d JOIN esc e USING (doc_id)
+                UNION ALL
+                SELECT 'ent:' || doc_id, 'p:label', 'L-' || lang, FALSE,
+                       lang, CAST(NULL AS VARCHAR),
+                       '"L-' || lang || '"@' || lang
+                FROM documents
+                UNION ALL
+                SELECT 'ent:' || doc_id, 'p:nchars',
+                       CAST(n_chars AS VARCHAR), FALSE,
+                       CAST(NULL AS VARCHAR),
+                       'http://www.w3.org/2001/XMLSchema#integer',
+                       '"' || n_chars
+                       || '"^^<http://www.w3.org/2001/XMLSchema#integer>'
+                FROM documents
+                UNION ALL
+                SELECT 'ent:' || doc_id, 'p:cites',
+                       'ent:' || ((doc_id * 7 + 3) % 1000), TRUE,
+                       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                       '<ent:' || ((doc_id * 7 + 3) % 1000) || '>'
+                FROM documents
+            )
+            SELECT subj, pred, obj, obj_is_uri, obj_lang, obj_dtype,
+                   '<' || subj || '> <' || pred || '> ' || obj_term || ' .'
+                       AS line
+            FROM rows_
+        """,
         # each triangle counted once via the canonical a<b<c 3-way join
         "triangle_hosts": """
             WITH e0 AS (
