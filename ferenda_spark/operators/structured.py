@@ -277,3 +277,30 @@ def structured_triples(
         .select("src", F.explode("_t").alias("t"))
         .select("src", "t.subj", "t.pred", "t.obj")
     )
+
+
+def structured_as_triples(st: DataFrame, n_parts: int = 64) -> DataFrame:
+    """Adapt the harvest (src, subj, pred, obj) to the TRIPLES schema so
+    publisher-asserted graphs can feed the enrichment stage (owl:sameAs
+    canonicalization / RDFS inference / validation) alongside grammar
+    triples. URI-ness is recovered heuristically — the harvest keeps no
+    node/literal flag: an object is a URI iff it starts with a scheme
+    (``foo:``-style, RFC 3986) or a blank-node prefix ``_:``. That is
+    exact for the values that matter to enrichment (sameAs targets and
+    type/class URIs are always schemed); a literal that happens to start
+    with a scheme pattern would be mis-flagged, which costs nothing worse
+    than a failed join. Provenance: src_url = the harvesting page,
+    part_key = its domain hash (same layout as grammar triples)."""
+    from ferenda_spark.functions.uris import part_key_col
+
+    is_uri = F.col("obj").rlike(r"^([a-z][a-z0-9+.-]*:|_:)")
+    return st.select(
+        "subj",
+        "pred",
+        "obj",
+        is_uri.alias("obj_is_uri"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_dtype"),
+        F.col("src").alias("src_url"),
+        part_key_col(F.col("src"), n_parts).alias("part_key"),
+    )

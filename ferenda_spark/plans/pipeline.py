@@ -65,6 +65,9 @@ def run_pipeline(
     facets=None,
     publish_html: bool = False,
     harvest_structured: bool = False,
+    enrich_kg: bool = False,
+    shapes: DataFrame | None = None,
+    enrich_extra_triples: DataFrame | None = None,
 ) -> dict[str, str]:
     """Run (or resume) the full DAG; returns stage-table paths.
 
@@ -254,8 +257,78 @@ def run_pipeline(
         catalog.append_table(lin_rows, paths["lineage"])
         ledger.mark("triples", lin_rows, run_id=run_id)
 
-    # --------------------------------------------------------------- rollup
+    # --------------------------------------------- KG enrichment (opt-in)
+    # owl:sameAs canonicalization + RDFS inference + SHACL-lite validation
+    # over the assembled graph (optionally merged with publisher-asserted
+    # structured triples — the harvest is where real sameAs edges come
+    # from). Kept as SEPARATE stage tables: canonical is the query-facing
+    # graph, inferred is its own layer (re-inference after a schema change
+    # never rewrites asserted facts), violations are an audit table.
+    # Reruns whole: the sameAs closure is GLOBAL (connected components),
+    # so partition-granular resume cannot decompose it — at 10^12 docs
+    # this stage runs per-snapshot, with dedup_store-style cross-batch
+    # incremental components as the scale path.
     import time as _time
+
+    if enrich_kg:
+        from ferenda_spark.operators.inference import rdfs_closure
+        from ferenda_spark.operators.sameas import canonicalize_sameas
+
+        paths["triples_canonical"] = _p(out_dir, "triples_canonical")
+        paths["triples_inferred"] = _p(out_dir, "triples_inferred")
+        _t0e = _time.monotonic()
+        spo = catalog.read_table(spark, paths["triples_spo"])
+        base = spo
+        if enrich_extra_triples is not None:
+            base = base.unionByName(enrich_extra_triples)
+        elif harvest_structured and "structured" in paths:
+            from ferenda_spark.operators.structured import (
+                structured_as_triples,
+            )
+
+            base = base.unionByName(
+                structured_as_triples(
+                    catalog.read_table(spark, paths["structured"]), n_parts
+                )
+            )
+        canon = canonicalize_sameas(base)
+        write_stage_partitioned(canon, paths["triples_canonical"])
+        canon_tbl = catalog.read_table(spark, paths["triples_canonical"])
+        # schema-closure rows carry no provenance → part_key -1 so the
+        # partitioned layout never grows a NULL partition directory
+        inferred = rdfs_closure(canon_tbl).withColumn(
+            "part_key", F.coalesce("part_key", F.lit(-1)).cast("int")
+        )
+        write_stage_partitioned(inferred, paths["triples_inferred"])
+        n_out_e = (
+            catalog.read_table(spark, paths["triples_canonical"]).count()
+            + catalog.read_table(spark, paths["triples_inferred"]).count()
+        )
+        if shapes is not None:
+            from ferenda_spark.operators.validation import validate_shapes
+
+            paths["violations"] = _p(out_dir, "violations")
+            graph = canon_tbl.unionByName(
+                catalog.read_table(spark, paths["triples_inferred"])
+            )
+            catalog.write_table(
+                validate_shapes(graph, shapes), paths["violations"]
+            )
+        catalog.append_table(
+            _whole_stage_lineage(
+                spark,
+                stage="enrich",
+                n_in=spo.count(),
+                n_out=n_out_e,
+                bytes_in=_table_bytes(spark, paths["triples_spo"]),
+                wall_ms=int((_time.monotonic() - _t0e) * 1000),
+                run_id=run_id,
+            ),
+            paths["lineage"],
+        )
+        ledger.mark_parts("enrich", [-1], run_id=run_id)
+
+    # --------------------------------------------------------------- rollup
 
     _t0 = _time.monotonic()
     triples_tbl = catalog.read_table(spark, paths["triples_spo"])
