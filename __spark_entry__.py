@@ -2696,6 +2696,30 @@ def _q_ntriples_roundtrip(spark, sf_dir):
     )
 
 
+def _q_incremental_components(spark, sf_dir):
+    """Incremental connected-components maintenance (operators/graph.py::
+    update_components): label groups of 4 doc ids, then a new batch of
+    bridge edges (id, id+4 at id%20==0) arrives and is folded in via the
+    star-edge trick — the edge HISTORY is never rescanned. The oracle
+    computes components over old ∪ new with one recursive CTE, which the
+    incremental result must equal exactly."""
+    from ferenda_spark.operators.graph import (
+        connected_components,
+        update_components,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") - F.col("doc_id") % 4).alias("dst"),
+    )
+    new = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 4).alias("dst")
+    )
+    prev = connected_components(old)
+    return update_components(prev, new)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2792,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_hosts": _q_triangle_hosts,
         "fact_versions_events": _q_fact_versions_events,
         "ntriples_roundtrip": _q_ntriples_roundtrip,
+        "incremental_components": _q_incremental_components,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -3894,6 +3919,25 @@ def oracle_sql() -> dict[str, str]:
 
 
 
+        # incremental result must equal the one-shot closure over the
+        # full edge history (old ∪ new), recursive-CTE replay
+        "incremental_components": """
+            WITH RECURSIVE e0 AS (
+                SELECT doc_id AS a, doc_id - doc_id % 4 AS b
+                FROM documents
+                UNION ALL
+                SELECT doc_id, doc_id + 4 FROM documents
+                WHERE doc_id % 20 = 0
+            ),
+            e1 AS (SELECT a, b FROM e0 WHERE a <> b),
+            und AS (SELECT a, b FROM e1 UNION SELECT b, a FROM e1),
+            reach(n, m) AS (
+                SELECT DISTINCT a, a FROM und
+                UNION
+                SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a
+            )
+            SELECT n AS node, min(m) AS comp FROM reach GROUP BY n
+        """,
         # NT lines rebuilt from scratch: escape chain \ -> \\ first, then
         # " LF CR TAB; literal term + optional @lang / ^^<dtype> suffix
         "ntriples_roundtrip": """

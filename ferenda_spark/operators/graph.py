@@ -427,3 +427,38 @@ def triangle_count(
         )
     )
     return out
+
+
+def update_components(prev: DataFrame, new_edges: DataFrame,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Incrementally maintain a connected-components labeling when a new
+    batch of edges arrives: exactly ``connected_components(history ∪
+    new_edges)`` WITHOUT rescanning the edge history.
+
+    ``prev`` is a previous run's (node, comp) output. Each old component
+    is connectivity-equivalent to its STAR (every member linked to the
+    representative), and the star has O(nodes) edges no matter how dense
+    the original evidence was — for alias graphs (edges ≫ nodes) the
+    incremental run is therefore strictly smaller than the original, and
+    the raw pair history never needs to be stored at all (the component
+    map IS the state, same discipline as dedup_store's fingerprint-only
+    snapshots). Labels stay stable: comp ids are min member ids, and the
+    min over a merged set of old components is again the global min node.
+
+    New-batch nodes unseen before enter as ordinary edge endpoints;
+    previously-labeled nodes keep their row even when untouched (they ride
+    along as star edges). Iteration count stays O(log diameter) of the
+    NEW quotient graph — old components are already depth-1 stars.
+    """
+    star = prev.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(src), F.col("comp").alias(dst)
+    )
+    edges = star.unionByName(
+        new_edges.select(F.col(src).alias(src), F.col(dst).alias(dst))
+    )
+    merged = connected_components(edges, src, dst)
+    # a singleton (node==comp) prev row — possible when a caller unioned
+    # isolated nodes into the map — has no star edge; if no new edge
+    # touches it either it is absent from `merged`: restore its old label
+    untouched = prev.join(merged.select("node"), "node", "left_anti")
+    return merged.unionByName(untouched)

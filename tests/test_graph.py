@@ -247,3 +247,81 @@ def test_hits_empty_edges(spark):
 
     df = spark.createDataFrame([], "src long, dst long")
     assert hits(df, n_iter=3).count() == 0
+
+
+# -------------------------------------------------- incremental components
+from ferenda_spark.operators.graph import update_components
+
+
+def _cc_naive(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_update_components_equals_full_recompute(spark):
+    import random
+
+    rnd = random.Random(13)
+    old = [(rnd.randint(0, 30), rnd.randint(0, 30)) for _ in range(40)]
+    new = [(rnd.randint(0, 45), rnd.randint(0, 45)) for _ in range(25)]
+    old = [e for e in old if e[0] != e[1]]
+    new = [e for e in new if e[0] != e[1]]
+    prev = connected_components(spark.createDataFrame(old, ["src", "dst"]))
+    got = {
+        r.node: r.comp
+        for r in update_components(
+            prev, spark.createDataFrame(new, ["src", "dst"])
+        ).collect()
+    }
+    assert got == _cc_naive(old + new)
+
+
+def test_update_components_merges_old_clusters(spark):
+    old = [(1, 2), (3, 4), (10, 11)]
+    prev = connected_components(spark.createDataFrame(old, ["src", "dst"]))
+    # one new edge bridges {1,2} and {3,4}; {10,11} untouched
+    got = {
+        r.node: r.comp
+        for r in update_components(
+            prev, spark.createDataFrame([(2, 3)], ["src", "dst"])
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_update_components_preserves_singleton_rows(spark):
+    prev = spark.createDataFrame(
+        [(1, 1), (2, 1), (9, 9)], ["node", "comp"]  # 9 = isolated, unioned in
+    )
+    got = {
+        r.node: r.comp
+        for r in update_components(
+            prev, spark.createDataFrame([(2, 5)], ["src", "dst"])
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 5: 1, 9: 9}
+
+
+def test_update_components_chained_batches(spark):
+    b1 = [(1, 2), (4, 5)]
+    b2 = [(2, 4)]
+    b3 = [(7, 8), (5, 7)]
+    cur = connected_components(spark.createDataFrame(b1, ["src", "dst"]))
+    for batch in (b2, b3):
+        cur = update_components(
+            cur, spark.createDataFrame(batch, ["src", "dst"])
+        )
+    got = {r.node: r.comp for r in cur.collect()}
+    assert got == _cc_naive(b1 + b2 + b3)
