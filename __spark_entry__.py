@@ -2720,6 +2720,30 @@ def _q_incremental_components(spark, sf_dir):
     return update_components(prev, new)
 
 
+def _q_redirect_resolution(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.py): pointer
+    doubling to each chain's final URL with exact hop counts; planted
+    2-loops (ids %50==0) must flag is_cycle with NULL final. Chains are
+    u:id→u:id+1 for id%10<3 (length ≤3 ending at the decade's +3 URL).
+    The oracle walks chains with a bounded recursive CTE and flags loops
+    as max-hop rows whose endpoint still has an outgoing edge."""
+    from ferenda_spark.operators.redirects import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents")
+    u = F.concat(F.lit("u:"), F.col("doc_id").cast("string"))
+    chains = d.filter(F.col("doc_id") % 10 < 3).select(
+        u.alias("src"),
+        F.concat(F.lit("u:"), (F.col("doc_id") + 1).cast("string")).alias("dst"),
+    )
+    lx = F.concat(F.lit("loop:"), F.col("doc_id").cast("string"), F.lit(":x"))
+    ly = F.concat(F.lit("loop:"), F.col("doc_id").cast("string"), F.lit(":y"))
+    loops = d.filter(F.col("doc_id") % 50 == 0)
+    edges = chains.unionByName(
+        loops.select(lx.alias("src"), ly.alias("dst"))
+    ).unionByName(loops.select(ly.alias("src"), lx.alias("dst")))
+    return resolve_redirects(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2817,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_versions_events": _q_fact_versions_events,
         "ntriples_roundtrip": _q_ntriples_roundtrip,
         "incremental_components": _q_incremental_components,
+        "redirect_resolution": _q_redirect_resolution,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -3919,6 +3944,45 @@ def oracle_sql() -> dict[str, str]:
 
 
 
+        # chain walk as a bounded recursive CTE; a loop = the max-hop row
+        # still has an outgoing edge at the cap
+        "redirect_resolution": """
+            WITH RECURSIVE e0 AS (
+                SELECT 'u:' || doc_id AS src, 'u:' || (doc_id + 1) AS dst
+                FROM documents WHERE doc_id % 10 < 3
+                UNION ALL
+                SELECT 'loop:' || doc_id || ':x', 'loop:' || doc_id || ':y'
+                FROM documents WHERE doc_id % 50 = 0
+                UNION ALL
+                SELECT 'loop:' || doc_id || ':y', 'loop:' || doc_id || ':x'
+                FROM documents WHERE doc_id % 50 = 0
+            ),
+            e AS (
+                SELECT src, min(dst) AS dst FROM e0
+                WHERE src <> dst GROUP BY src
+            ),
+            walk(url, cur, hops) AS (
+                SELECT src, dst, 1 FROM e
+                UNION ALL
+                SELECT w.url, e.dst, w.hops + 1
+                FROM walk w JOIN e ON w.cur = e.src
+                WHERE w.hops < 64
+            ),
+            last AS (
+                SELECT url, cur, hops,
+                       row_number() OVER (
+                           PARTITION BY url ORDER BY hops DESC
+                       ) AS rn
+                FROM walk
+            )
+            SELECT l.url,
+                   CASE WHEN t.src IS NULL THEN l.cur END AS final_url,
+                   CAST(CASE WHEN t.src IS NULL THEN l.hops END AS INT)
+                       AS n_hops,
+                   (t.src IS NOT NULL) AS is_cycle
+            FROM last l LEFT JOIN e t ON l.cur = t.src
+            WHERE l.rn = 1
+        """,
         # incremental result must equal the one-shot closure over the
         # full edge history (old ∪ new), recursive-CTE replay
         "incremental_components": """
