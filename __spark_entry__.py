@@ -2744,6 +2744,42 @@ def _q_redirect_resolution(spark, sf_dir):
     return resolve_redirects(edges)
 
 
+def _q_r2rml_nation_triples(spark, sf_dir):
+    """R2RML-lite relational→RDF mapping (operators/r2rml.py): nation and
+    region become typed entities with literal / object-reference / typed /
+    lang-tagged terms, all from ONE declarative mapping per table —
+    map-only, zero shuffle. part_key (xxhash64, not DuckDB-replayable) is
+    projected out; everything else hashes against the oracle's UNION ALL
+    reconstruction, including the NULL-column drop rule."""
+    from ferenda_spark.operators.r2rml import (
+        ColumnMap,
+        TableMapping,
+        XSD_INTEGER,
+        map_tables,
+    )
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    out = map_tables({
+        "tbl:nation": (nation, TableMapping(
+            subject_template="ent:nation/{n_nationkey}",
+            class_uri="c:Nation",
+            predicates=[
+                ColumnMap("p:name", "n_name", lang="en"),
+                ColumnMap("p:region", "ent:region/{n_regionkey}",
+                          template=True, is_uri=True),
+                ColumnMap("p:key", "n_nationkey", dtype=XSD_INTEGER),
+            ],
+        )),
+        "tbl:region": (region, TableMapping(
+            subject_template="ent:region/{r_regionkey}",
+            class_uri="c:Region",
+            predicates=[ColumnMap("p:name", "r_name")],
+        )),
+    })
+    return out.drop("part_key")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2842,6 +2878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples_roundtrip": _q_ntriples_roundtrip,
         "incremental_components": _q_incremental_components,
         "redirect_resolution": _q_redirect_resolution,
+        "r2rml_nation_triples": _q_r2rml_nation_triples,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -3944,6 +3981,46 @@ def oracle_sql() -> dict[str, str]:
 
 
 
+        # R2RML mapping replayed as UNION ALL selects; rdf:type row per
+        # entity, NULL columns emit nothing
+        "r2rml_nation_triples": """
+            WITH n AS (SELECT * FROM nation), r AS (SELECT * FROM region),
+            t AS (
+                SELECT 'ent:nation/' || n_nationkey AS subj,
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                           AS pred,
+                       'c:Nation' AS obj, TRUE AS obj_is_uri,
+                       CAST(NULL AS VARCHAR) AS obj_lang,
+                       CAST(NULL AS VARCHAR) AS obj_dtype,
+                       'tbl:nation' AS src_url
+                FROM n
+                UNION ALL
+                SELECT 'ent:nation/' || n_nationkey, 'p:name',
+                       n_name, FALSE, 'en', NULL, 'tbl:nation'
+                FROM n WHERE n_name IS NOT NULL
+                UNION ALL
+                SELECT 'ent:nation/' || n_nationkey, 'p:region',
+                       'ent:region/' || n_regionkey, TRUE, NULL, NULL,
+                       'tbl:nation'
+                FROM n WHERE n_regionkey IS NOT NULL
+                UNION ALL
+                SELECT 'ent:nation/' || n_nationkey, 'p:key',
+                       CAST(n_nationkey AS VARCHAR), FALSE, NULL,
+                       'http://www.w3.org/2001/XMLSchema#integer',
+                       'tbl:nation'
+                FROM n
+                UNION ALL
+                SELECT 'ent:region/' || r_regionkey,
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                       'c:Region', TRUE, NULL, NULL, 'tbl:region'
+                FROM r
+                UNION ALL
+                SELECT 'ent:region/' || r_regionkey, 'p:name',
+                       r_name, FALSE, NULL, NULL, 'tbl:region'
+                FROM r WHERE r_name IS NOT NULL
+            )
+            SELECT * FROM t
+        """,
         # chain walk as a bounded recursive CTE; a loop = the max-hop row
         # still has an outgoing edge at the cap
         "redirect_resolution": """

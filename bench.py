@@ -63,6 +63,17 @@ BENCH_QUERIES = [
     "lm_perplexity",
     "main_content_extract",
     "robots_filtering",
+    # round-3 KG-enrichment additions (each oracle-backed)
+    "sameas_canonical",
+    "rdfs_inference",
+    "shacl_violations",
+    "triangle_hosts",
+    "fact_versions_events",
+    "hostline_boilerplate",
+    "kmv_distinct",
+    "ntriples_roundtrip",
+    "redirect_resolution",
+    "incremental_components",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs
