@@ -2780,6 +2780,52 @@ def _q_r2rml_nation_triples(spark, sf_dir):
     return out.drop("part_key")
 
 
+def _q_schema_profile(spark, sf_dir):
+    """KG schema profiling (operators/profiling.py): (subject class,
+    predicate, object kind) usage summary with assertion / distinct-subj /
+    distinct-obj counts — typed object refs resolve to their class,
+    untyped URIs to @IRI, literals to dtype or @Literal. The oracle
+    replays both type joins and the kind CASE."""
+    from ferenda_spark.operators.profiling import RDF_TYPE, profile_schema
+    from ferenda_spark.schemas import TRIPLES
+
+    d = _t(spark, sf_dir, "documents")
+    ent = F.concat(F.lit("ent:"), F.col("doc_id").cast("string"))
+    null_s = F.lit(None).cast("string")
+
+    def row(pred_lit, obj, uri, dtype):
+        return d.select(
+            ent.alias("subj"), F.lit(pred_lit).alias("pred"),
+            obj.alias("obj"), F.lit(uri).alias("obj_is_uri"),
+            null_s.alias("obj_lang"),
+            (F.lit(dtype) if dtype else null_s).alias("obj_dtype"),
+            null_s.alias("src_url"),
+            (F.col("doc_id") % 8).cast("int").alias("part_key"),
+        )
+
+    tri = (
+        row(RDF_TYPE,
+            F.concat(F.lit("c:"), (F.col("doc_id") % 3).cast("string")),
+            True, None)
+        .unionByName(row("p:cites",
+                         F.concat(F.lit("ent:"),
+                                  (F.col("doc_id") - F.col("doc_id") % 10)
+                                  .cast("string")), True, None))
+        .unionByName(row("p:ext",
+                         F.concat(F.lit("ext:"),
+                                  (F.col("doc_id") % 5).cast("string")),
+                         True, None))
+        .unionByName(row("p:label",
+                         F.concat(F.lit("Doc "),
+                                  F.col("doc_id").cast("string")),
+                         False, None))
+        .unionByName(row("p:nchars", F.col("n_chars").cast("string"),
+                         False, "xsd:integer"))
+    )
+    assert [f.name for f in TRIPLES.fields] == tri.columns
+    return profile_schema(tri)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2879,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_components": _q_incremental_components,
         "redirect_resolution": _q_redirect_resolution,
         "r2rml_nation_triples": _q_r2rml_nation_triples,
+        "schema_profile": _q_schema_profile,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -3981,6 +4028,49 @@ def oracle_sql() -> dict[str, str]:
 
 
 
+        # type map joined on subj and (URI-only) obj, kind CASE replayed
+        "schema_profile": """
+            WITH base AS (SELECT doc_id, n_chars FROM documents),
+            types AS (
+                SELECT DISTINCT 'ent:' || doc_id AS node,
+                       'c:' || (doc_id % 3) AS cls
+                FROM base
+            ),
+            props AS (
+                SELECT 'ent:' || doc_id AS subj, 'p:cites' AS pred,
+                       'ent:' || (doc_id - doc_id % 10) AS obj,
+                       TRUE AS u, CAST(NULL AS VARCHAR) AS dt
+                FROM base
+                UNION ALL
+                SELECT 'ent:' || doc_id, 'p:ext',
+                       'ext:' || (doc_id % 5), TRUE, NULL
+                FROM base
+                UNION ALL
+                SELECT 'ent:' || doc_id, 'p:label',
+                       'Doc ' || doc_id, FALSE, NULL
+                FROM base
+                UNION ALL
+                SELECT 'ent:' || doc_id, 'p:nchars',
+                       CAST(n_chars AS VARCHAR), FALSE, 'xsd:integer'
+                FROM base
+            ),
+            j AS (
+                SELECT s.cls AS subj_class, p.pred,
+                       CASE WHEN p.u AND o.cls IS NOT NULL THEN o.cls
+                            WHEN p.u THEN '@IRI'
+                            WHEN p.dt IS NOT NULL THEN p.dt
+                            ELSE '@Literal' END AS obj_kind,
+                       p.subj, p.obj
+                FROM props p
+                LEFT JOIN types s ON p.subj = s.node
+                LEFT JOIN types o ON p.obj = o.node AND p.u
+            )
+            SELECT subj_class, pred, obj_kind,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+                   CAST(count(DISTINCT obj) AS BIGINT) AS n_obj
+            FROM j GROUP BY subj_class, pred, obj_kind
+        """,
         # R2RML mapping replayed as UNION ALL selects; rdf:type row per
         # entity, NULL columns emit nothing
         "r2rml_nation_triples": """

@@ -1,0 +1,79 @@
+"""KG schema profiling — (subject class, predicate, object class) usage
+statistics over the triple tables.
+
+Reference analog: ferenda assumes its vocabulary (dcterms/bibo/prov per
+repo configuration); nothing discovers what a graph ACTUALLY contains.
+Over a harvested Common-Crawl-scale graph the schema is emergent —
+publishers use whatever types/predicates they like — and the first
+question every consumer asks is "which classes exist, which predicates
+connect them, with what cardinalities". That summary (the ABSTAT /
+LODStats lineage) is also what drives shape AUTHORING: profile first,
+then pin the observed patterns as SHACL-lite shapes
+(operators/validation.py).
+
+Output, one row per (subj_class, pred, obj_kind):
+
+    subj_class: rdf:type of the subject, NULL when untyped
+    pred:       the predicate
+    obj_kind:   object's rdf:type for typed URI objects; '@IRI' for
+                untyped URI objects; the literal datatype for typed
+                literals; '@Literal' for plain literals
+    n:          assertion count
+    n_subj:     distinct subjects
+    n_obj:      distinct objects
+
+Multi-typed nodes contribute one row per type (standard profiling
+semantics — the summary is a bag of class-usage observations, not a
+partition). rdf:type rows themselves are excluded from the profiled
+assertions (they ARE the class dimension).
+
+Scale shape: the type map is projected once and joined twice (subj, obj)
+— corpus-sized equi-joins, AQE-handled; the final groupBy is
+vocabulary-sized with map-side combine. No UDFs, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def profile_schema(triples: DataFrame) -> DataFrame:
+    types = triples.filter(
+        (F.col("pred") == RDF_TYPE) & F.col("obj_is_uri")
+    ).select(F.col("subj").alias("node"), F.col("obj").alias("cls")).distinct()
+
+    props = triples.filter(F.col("pred") != RDF_TYPE).select(
+        "subj", "pred", "obj", "obj_is_uri", "obj_dtype"
+    )
+
+    with_s = props.join(
+        types.select(F.col("node").alias("subj"), F.col("cls").alias("subj_class")),
+        "subj",
+        "left",
+    )
+    # join condition includes obj_is_uri: a LITERAL whose lexical form
+    # happens to equal a typed node's URI must not fan out through the
+    # type map (k types would duplicate the row k times)
+    omap = types.select(F.col("node").alias("_on"), F.col("cls").alias("_obj_cls"))
+    with_o = with_s.join(
+        omap,
+        (F.col("obj") == F.col("_on")) & F.col("obj_is_uri"),
+        "left",
+    ).drop("_on").withColumn(
+        "obj_kind",
+        F.when(F.col("obj_is_uri") & F.col("_obj_cls").isNotNull(), F.col("_obj_cls"))
+        .when(F.col("obj_is_uri"), F.lit("@IRI"))
+        .when(F.col("obj_dtype").isNotNull(), F.col("obj_dtype"))
+        .otherwise(F.lit("@Literal")),
+    )
+    # a URI object with k types must profile as k rows, but an UNTYPED or
+    # literal object must contribute exactly once — the left join above
+    # already yields exactly one row in those cases
+    return with_o.groupBy("subj_class", "pred", "obj_kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+    )
