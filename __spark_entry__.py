@@ -2826,6 +2826,219 @@ def _q_schema_profile(spark, sf_dir):
     return profile_schema(tri)
 
 
+# ------------------------------------------------- round-3 graph analytics
+
+
+def _hash_graph(spark, sf_dir, salt: str, n_per_doc: int = 2):
+    """Deterministic md5-derived pseudo-random multigraph shared by the
+    graph-analytics driver queries: each document contributes
+    ``n_per_doc`` edges between nodes 0..M-1 (M = 3·|docs|/10, so degrees
+    vary Poisson-style — the regular modular graphs pagerank_hosts uses
+    have constant degree, which makes k-core/LPA/Adamic-Adar trivial).
+    The hash is the sketches.py cross-engine idiom: top 60 bits of md5,
+    ``conv(substr(md5(s),1,15),16,10)`` in Spark ≡
+    ``try_cast('0x'||substr(md5(s),1,15) AS BIGINT)`` in DuckDB."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = (3 * d.count()) // 10
+    e = d.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(1, n_per_doc + 1)])
+        ).alias("j"),
+    )
+
+    def hcol(tag: str):
+        s = F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.col("j").cast("string"),
+            F.lit(f"{salt}:{tag}"),
+        )
+        return F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(m),
+        )
+
+    return e.select(hcol("a").alias("src"), hcol("b").alias("dst"))
+
+
+def _hash_graph_sql(salt: str, n_per_doc: int = 2) -> str:
+    """WITH-clause fragment reconstructing _hash_graph's symmetrized,
+    self-loop-free edge set (`und`) in DuckDB."""
+    js = ", ".join(str(j) for j in range(1, n_per_doc + 1))
+
+    def h(tag: str) -> str:
+        return (
+            "try_cast('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+            f"CAST(j AS VARCHAR) || ':{salt}:{tag}'), 1, 15) AS BIGINT) "
+            "% (SELECT m FROM cnt)"
+        )
+
+    return f"""
+        cnt AS (SELECT CAST(floor(3 * count(*) / 10) AS BIGINT) AS m
+                FROM documents),
+        e AS (SELECT {h('a')} AS src, {h('b')} AS dst
+              FROM (SELECT doc_id, j
+                    FROM documents, unnest([{js}]) AS u(j))),
+        und AS (SELECT src AS a, dst AS b FROM e WHERE src <> dst
+                UNION SELECT dst, src FROM e WHERE src <> dst)"""
+
+
+def _q_bfs_seed_distances(spark, sf_dir):
+    """Multi-source BFS (operators/graph_analytics.py::bfs_distances —
+    crawl-frontier seed-distance scoring): minimum hop count from seeds
+    {0, 5} over the md5-derived graph, truncated at 6 hops. The oracle
+    replays 6 unrolled min-relaxation rounds — on unit-weight edges,
+    round-k relaxation is exactly the k-th BFS layer, so truncation
+    agrees exactly and early convergence on either side is a no-op."""
+    from ferenda_spark.operators.graph_analytics import bfs_distances
+
+    return bfs_distances(_hash_graph(spark, sf_dir, "bfs"), [0, 5], max_hops=6)
+
+
+def _bfs_oracle(max_hops: int = 6) -> str:
+    head = f"""
+        WITH {_hash_graph_sql('bfs')},
+        r0 AS (SELECT CAST(node AS BIGINT) AS node, 0 AS dist
+               FROM (VALUES (0), (5)) AS s(node))"""
+    steps = []
+    for k in range(1, max_hops + 1):
+        steps.append(f"""
+        r{k} AS MATERIALIZED (
+            SELECT node, CAST(min(dist) AS INTEGER) AS dist FROM (
+                SELECT node, dist FROM r{k - 1}
+                UNION ALL
+                SELECT und.b AS node, r.dist + 1 AS dist
+                FROM r{k - 1} r JOIN und ON und.a = r.node
+            ) GROUP BY node
+        )""")
+    return head + "," + ",".join(steps) + f"""
+        SELECT node, dist FROM r{max_hops}"""
+
+
+def _q_lpa_communities(spark, sf_dir):
+    """Label-propagation communities (graph_analytics.py::
+    label_propagation): 3 synchronous rounds, most-frequent neighbor
+    label, ties to the smallest label — the deterministic variant. The
+    oracle unrolls the 3 rounds with a (count DESC, label ASC)
+    row_number argmax; integer counts, so no FP grain at all."""
+    from ferenda_spark.operators.graph_analytics import label_propagation
+
+    return label_propagation(_hash_graph(spark, sf_dir, "lpa"), n_iter=3)
+
+
+def _lpa_oracle(n_iter: int = 3) -> str:
+    head = f"""
+        WITH {_hash_graph_sql('lpa')},
+        l0 AS (SELECT DISTINCT a AS node, a AS label FROM und)"""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(f"""
+        l{k} AS MATERIALIZED (
+            SELECT a AS node, label FROM (
+                SELECT und.a, l.label,
+                       row_number() OVER (
+                           PARTITION BY und.a
+                           ORDER BY count(*) DESC, l.label ASC) AS rn
+                FROM und JOIN l{k - 1} l ON l.node = und.b
+                GROUP BY und.a, l.label
+            ) WHERE rn = 1
+        )""")
+    return head + "," + ",".join(steps) + f"""
+        SELECT node, label FROM l{n_iter}"""
+
+
+def _q_kcore_survivors(spark, sf_dir):
+    """k-core decomposition (graph_analytics.py::k_core — the classic
+    dense-subgraph primitive for link-spam farm detection): the 9-core of
+    the md5 graph with in-core degrees. Peeling is monotone with a unique
+    fixed point, so the operator's converge-probe loop and the oracle's
+    14 unrolled rounds land on the same set (measured peel depth at
+    sf0.01 is 5; 14 = depth + margin, extra rounds are no-ops)."""
+    from ferenda_spark.operators.graph_analytics import k_core
+
+    return k_core(_hash_graph(spark, sf_dir, "core"), 9)
+
+
+def _kcore_oracle(k: int = 9, n_rounds: int = 14) -> str:
+    head = f"""
+        WITH {_hash_graph_sql('core')},
+        u0 AS (SELECT a, b FROM und)"""
+    steps = []
+    for r in range(1, n_rounds + 1):
+        steps.append(f"""
+        u{r} AS MATERIALIZED (
+            SELECT u.a, u.b FROM u{r - 1} u
+            JOIN (SELECT a, count(*) AS d FROM u{r - 1} GROUP BY a) da
+              ON da.a = u.a
+            JOIN (SELECT a, count(*) AS d FROM u{r - 1} GROUP BY a) db
+              ON db.a = u.b
+            WHERE da.d >= {k} AND db.d >= {k}
+        )""")
+    return head + "," + ",".join(steps) + f"""
+        SELECT a AS node, count(*) AS degree FROM u{n_rounds} GROUP BY a"""
+
+
+def _q_adamic_adar_links(spark, sf_dir):
+    """Adamic-Adar link prediction (graph_analytics.py::adamic_adar —
+    alias-candidate generation beyond string similarity): global top-25
+    unconnected pairs by Σ 1/ln(deg(common neighbor)), hub centers capped
+    at degree 1000 (part of the operator definition — the oracle replays
+    the cap), scores rounded to 6, ties broken by (a, b)."""
+    from ferenda_spark.operators.graph_analytics import adamic_adar
+
+    return adamic_adar(_hash_graph(spark, sf_dir, "aa"), top_k=25)
+
+
+_AA_ORACLE = """
+        WITH {g},
+        deg AS (SELECT a, count(*) AS d FROM und GROUP BY a),
+        nb AS (SELECT und.a AS z, und.b AS n, 1.0 / ln(c.d) AS w
+               FROM und JOIN deg c ON c.a = und.a
+               WHERE c.d >= 2 AND c.d <= 1000),
+        pr AS (SELECT l.n AS a, r.n AS b, l.w
+               FROM nb l JOIN nb r ON l.z = r.z AND l.n < r.n),
+        sc AS (SELECT a, b, round(sum(w), 6) AS score
+               FROM pr
+               WHERE NOT EXISTS (SELECT 1 FROM und u
+                                 WHERE u.a = pr.a AND u.b = pr.b)
+               GROUP BY a, b)
+        SELECT a, b, score FROM sc
+        ORDER BY score DESC, a ASC, b ASC LIMIT 25"""
+
+
+def _q_wl_structural_colors(spark, sf_dir):
+    """Weisfeiler-Lehman color refinement (graph_analytics.py::wl_colors
+    — the structural fingerprint under blank-node-stable graph digests):
+    per-node 32-hex colors after 2 rounds. Pure codegen'd column
+    expressions (md5 / concat_ws / sort_array), and the identical chain
+    replays in DuckDB (md5 / string_agg ORDER BY — both engines sort the
+    lowercase-hex colors bytewise)."""
+    from ferenda_spark.operators.graph_analytics import wl_colors
+
+    return wl_colors(_hash_graph(spark, sf_dir, "wl"), n_rounds=2)
+
+
+def _wl_oracle(n_rounds: int = 2) -> str:
+    head = f"""
+        WITH {_hash_graph_sql('wl')},
+        c0 AS (SELECT a AS node, md5(CAST(count(*) AS VARCHAR)) AS color
+               FROM und GROUP BY a)"""
+    steps = []
+    for k in range(1, n_rounds + 1):
+        steps.append(f"""
+        c{k} AS MATERIALIZED (
+            SELECT s.a AS node, md5(c.color || '|' || s.sig) AS color
+            FROM (SELECT und.a,
+                         string_agg(n.color, ',' ORDER BY n.color) AS sig
+                  FROM und JOIN c{k - 1} n ON n.node = und.b
+                  GROUP BY und.a) s
+            JOIN c{k - 1} c ON c.node = s.a
+        )""")
+    return head + "," + ",".join(steps) + f"""
+        SELECT node, color FROM c{n_rounds}"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -2926,6 +3139,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolution": _q_redirect_resolution,
         "r2rml_nation_triples": _q_r2rml_nation_triples,
         "schema_profile": _q_schema_profile,
+        "bfs_seed_distances": _q_bfs_seed_distances,
+        "lpa_communities": _q_lpa_communities,
+        "kcore_survivors": _q_kcore_survivors,
+        "adamic_adar_links": _q_adamic_adar_links,
+        "wl_structural_colors": _q_wl_structural_colors,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -4784,4 +5002,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN tot USING (doc_id) LEFT JOIN mat USING (doc_id)
         """,
+        "bfs_seed_distances": _bfs_oracle(),
+        "lpa_communities": _lpa_oracle(),
+        "kcore_survivors": _kcore_oracle(),
+        "adamic_adar_links": _AA_ORACLE.format(g=_hash_graph_sql("aa")),
+        "wl_structural_colors": _wl_oracle(),
     }

@@ -74,6 +74,12 @@ BENCH_QUERIES = [
     "ntriples_roundtrip",
     "redirect_resolution",
     "incremental_components",
+    # round-3 graph-analytics additions (each oracle-backed)
+    "bfs_seed_distances",
+    "lpa_communities",
+    "kcore_survivors",
+    "adamic_adar_links",
+    "wl_structural_colors",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs

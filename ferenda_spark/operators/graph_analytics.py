@@ -1,0 +1,362 @@
+"""Graph analytics over the harvested web/entity graphs: BFS distances,
+label-propagation communities, k-core decomposition, Adamic-Adar link
+prediction, and Weisfeiler-Lehman structural colors.
+
+Reference analog: none in ferenda (a 10^4-doc curated corpus never needs
+graph algorithms) — these are the standard companions of the operators the
+north_rule does mandate (pagerank/hits quality priors, connected-component
+entity clustering, triangle counting in ``graph.py``): seed-distance
+crawl-frontier scoring (BFS), community detection for topic/host grouping
+(LPA), spam-farm core extraction (k-core is the classic dense-subgraph
+primitive for link-spam detection), alias-candidate generation beyond
+string similarity (Adamic-Adar over the co-mention graph), and
+blank-node-stable structural fingerprints for graph diffing (WL colors —
+the 1-dimensional Weisfeiler-Lehman refinement that underlies canonical
+RDF dataset hashing).
+
+Shared scale discipline (same as graph.py):
+
+- every iterative loop ``localCheckpoint``s its per-round state so lineage
+  stays O(1) — without it Catalyst analysis time doubles per round;
+- the symmetrized edge set is computed once and persisted; rounds reuse it;
+- per-round shuffles are equi-keyed on node ids (map-side combinable,
+  AQE-splittable); nothing ever collects to the driver;
+- convergence probes are ``limit(1)`` existence checks, never counts, and
+  every fixed-point loop is monotone, so running extra rounds is a no-op —
+  which is exactly what makes the unrolled-SQL oracles in
+  ``__spark_entry__.py`` replayable: both engines land on the same fixed
+  point regardless of when each stops.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .graph import _unpersist_checkpoint
+
+
+def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Symmetrized, self-loop-free, deduped edge set as (a, b)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    return e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame | Iterable,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_hops: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any source node.
+
+    Returns ``(node, dist)`` for every node reachable within ``max_hops``
+    (sources themselves at dist 0); unreachable nodes are absent. ``sources``
+    is a one-column DataFrame or a plain iterable of node ids.
+
+    Frontier-only relaxation: round h joins ONLY the nodes first reached at
+    h-1 against the edge list, anti-joins the already-settled set, and the
+    survivors ARE the dist=h rows (BFS by rounds means first-touch = min
+    dist — no re-relaxation, no min-aggregation over settled nodes). Each
+    round is one edge-keyed equi-join + one anti-join, both shuffles
+    bounded by the frontier size, not the graph; on a 1000-executor
+    cluster the expensive early rounds are frontier-small and the late
+    rounds are frontier-sparse. Stops early (limit-1 probe) when the
+    frontier empties — extra rounds would be no-ops, which keeps the
+    operator equivalent to a fixed-round unrolled replay.
+    """
+    sess = edges.sparkSession
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    if not directed:
+        e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.distinct().persist()
+
+    if not isinstance(sources, DataFrame):
+        schema_col = e.schema["a"].dataType
+        sources = sess.createDataFrame(
+            [(v,) for v in sources], f"node {schema_col.simpleString()}"
+        )
+    first = sources.columns[0]
+    settled = (
+        sources.select(F.col(first).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled
+
+    try:
+        for h in range(1, max_hops + 1):
+            cand = (
+                frontier.join(e, frontier["node"] == e["a"])
+                .select(F.col("b").alias("node"))
+                .distinct()
+            )
+            new = (
+                cand.join(settled.select("node"), "node", "left_anti")
+                .withColumn("dist", F.lit(h))
+                .localCheckpoint(eager=True)
+            )
+            if not new.limit(1).take(1):
+                _unpersist_checkpoint(new)
+                break
+            nxt = settled.unionByName(new).localCheckpoint(eager=True)
+            _unpersist_checkpoint(settled)
+            if frontier is not settled:
+                _unpersist_checkpoint(frontier)
+            settled, frontier = nxt, new
+        return settled
+    finally:
+        e.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation community detection → (node, label).
+
+    Every node starts labeled with its own id; each of the ``n_iter``
+    rounds relabels every node to its neighbors' most frequent label,
+    ties broken by the SMALLEST label — the deterministic variant (plain
+    LPA's random tie-break is irreproducible across cluster sizes, which
+    violates this repo's re-run-stability contract; min-tie-break is the
+    standard fix and what the unrolled-SQL oracle replays). Fixed
+    iteration count, no convergence probe: synchronous LPA can oscillate
+    on bipartite structures, so "run k rounds" IS the spec.
+
+    Per round: one edge-keyed join + one (node, label) count aggregation
+    (map-side combined — a celebrity node's million same-label neighbors
+    pre-reduce per map partition) + one per-node max. The per-node max is
+    computed as ``max(struct(cnt, -label))`` rather than a row_number
+    window: an aggregation combines map-side and never materializes the
+    sorted per-node candidate list the way a window would.
+    """
+    und = _undirected(edges, src, dst).persist()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(n_iter):
+            counts = (
+                und.join(
+                    labels.select(
+                        F.col("node").alias("b"), F.col("label").alias("nl")
+                    ),
+                    "b",
+                )
+                .groupBy("a", "nl")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            # argmax by (cnt DESC, label ASC): max over (cnt, -label)
+            nxt = (
+                counts.groupBy("a")
+                .agg(F.max(F.struct(F.col("cnt"), (-F.col("nl")).alias("neg"))).alias("m"))
+                .select(
+                    F.col("a").alias("node"),
+                    (-F.col("m.neg")).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            _unpersist_checkpoint(labels)
+            labels = nxt
+        return labels
+    finally:
+        und.unpersist()
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where every
+    node has degree ≥ k. Returns ``(node, degree)`` — degree WITHIN the
+    core. Classic peel loop: repeatedly delete nodes with degree < k until
+    none remain. Peeling is monotone (the survivor set only shrinks) and
+    its fixed point is unique, so the result is independent of deletion
+    order — and an unrolled fixed-round SQL replay lands on the same set.
+
+    Per round: one degree aggregation (map-side combined) + two anti-joins
+    removing edges with a peeled endpoint; the anti-join's build side is
+    the peeled-node set — small after the first rounds. ``localCheckpoint``
+    per round truncates the shrinking edge set's lineage. Converges in
+    ≤ peel-depth rounds (bounded by max degree, in practice tiny);
+    ``max_iter`` is a pathology guard that raises rather than returning a
+    superset of the core silently.
+    """
+    und = _undirected(edges, src, dst).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+        bad = deg.filter(F.col("degree") < k).select("a").persist()
+        try:
+            if not bad.limit(1).take(1):
+                return deg.withColumnRenamed("a", "node")
+            nxt = (
+                und.join(bad, "a", "left_anti")
+                .join(bad.withColumnRenamed("a", "b"), "b", "left_anti")
+                .select("a", "b")
+                .localCheckpoint(eager=True)
+            )
+            _unpersist_checkpoint(und)
+            und = nxt
+        finally:
+            bad.unpersist()
+    raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    top_k: int = 20,
+    max_center_degree: int | None = 1000,
+) -> DataFrame:
+    """Adamic-Adar link prediction: for node pairs NOT already connected,
+    score = Σ over common neighbors z of 1/ln(degree(z)). Returns the
+    global top-``top_k`` candidate pairs ``(a, b, score)`` with a < b,
+    score rounded to 6 places, ties broken by (a, b) — fully deterministic.
+
+    The wedge join through the common neighbor z is the quadratic step:
+    a hub with d neighbors produces d² candidate pairs while contributing
+    only 1/ln(d) ≈ nothing to each score. ``max_center_degree`` drops such
+    centers before the self-join (the standard cap in production link
+    prediction — at Common-Crawl scale a 10^7-degree hub would otherwise
+    emit 10^14 wedges for ~0.06 score each); the cap is part of the
+    operator's definition and the SQL oracle replays it verbatim. Degree-1
+    centers are skipped too (they form no wedge). Final top-k compiles to
+    TakeOrderedAndProject — no global sort.
+    """
+    und = _undirected(edges, src, dst)
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    centers = deg.filter(F.col("d") >= 2)
+    if max_center_degree is not None:
+        centers = centers.filter(F.col("d") <= max_center_degree)
+    # neighbors grouped by center z, weighted by the center's AA mass
+    nbrs = und.join(
+        centers.select(F.col("a").alias("z"), F.col("d")),
+        und["a"] == F.col("z"),
+    ).select("z", F.col("b").alias("n"), (1.0 / F.log(F.col("d").cast("double"))).alias("w"))
+    pairs = (
+        nbrs.alias("l")
+        .join(nbrs.alias("r"), F.col("l.z") == F.col("r.z"))
+        .filter(F.col("l.n") < F.col("r.n"))
+        .select(
+            F.col("l.n").alias("a"),
+            F.col("r.n").alias("b"),
+            F.col("l.w").alias("w"),
+        )
+    )
+    existing = und.filter(F.col("a") < F.col("b"))
+    scored = (
+        pairs.join(existing, ["a", "b"], "left_anti")
+        .groupBy("a", "b")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("a"), F.asc("b")).limit(top_k)
+
+
+def wl_colors(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    n_rounds: int = 3,
+) -> DataFrame:
+    """1-WL (Weisfeiler-Lehman) color refinement → (node, color) after
+    ``n_rounds``; color is a 32-hex md5. Two nodes get equal colors iff
+    their n_rounds-hop neighborhood trees are isomorphic — the structural
+    fingerprint used for blank-node-stable graph digests (RDF dataset
+    canonicalization hashes the same refinement) and graph-diff triage.
+
+    color₀(v)   = md5(degree(v))
+    colorₜ₊₁(v) = md5(colorₜ(v) || '|' || join(sort([colorₜ(u) : u∈N(v)]),','))
+
+    The per-node sorted neighbor-color list is collected with
+    ``sort_array(collect_list(...))`` — per-node state is O(degree), so a
+    10^7-degree hub makes a long (but single-row, spillable) string; for
+    graphs with such hubs, cap or sample neighbors upstream. Everything is
+    codegen'd column expressions (md5/concat_ws/sort_array) — no UDF — and
+    the identical expression chain replays in DuckDB
+    (md5 / string_agg ORDER BY), which is what the oracle does.
+    """
+    und = _undirected(edges, src, dst).persist()
+    colors = (
+        und.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select(
+            F.col("a").alias("node"),
+            F.md5(F.col("d").cast("string")).alias("color"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(n_rounds):
+            nxt = (
+                und.join(
+                    colors.select(
+                        F.col("node").alias("b"), F.col("color").alias("nc")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(
+                    F.concat_ws(",", F.sort_array(F.collect_list("nc"))).alias(
+                        "sig"
+                    )
+                )
+                .join(colors.withColumnRenamed("node", "a"), "a")
+                .select(
+                    F.col("a").alias("node"),
+                    F.md5(F.concat_ws("|", "color", "sig")).alias("color"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            _unpersist_checkpoint(colors)
+            colors = nxt
+        return colors
+    finally:
+        und.unpersist()
+
+
+def graph_digest(colors: DataFrame) -> DataFrame:
+    """Collapse WL colors into one structural digest row
+    ``(n_nodes, digest)``: md5 over the sorted color multiset, encoded as
+    sorted ``color:count`` pairs. Per-color counting is a map-side-combined
+    aggregation; only the vocabulary-sized (distinct colors) list is
+    collected into the final single-row reduce — never the node set."""
+    per_color = colors.groupBy("color").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_color.agg(
+        F.sum("cnt").cast("bigint").alias("n_nodes"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws(":", "color", F.col("cnt").cast("string"))
+                    )
+                ),
+            )
+        ).alias("digest"),
+    )

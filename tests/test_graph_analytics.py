@@ -1,0 +1,264 @@
+"""Graph-analytics operators vs naive single-machine references.
+
+Every operator is checked against an independent pure-Python
+implementation on deterministic pseudo-random graphs (hash-derived edges —
+no RNG, so failures reproduce), plus targeted structural cases.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+from ferenda_spark.operators.graph_analytics import (
+    adamic_adar,
+    bfs_distances,
+    graph_digest,
+    k_core,
+    label_propagation,
+    wl_colors,
+)
+
+
+def _edges(n_nodes: int, n_edges: int, salt: str = "g") -> list[tuple[int, int]]:
+    """Deterministic pseudo-random edge list."""
+    out = []
+    for i in range(n_edges):
+        h = hashlib.md5(f"{salt}:{i}".encode()).hexdigest()
+        a = int(h[:8], 16) % n_nodes
+        b = int(h[8:16], 16) % n_nodes
+        if a != b:
+            out.append((a, b))
+    return out
+
+
+def _adj(edges):
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    return adj
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, "src bigint, dst bigint")
+
+
+# --------------------------------------------------------------------- BFS
+
+
+def _bfs_ref(edges, sources, max_hops):
+    adj = _adj(edges)
+    dist = {s: 0 for s in sources}
+    frontier = set(sources)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for v in frontier:
+            for u in adj.get(v, ()):
+                if u not in dist:
+                    dist[u] = h
+                    nxt.add(u)
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+def test_bfs_matches_reference(spark):
+    edges = _edges(60, 120, "bfs")
+    sources = [0, 7]
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(_df(spark, edges), sources, max_hops=8).collect()
+    }
+    assert got == _bfs_ref(edges, sources, 8)
+
+
+def test_bfs_max_hops_truncates(spark):
+    # path graph 0-1-2-3-4: from 0 with max_hops=2 only 0,1,2 reachable
+    edges = [(i, i + 1) for i in range(4)]
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(_df(spark, edges), [0], max_hops=2).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_directed(spark):
+    edges = [(0, 1), (1, 2), (3, 0)]  # 3 unreachable FROM 0 when directed
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(
+            _df(spark, edges), [0], max_hops=5, directed=True
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+# --------------------------------------------------------------------- LPA
+
+
+def _lpa_ref(edges, n_iter):
+    adj = _adj(edges)
+    labels = {v: v for v in adj}
+    for _ in range(n_iter):
+        nxt = {}
+        for v in adj:
+            cnt = Counter(labels[u] for u in adj[v])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        labels = nxt
+    return labels
+
+
+@pytest.mark.parametrize("n_iter", [1, 3, 5])
+def test_lpa_matches_reference(spark, n_iter):
+    edges = _edges(50, 100, "lpa")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(_df(spark, edges), n_iter=n_iter).collect()
+    }
+    assert got == _lpa_ref(edges, n_iter)
+
+
+def test_lpa_two_cliques_converge_to_min_member(spark):
+    cl1 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    cl2 = [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
+    bridge = [(4, 10)]
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            _df(spark, cl1 + cl2 + bridge), n_iter=5
+        ).collect()
+    }
+    assert all(got[v] == 0 for v in range(5))
+    assert all(got[v] == 10 for v in range(11, 15))
+
+
+# ------------------------------------------------------------------ k-core
+
+
+def _kcore_ref(edges, k):
+    adj = _adj(edges)
+    alive = set(adj)
+    while True:
+        bad = {v for v in alive if sum(u in alive for u in adj[v]) < k}
+        if not bad:
+            break
+        alive -= bad
+    return {v: sum(u in alive for u in adj[v]) for v in alive}
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_kcore_matches_reference(spark, k):
+    edges = _edges(40, 110, "core")
+    got = {
+        r["node"]: r["degree"] for r in k_core(_df(spark, edges), k).collect()
+    }
+    assert got == _kcore_ref(edges, k)
+
+
+def test_kcore_clique_plus_tail(spark):
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tail = [(3, 4), (4, 5)]
+    got = {r["node"]: r["degree"] for r in k_core(_df(spark, clique + tail), 3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_empty_when_k_too_large(spark):
+    edges = [(0, 1), (1, 2)]
+    assert k_core(_df(spark, edges), 5).count() == 0
+
+
+# -------------------------------------------------------------- Adamic-Adar
+
+
+def _aa_ref(edges, top_k, cap):
+    adj = _adj(edges)
+    scores = defaultdict(float)
+    for z, nb in adj.items():
+        d = len(nb)
+        if d < 2 or (cap is not None and d > cap):
+            continue
+        nb = sorted(nb)
+        w = 1.0 / math.log(d)
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                scores[(nb[i], nb[j])] += w
+    out = [
+        (a, b, round(s, 6))
+        for (a, b), s in scores.items()
+        if b not in adj[a]
+    ]
+    out.sort(key=lambda t: (-t[2], t[0], t[1]))
+    return out[:top_k]
+
+
+def test_adamic_adar_matches_reference(spark):
+    edges = _edges(40, 90, "aa")
+    got = [
+        (r["a"], r["b"], r["score"])
+        for r in adamic_adar(_df(spark, edges), top_k=15).collect()
+    ]
+    assert got == _aa_ref(edges, 15, 1000)
+
+
+def test_adamic_adar_center_cap(spark):
+    # star hub 0 with 6 leaves + a shared neighbor pair via node 100
+    star = [(0, i) for i in range(1, 7)]
+    side = [(100, 1), (100, 2)]
+    got = adamic_adar(_df(spark, star + side), top_k=50, max_center_degree=3)
+    rows = {(r["a"], r["b"]): r["score"] for r in got.collect()}
+    # hub 0 (degree 6 > cap) forms no wedges, so no leaf-leaf pairs appear;
+    # centers 1 and 2 (each deg 2) both close (0, 100); center 100 closes (1, 2)
+    assert rows == {
+        (0, 100): round(2.0 / math.log(2), 6),
+        (1, 2): round(1.0 / math.log(2), 6),
+    }
+    assert not any(1 <= a < b <= 6 for (a, b) in rows)
+
+
+# ---------------------------------------------------------------- WL colors
+
+
+def test_wl_distinguishes_path_from_star(spark):
+    path = [(i, i + 1) for i in range(3)]  # 4-node path
+    star = [(0, i) for i in range(1, 4)]  # 4-node star
+    dp = graph_digest(wl_colors(_df(spark, path), n_rounds=2)).collect()[0]
+    ds = graph_digest(wl_colors(_df(spark, star), n_rounds=2)).collect()[0]
+    assert dp["n_nodes"] == ds["n_nodes"] == 4
+    assert dp["digest"] != ds["digest"]
+
+
+def test_wl_invariant_under_relabeling(spark):
+    edges = _edges(30, 60, "wl")
+    perm = {v: (v * 17 + 5) % 1000 for v in range(30)}
+    relabeled = [(perm[a], perm[b]) for a, b in edges]
+    d1 = graph_digest(wl_colors(_df(spark, edges), n_rounds=3)).collect()[0]
+    d2 = graph_digest(wl_colors(_df(spark, relabeled), n_rounds=3)).collect()[0]
+    assert d1["digest"] == d2["digest"]
+    assert d1["n_nodes"] == d2["n_nodes"]
+
+
+def test_wl_round0_is_degree_partition(spark):
+    edges = [(0, 1), (1, 2), (2, 3)]  # degrees: 1,2,2,1
+    colors = {
+        r["node"]: r["color"]
+        for r in wl_colors(_df(spark, edges), n_rounds=0).collect()
+    }
+    assert colors[0] == colors[3] and colors[1] == colors[2]
+    assert colors[0] != colors[1]
+
+
+def test_wl_refinement_splits_degree_ties(spark):
+    # nodes 1 and 4 both have degree 2 but different neighborhoods:
+    # triangle 0-1-2 plus path 2-3, 3-4, 4-5 ... check refinement separates
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)]
+    c0 = {r["node"]: r["color"] for r in wl_colors(_df(spark, edges), n_rounds=0).collect()}
+    c2 = {r["node"]: r["color"] for r in wl_colors(_df(spark, edges), n_rounds=2).collect()}
+    assert c0[1] == c0[4]  # same degree
+    assert c2[1] != c2[4]  # different 2-hop structure
