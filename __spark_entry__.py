@@ -3039,6 +3039,199 @@ def _wl_oracle(n_rounds: int = 2) -> str:
         SELECT node, color FROM c{n_rounds}"""
 
 
+def _q_snapshot_diff_triples(spark, sf_dir):
+    """Snapshot diff (sources/snapshots.py::snapshot_diff — the
+    Iceberg-style incremental feed between two commits): build two
+    versions of a small triple table deterministically from documents
+    (v2 drops doc_id%11 subjects, rewrites the status of doc_id%10, adds
+    p:new rows for doc_id%13), then diff v1→v2. The oracle reconstructs
+    both versions relationally and EXCEPT-ALLs them both ways."""
+    import os as _os
+    import shutil as _shutil
+
+    from ferenda_spark.sources.snapshots import commit_snapshot, snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    subj = F.concat(F.lit("ent:"), F.col("doc_id").cast("string"))
+
+    def tri(pred, obj):
+        return d.select(
+            subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj"),
+            F.col("doc_id"),
+        )
+
+    v1 = tri("p:status", F.col("lang")).unionByName(
+        tri("p:bucket", (F.col("doc_id") % 7).cast("string"))
+    )
+    v2 = (
+        tri(
+            "p:status",
+            F.when(F.col("doc_id") % 10 == 0, F.lit("changed")).otherwise(
+                F.col("lang")
+            ),
+        )
+        .unionByName(tri("p:bucket", (F.col("doc_id") % 7).cast("string")))
+        .unionByName(
+            tri("p:new", F.lit("x")).filter(F.col("doc_id") % 13 == 0)
+        )
+        .filter(F.col("doc_id") % 11 != 0)
+    )
+    root = f"/tmp/ferenda_spark_snapdiff_q_{_os.path.basename(sf_dir.rstrip('/'))}"
+    _shutil.rmtree(root, ignore_errors=True)
+    commit_snapshot(v1.drop("doc_id"), root)
+    commit_snapshot(v2.drop("doc_id"), root, mode="overwrite")
+    return snapshot_diff(spark, root, 1, 2)
+
+
+_SNAPDIFF_ORACLE = """
+        WITH v1 AS (
+            SELECT 'ent:' || CAST(doc_id AS VARCHAR) AS subj,
+                   'p:status' AS pred, lang AS obj FROM documents
+            UNION ALL
+            SELECT 'ent:' || CAST(doc_id AS VARCHAR), 'p:bucket',
+                   CAST(doc_id % 7 AS VARCHAR) FROM documents
+        ),
+        v2 AS (
+            SELECT 'ent:' || CAST(doc_id AS VARCHAR) AS subj,
+                   'p:status' AS pred,
+                   CASE WHEN doc_id % 10 = 0 THEN 'changed' ELSE lang END AS obj
+            FROM documents WHERE doc_id % 11 <> 0
+            UNION ALL
+            SELECT 'ent:' || CAST(doc_id AS VARCHAR), 'p:bucket',
+                   CAST(doc_id % 7 AS VARCHAR)
+            FROM documents WHERE doc_id % 11 <> 0
+            UNION ALL
+            SELECT 'ent:' || CAST(doc_id AS VARCHAR), 'p:new', 'x'
+            FROM documents WHERE doc_id % 13 = 0 AND doc_id % 11 <> 0
+        )
+        SELECT subj, pred, obj, 'added' AS change
+        FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+        UNION ALL
+        SELECT subj, pred, obj, 'removed' AS change
+        FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)"""
+
+
+def _q_taxonomy_rollup_docs(spark, sf_dir):
+    """Taxonomy rollup (operators/taxonomy.py): documents carry concept
+    c<doc_id%40>; concepts form a 3-ary tree (parent of c_r is
+    c_floor((r-1)/3)); counts per concept roll up the subtree. The oracle
+    computes the reflexive-transitive ancestor closure with a recursive
+    CTE and re-aggregates."""
+    from ferenda_spark.operators.taxonomy import taxonomy_rollup
+
+    d = _t(spark, sf_dir, "documents")
+    con = d.select((F.col("doc_id") % 40).alias("r")).distinct()
+    br = con.filter(F.col("r") > 0).select(
+        F.concat(F.lit("c"), F.col("r").cast("string")).alias("child"),
+        F.concat(
+            F.lit("c"), F.floor((F.col("r") - 1) / 3).cast("string")
+        ).alias("parent"),
+    )
+    m = d.select(
+        F.col("doc_id").alias("item"),
+        F.concat(F.lit("c"), (F.col("doc_id") % 40).cast("string")).alias(
+            "concept"
+        ),
+    )
+    return taxonomy_rollup(m, br)
+
+
+_TAXONOMY_ORACLE = """
+        WITH RECURSIVE con AS (
+            SELECT DISTINCT doc_id % 40 AS r FROM documents
+        ),
+        br AS (
+            SELECT 'c' || CAST(r AS VARCHAR) AS child,
+                   'c' || CAST(CAST(floor((r - 1) / 3) AS BIGINT) AS VARCHAR)
+                       AS parent
+            FROM con WHERE r > 0
+        ),
+        allc AS (
+            -- DISTINCT-over-UNION-ALL, not chained UNION: inside WITH
+            -- RECURSIVE, DuckDB 1.0 compiles a multi-arm UNION CTE in
+            -- recursive form and the later arms skip deduplication
+            SELECT DISTINCT concept FROM (
+                SELECT 'c' || CAST(r AS VARCHAR) AS concept FROM con
+                UNION ALL SELECT child FROM br
+                UNION ALL SELECT parent FROM br
+            )
+        ),
+        anc AS (
+            SELECT concept AS sub, concept AS sup FROM allc
+            UNION
+            SELECT anc.sub, br.parent FROM anc JOIN br ON br.child = anc.sup
+        ),
+        m AS (
+            SELECT doc_id AS item,
+                   'c' || CAST(doc_id % 40 AS VARCHAR) AS concept
+            FROM documents
+        ),
+        direct AS (
+            SELECT concept, count(DISTINCT item) AS nd FROM m GROUP BY concept
+        ),
+        roll AS (
+            SELECT anc.sup AS concept, count(DISTINCT m.item) AS nc
+            FROM m JOIN anc ON anc.sub = m.concept GROUP BY anc.sup
+        )
+        SELECT allc.concept,
+               CAST(coalesce(direct.nd, 0) AS BIGINT) AS n_items_direct,
+               CAST(coalesce(roll.nc, 0) AS BIGINT) AS n_items_closure
+        FROM allc LEFT JOIN direct USING (concept)
+        LEFT JOIN roll USING (concept)"""
+
+
+def _q_fulltext_bm25(spark, sf_dir):
+    """Okapi BM25 ranking (operators/fulltext.py::bm25_search) over the
+    same index fulltext_search builds: top-10 AND-matches for
+    'spark window agg', k1=1.2 b=0.75, score rounded to 6. The oracle
+    replays tokenization, tf/df, per-doc indexed length, avgdl, and the
+    BM25 formula term-by-term."""
+    from ferenda_spark.operators.fulltext import bm25_search, build_fulltext_index
+
+    d = _t(spark, sf_dir, "documents")
+    postings, n = build_fulltext_index(d, "text", "doc_id", max_df_ratio=1.0)
+    return bm25_search(postings, n, "spark window agg", top_k=10)
+
+
+_BM25_ORACLE = """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                       AS term
+            FROM documents
+        ), tf AS (
+            SELECT term, doc_id, count(*) AS tf
+            FROM tok WHERE term <> '' GROUP BY term, doc_id
+        ), dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), dl AS (
+            SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl
+            FROM tf GROUP BY doc_id
+        ), ad AS (
+            SELECT avg(dl) AS avgdl FROM dl
+        ), hits AS (
+            SELECT tf.doc_id AS id,
+                   CAST(count(*) AS INTEGER) AS n_matched,
+                   round(sum(
+                       ln(1.0 + ((SELECT CAST(count(*) AS DOUBLE)
+                                  FROM documents) - dfreq.df + 0.5)
+                                / (dfreq.df + 0.5))
+                       * (tf.tf * CAST(2.2 AS DOUBLE))
+                       / (tf.tf + CAST(1.2 AS DOUBLE)
+                          * (CAST(0.25 AS DOUBLE)
+                             + CAST(0.75 AS DOUBLE) * dl.dl
+                               / (SELECT avgdl FROM ad)))
+                   ), 6) AS score
+            FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+            WHERE tf.term IN ('agg', 'spark', 'window')
+            GROUP BY tf.doc_id
+            HAVING count(*) = 3
+            ORDER BY score DESC, id ASC
+            LIMIT 10
+        )
+        SELECT id, n_matched, score FROM hits"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -3144,6 +3337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_survivors": _q_kcore_survivors,
         "adamic_adar_links": _q_adamic_adar_links,
         "wl_structural_colors": _q_wl_structural_colors,
+        "snapshot_diff_triples": _q_snapshot_diff_triples,
+        "taxonomy_rollup_docs": _q_taxonomy_rollup_docs,
+        "fulltext_bm25": _q_fulltext_bm25,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -5007,4 +5203,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_survivors": _kcore_oracle(),
         "adamic_adar_links": _AA_ORACLE.format(g=_hash_graph_sql("aa")),
         "wl_structural_colors": _wl_oracle(),
+        "snapshot_diff_triples": _SNAPDIFF_ORACLE,
+        "taxonomy_rollup_docs": _TAXONOMY_ORACLE,
+        "fulltext_bm25": _BM25_ORACLE,
     }

@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "kcore_survivors",
     "adamic_adar_links",
     "wl_structural_colors",
+    "taxonomy_rollup_docs",
+    "fulltext_bm25",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs

@@ -120,6 +120,65 @@ def search(
     return scored.orderBy(F.desc("score"), F.asc("id")).limit(top_k)
 
 
+def bm25_search(
+    postings: DataFrame,
+    n_docs: int,
+    query: str,
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    require_all: bool = True,
+) -> DataFrame:
+    """Okapi BM25 ranking over the same postings table ``search`` uses —
+    the modern default scorer (tf saturation + document-length
+    normalization, the two things the plain tf-idf score lacks):
+
+        score(d) = Σ_t ln(1 + (N - df + 0.5)/(df + 0.5))
+                       · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    ``dl`` is the INDEXED document length (Σ tf over the doc's kept
+    postings — stopword-dropped terms don't count, consistently for dl
+    and avgdl, so the normalization is self-consistent). Returns
+    ``(id, n_matched, score)``, score rounded to 6, ties by id.
+
+    Scale shape: dl is one map-side-combined groupBy over the postings
+    (build it once and persist alongside the index at real scale); avgdl
+    is a broadcast single-row crossJoin — no driver collect; the query
+    itself touches only the query terms' postings (partition-pruned when
+    the index is written ``part_key``-partitioned) and ends in
+    TakeOrderedAndProject.
+    """
+    terms = tokenize_query(query)
+    if not terms:
+        return postings.sparkSession.createDataFrame(
+            [], "id string, n_matched int, score double"
+        )
+    dl = postings.groupBy("id").agg(F.sum("tf").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    hits = (
+        postings.filter(F.col("term").isin(terms))
+        .join(dl, "id")
+        .crossJoin(F.broadcast(avgdl))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = hits.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_matched"),
+        F.round(F.sum(idf * tfn), 6).alias("score"),
+    )
+    if require_all:
+        scored = scored.filter(F.col("n_matched") == F.lit(len(terms)))
+    return scored.orderBy(F.desc("score"), F.asc("id")).limit(top_k)
+
+
 def facet_counts(
     hits: DataFrame, docmeta: DataFrame, id_col: str, facet_cols: list[str]
 ) -> DataFrame:

@@ -87,3 +87,73 @@ def test_facet_counts(corpus):
         ("source", "srcA"): 1,
         ("source", "srcB"): 1,
     }
+
+
+def _bm25_ref(docs, query_terms, k1=1.2, b=0.75, max_df_ratio=1.0):
+    """Naive BM25 over tokenized docs, mirroring the operator's dl
+    definition (kept postings only)."""
+    import re
+    from collections import Counter
+
+    toks = {i: [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t] for i, txt in docs}
+    n = len(docs)
+    df = Counter(t for ts in toks.values() for t in set(ts))
+    kept = {
+        i: {t: c for t, c in Counter(ts).items() if df[t] <= int(max_df_ratio * n)}
+        for i, ts in toks.items()
+    }
+    dl = {i: sum(c.values()) for i, c in kept.items() if c}
+    avgdl = sum(dl.values()) / len(dl)
+    out = {}
+    for i, c in kept.items():
+        matched = [t for t in query_terms if t in c]
+        if len(matched) != len(query_terms):
+            continue
+        s = 0.0
+        for t in matched:
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            tfn = c[t] * (k1 + 1) / (c[t] + k1 * (1 - b + b * dl[i] / avgdl))
+            s += idf * tfn
+        out[i] = (len(matched), round(s, 6))
+    return out
+
+
+def test_bm25_matches_reference(spark):
+    from ferenda_spark.operators.fulltext import bm25_search
+
+    docs = [
+        (1, "spark window join join join spark"),
+        (2, "spark window"),
+        (3, "window filter scan spark window window"),
+        (4, "unrelated text entirely"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    postings, n = build_fulltext_index(df, "text", "doc_id", max_df_ratio=1.0)
+    got = {
+        r["id"]: (r["n_matched"], r["score"])
+        for r in bm25_search(postings, n, "spark window").collect()
+    }
+    assert got == _bm25_ref(docs, ["spark", "window"])
+
+
+def test_bm25_length_normalization_prefers_short_doc(spark):
+    from ferenda_spark.operators.fulltext import bm25_search
+
+    # same tf for 'spark' but doc 2 is much shorter → higher bm25
+    docs = [
+        (1, "spark " + "filler " * 30),
+        (2, "spark x"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    postings, n = build_fulltext_index(df, "text", "doc_id", max_df_ratio=1.0)
+    rows = bm25_search(postings, n, "spark").collect()
+    assert [r["id"] for r in rows] == [2, 1]
+
+
+def test_bm25_empty_query(spark):
+    from ferenda_spark.operators.fulltext import bm25_search
+
+    docs = [(1, "a b")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    postings, n = build_fulltext_index(df, "text", "doc_id")
+    assert bm25_search(postings, n, " , ").count() == 0

@@ -129,3 +129,37 @@ def test_empty_table_reads_raise(spark, root):
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, root)
     assert current_version(spark, root) == 0
+
+
+def test_snapshot_diff_added_and_removed(spark, root):
+    from ferenda_spark.sources.snapshots import snapshot_diff
+
+    commit_snapshot(_df(spark, 0, 10), root)
+    commit_snapshot(_df(spark, 5, 12), root, mode="overwrite")
+    d = snapshot_diff(spark, root, 1, 2)
+    added = {r.doc_id for r in d.filter("change = 'added'").collect()}
+    removed = {r.doc_id for r in d.filter("change = 'removed'").collect()}
+    assert added == {10, 11}
+    assert removed == {0, 1, 2, 3, 4}
+
+
+def test_snapshot_diff_multiset_counts(spark, root):
+    """Duplicate-count changes are count-preserving (exceptAll)."""
+    from ferenda_spark.sources.snapshots import snapshot_diff
+
+    one = _df(spark, 0, 3)
+    commit_snapshot(one.unionAll(one).unionAll(one), root)  # 3 copies each
+    commit_snapshot(one, root, mode="overwrite")  # 1 copy each
+    d = snapshot_diff(spark, root, 1, 2)
+    assert d.filter("change = 'added'").count() == 0
+    rem = d.filter("change = 'removed'").groupBy("doc_id").count().collect()
+    assert {r["doc_id"]: r["count"] for r in rem} == {0: 2, 1: 2, 2: 2}
+
+
+def test_snapshot_diff_identical_versions_empty(spark, root):
+    from ferenda_spark.sources.snapshots import snapshot_diff
+
+    commit_snapshot(_df(spark, 0, 5), root)
+    commit_snapshot(_df(spark, 5, 6), root)  # append
+    d = snapshot_diff(spark, root, 2, 2)
+    assert d.count() == 0
