@@ -3232,6 +3232,227 @@ _BM25_ORACLE = """
         SELECT id, n_matched, score FROM hits"""
 
 
+def _q_nquads_roundtrip(spark, sf_dir):
+    """N-Quads interchange (sources/nquads.py): per-doc quads across
+    three named graphs (parse / harvest / default) with a hostile literal
+    (quote+backslash prefix plus document text), serialized to canonical
+    NQ lines, parsed back, re-serialized — hash gates round-trip identity
+    AND exact bytes, graph term included."""
+    from ferenda_spark.sources.nquads import (
+        parse_nquads_lines,
+        to_nquads_lines,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ent = F.concat(F.lit("ent:"), F.col("doc_id").cast("string"))
+    null_s = F.lit(None).cast("string")
+
+    def row(pred, obj, uri, lang, graph):
+        return d.select(
+            ent.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj"),
+            F.lit(uri).alias("obj_is_uri"), lang.alias("obj_lang"),
+            null_s.alias("obj_dtype"),
+            (F.lit(graph) if graph else null_s).alias("graph"),
+        )
+
+    q = (
+        row("p:text", F.concat(F.lit('Q"\\ '), F.col("text")), False,
+            null_s, "g:parse")
+        .unionByName(row("p:cites",
+                         F.concat(F.lit("ent:"),
+                                  ((F.col("doc_id") * 7 + 3) % 1000)
+                                  .cast("string")),
+                         True, null_s, "g:harvest"))
+        .unionByName(row("p:label", F.concat(F.lit("L-"), F.col("lang")),
+                         False, F.col("lang"), None))
+    )
+    parsed = parse_nquads_lines(to_nquads_lines(q).select("line"))
+    ok = parsed.filter(F.col("kind") == "quad").drop("kind")
+    return to_nquads_lines(ok).select(
+        "subj", "pred", "obj", "obj_is_uri", "obj_lang", "graph", "line"
+    )
+
+
+_NQUADS_ORACLE = r"""
+        WITH esc AS (
+            SELECT doc_id,
+                   replace(replace(replace(replace(replace(
+                       'Q"\ ' || text,
+                       '\', '\\'), '"', '\"'),
+                       chr(10), '\n'), chr(13), '\r'),
+                       chr(9), '\t') AS etext
+            FROM documents
+        ),
+        rows_ AS (
+            SELECT 'ent:' || doc_id AS subj, 'p:text' AS pred,
+                   'Q"\ ' || text AS obj, FALSE AS obj_is_uri,
+                   CAST(NULL AS VARCHAR) AS obj_lang,
+                   'g:parse' AS graph,
+                   '"' || e.etext || '"' AS obj_term
+            FROM documents d JOIN esc e USING (doc_id)
+            UNION ALL
+            SELECT 'ent:' || doc_id, 'p:cites',
+                   'ent:' || ((doc_id * 7 + 3) % 1000), TRUE,
+                   CAST(NULL AS VARCHAR), 'g:harvest',
+                   '<ent:' || ((doc_id * 7 + 3) % 1000) || '>'
+            FROM documents
+            UNION ALL
+            SELECT 'ent:' || doc_id, 'p:label', 'L-' || lang, FALSE,
+                   lang, CAST(NULL AS VARCHAR),
+                   '"L-' || lang || '"@' || lang
+            FROM documents
+        )
+        SELECT subj, pred, obj, obj_is_uri, obj_lang, graph,
+               '<' || subj || '> <' || pred || '> ' || obj_term
+               || CASE WHEN graph IS NULL THEN ''
+                       ELSE ' <' || graph || '>' END
+               || ' .' AS line
+        FROM rows_"""
+
+
+def _q_prov_lineage_triples(spark, sf_dir):
+    """PROV-O provenance triples (operators/provenance.py): lineage rows
+    synthesized per part_key = doc_id%8 for a two-stage run (parse →
+    triples, the triples stage consuming parse's partitions) become
+    prov:Activity/Entity/used/wasDerivedFrom structure plus literal
+    metric triples; NULL metrics emit nothing. The oracle rebuilds the
+    aggregation and every UNION ALL arm."""
+    from ferenda_spark.operators.provenance import prov_triples
+
+    d = _t(spark, sf_dir, "documents")
+    pk = d.groupBy((F.col("doc_id") % 8).cast("int").alias("part_key")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("b")
+    )
+    null_l = F.lit(None).cast("long")
+
+    def stage(name, n_out, bytes_in):
+        return pk.select(
+            F.lit(name).alias("stage"), F.col("part_key"),
+            F.col("part_key").alias("partition_id"),
+            F.col("n").alias("n_in"), n_out.alias("n_out"),
+            bytes_in.alias("bytes_in"), null_l.alias("wall_ms"),
+            F.lit("r1").alias("run_id"),
+        )
+
+    lineage = stage("parse", F.col("n"), F.col("b")).unionByName(
+        stage("triples", F.col("n") * 3, null_l)
+    )
+    return prov_triples(lineage, upstream={"triples": "parse"})
+
+
+_PROV_ORACLE = """
+        WITH pk AS (
+            SELECT doc_id % 8 AS part_key, count(*) AS n,
+                   sum(n_chars) AS b
+            FROM documents GROUP BY doc_id % 8
+        ),
+        lin AS (
+            SELECT 'parse' AS stage, part_key, n AS n_in, n AS n_out,
+                   b AS bytes_in FROM pk
+            UNION ALL
+            SELECT 'triples', part_key, n, 3 * n, CAST(NULL AS BIGINT)
+            FROM pk
+        ),
+        base AS (
+            SELECT 'act:r1/' || stage || '/' || part_key AS act,
+                   'tbl:' || stage || '/p' || part_key AS ent,
+                   CASE WHEN stage = 'triples'
+                        THEN 'tbl:parse/p' || part_key END AS up,
+                   n_in, n_out, bytes_in
+            FROM lin
+        )
+        SELECT act AS subj, 'rdf:type' AS pred, 'prov:Activity' AS obj,
+               TRUE AS obj_is_uri FROM base
+        UNION ALL
+        SELECT ent, 'rdf:type', 'prov:Entity', TRUE FROM base
+        UNION ALL
+        SELECT ent, 'prov:wasGeneratedBy', act, TRUE FROM base
+        UNION ALL
+        SELECT act, 'prov:used', up, TRUE FROM base WHERE up IS NOT NULL
+        UNION ALL
+        SELECT ent, 'prov:wasDerivedFrom', up, TRUE FROM base
+        WHERE up IS NOT NULL
+        UNION ALL
+        SELECT act, 'm:nIn', CAST(n_in AS VARCHAR), FALSE FROM base
+        UNION ALL
+        SELECT act, 'm:nOut', CAST(n_out AS VARCHAR), FALSE FROM base
+        UNION ALL
+        SELECT act, 'm:bytesIn', CAST(bytes_in AS VARCHAR), FALSE
+        FROM base WHERE bytes_in IS NOT NULL"""
+
+
+def _q_dict_encode_triples(spark, sf_dir):
+    """RDF dictionary encoding (operators/dictenc.py): a doc-derived
+    triple set encoded to int64 term ids — encode is a map-only
+    projection (hash-assigned ids, no coordination), and the oracle
+    recomputes every id with the same md5-60bit idiom."""
+    from ferenda_spark.operators.dictenc import encode_triples
+
+    d = _t(spark, sf_dir, "documents")
+    ent = F.concat(F.lit("ent:"), F.col("doc_id").cast("string"))
+    tri = d.select(
+        ent.alias("subj"), F.lit("p:cites").alias("pred"),
+        F.concat(F.lit("ent:"),
+                 ((F.col("doc_id") * 7 + 3) % 1000).cast("string")).alias("obj"),
+    ).unionByName(
+        d.select(
+            ent.alias("subj"), F.lit("p:label").alias("pred"),
+            F.concat(F.lit("L-"), F.col("lang")).alias("obj"),
+        )
+    )
+    _terms, enc = encode_triples(tri)
+    return enc
+
+
+_DICTENC_ORACLE = """
+        WITH tri AS (
+            SELECT 'ent:' || doc_id AS subj, 'p:cites' AS pred,
+                   'ent:' || ((doc_id * 7 + 3) % 1000) AS obj
+            FROM documents
+            UNION ALL
+            SELECT 'ent:' || doc_id, 'p:label', 'L-' || lang
+            FROM documents
+        )
+        SELECT try_cast('0x' || substr(md5(subj), 1, 15) AS BIGINT)
+                   AS subj_id,
+               try_cast('0x' || substr(md5(pred), 1, 15) AS BIGINT)
+                   AS pred_id,
+               try_cast('0x' || substr(md5(obj), 1, 15) AS BIGINT)
+                   AS obj_id
+        FROM tri"""
+
+
+def _q_weighted_sample_mix(spark, sf_dir):
+    """Weighted stratified sampling (functions/splits.py::
+    weighted_sample — Efraimidis-Spirakis A-ES with hash-derived
+    uniforms): top-5 docs per language weighted by n_chars+1; the draw
+    is a pure function of doc_id bytes, and the oracle replays
+    ln(u)/w ranking with the identical md5 idiom."""
+    from ferenda_spark.functions.splits import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.col("n_chars") + 1).cast("double").alias("w")
+    )
+    return weighted_sample(d, "doc_id", "w", 5, strata_cols=("lang",)).select(
+        "lang", "doc_id"
+    )
+
+
+_WSAMPLE_ORACLE = """
+        SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ln((try_cast('0x' || substr(
+                                        md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                                    AS BIGINT) + 0.5)
+                                   / 1152921504606846976.0)
+                                / (n_chars + 1.0) DESC,
+                                doc_id ASC) AS rn
+            FROM documents
+        ) WHERE rn <= 5"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -3340,6 +3561,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_triples": _q_snapshot_diff_triples,
         "taxonomy_rollup_docs": _q_taxonomy_rollup_docs,
         "fulltext_bm25": _q_fulltext_bm25,
+        "nquads_roundtrip": _q_nquads_roundtrip,
+        "prov_lineage_triples": _q_prov_lineage_triples,
+        "dict_encode_triples": _q_dict_encode_triples,
+        "weighted_sample_mix": _q_weighted_sample_mix,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -5206,4 +5431,8 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff_triples": _SNAPDIFF_ORACLE,
         "taxonomy_rollup_docs": _TAXONOMY_ORACLE,
         "fulltext_bm25": _BM25_ORACLE,
+        "nquads_roundtrip": _NQUADS_ORACLE,
+        "prov_lineage_triples": _PROV_ORACLE,
+        "dict_encode_triples": _DICTENC_ORACLE,
+        "weighted_sample_mix": _WSAMPLE_ORACLE,
     }

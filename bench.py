@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "wl_structural_colors",
     "taxonomy_rollup_docs",
     "fulltext_bm25",
+    "nquads_roundtrip",
+    "prov_lineage_triples",
+    "dict_encode_triples",
+    "weighted_sample_mix",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs

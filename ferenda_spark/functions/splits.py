@@ -67,3 +67,45 @@ def sql_hash_split(key_sql: str, fracs: dict[str, float]) -> str:
             f" < '{_boundary(cum)}' THEN '{label}'"
         )
     return "CASE " + " ".join(parts) + f" ELSE '{labels[-1]}' END"
+
+
+def weighted_sample(
+    df,
+    key: Column | str,
+    weight_col: Column | str,
+    k: int,
+    strata_cols: tuple[str, ...] = (),
+    salt: str = "",
+):
+    """Deterministic weighted sampling without replacement: the top-``k``
+    rows per stratum under the Efraimidis-Spirakis A-ES scheme — rank =
+    ln(u)/w with u a hash-derived uniform, keep the k largest. Inclusion
+    probability is proportional to weight (quality-weighted corpus
+    mixing), yet the draw is a pure function of (key bytes, salt): stable
+    across re-runs, partitionings, and cluster sizes, and replayable by
+    any engine with md5 — the same contract as ``hash_split``, extended
+    to weights.
+
+    ``u = (hash60(key ‖ salt) + 0.5) / 2^60`` ∈ (0, 1) — the +0.5 keeps
+    ln(u) finite on the all-zero hash. One window shuffle on the strata
+    key; ties (impossible under distinct keys) break by the key column.
+    Weights must be strictly positive.
+    """
+    from ..functions.sketches import TWO_POW_60, hash60
+
+    kc = F.col(key) if isinstance(key, str) else key
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        hash60(F.concat(kc.cast("string"), F.lit(salt))) + F.lit(0.5)
+    ) / F.lit(TWO_POW_60)
+    rank = F.log(u) / wc.cast("double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+        rank.desc(), kc.asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

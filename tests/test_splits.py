@@ -50,3 +50,60 @@ def test_bad_fractions_rejected():
         hash_split("url", {"a": 0.5, "b": 0.4})
     with pytest.raises(ValueError):
         sql_hash_split("url", {"a": 0.7, "b": 0.7})
+
+
+def test_weighted_sample_deterministic_and_stratified(spark):
+    from ferenda_spark.functions.splits import weighted_sample
+
+    df = spark.range(0, 200).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("stratum"),
+        (F.col("id") % 7 + 1).cast("double").alias("w"),
+    )
+    a = weighted_sample(df, "id", "w", 5, strata_cols=("stratum",))
+    b = weighted_sample(df.repartition(13), "id", "w", 5, strata_cols=("stratum",))
+    sa = {(r["stratum"], r["id"]) for r in a.collect()}
+    sb = {(r["stratum"], r["id"]) for r in b.collect()}
+    assert sa == sb  # partitioning-independent
+    from collections import Counter
+
+    per = Counter(s for s, _ in sa)
+    assert per == {"0": 5, "1": 5, "2": 5}
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    import hashlib
+    import math
+
+    from ferenda_spark.functions.splits import weighted_sample
+
+    rows = [(i, float(i % 5 + 1)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    got = sorted(r["id"] for r in weighted_sample(df, "id", "w", 8).collect())
+
+    def rank(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return math.log((h + 0.5) / float(1 << 60)) / w
+
+    ref = sorted(
+        i for i, _ in sorted(rows, key=lambda t: (-rank(*t), t[0]))[:8]
+    )
+    assert got == ref
+
+
+def test_weighted_sample_weight_bias(spark):
+    """Heavier rows must win far more often across salts."""
+    from ferenda_spark.functions.splits import weighted_sample
+
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.when(F.col("id") < 10, 50.0).otherwise(1.0).alias("w"),
+    )
+    heavy = 0
+    for salt in ("a", "b", "c"):
+        picked = {
+            r["id"] for r in weighted_sample(df, "id", "w", 10, salt=salt).collect()
+        }
+        heavy += len([i for i in picked if i < 10])
+    # 10 heavy rows at weight 50 vs 90 light at 1 → heavies dominate
+    assert heavy >= 20
