@@ -3453,6 +3453,134 @@ _WSAMPLE_ORACLE = """
         ) WHERE rn <= 5"""
 
 
+def _q_cms_frequencies(spark, sf_dir):
+    """Count-Min sketch (functions/cms.py): build a 4×256 grid over the
+    skewed key 'k'+floor(sqrt(doc_id)) (counts grow ~2·i per key — real
+    frequency variance), then point-query every distinct key. The oracle
+    rebuilds every grid cell and probe with the shared md5-60bit idiom
+    and replays the min-over-d-cells estimate."""
+    from ferenda_spark.functions.cms import cms_build, cms_query
+
+    d = _t(spark, sf_dir, "documents")
+    vals = d.select(
+        F.concat(
+            F.lit("k"), F.floor(F.sqrt(F.col("doc_id"))).cast("string")
+        ).alias("v")
+    )
+    cms = cms_build(vals, [], "v", d=4, w=256)
+    keys = vals.distinct()
+    return cms_query(cms, keys, "v", d=4, w=256)
+
+
+_CMS_ORACLE = """
+        WITH vals AS (
+            SELECT 'k' || CAST(CAST(floor(sqrt(doc_id)) AS BIGINT)
+                            AS VARCHAR) AS v
+            FROM documents
+        ),
+        cells AS (
+            SELECT v, r,
+                   try_cast('0x' || substr(md5(CAST(r AS VARCHAR)
+                       || ':' || v), 1, 15) AS BIGINT) % 256 AS col
+            FROM vals, unnest([0, 1, 2, 3]) AS u(r)
+        ),
+        grid AS (
+            SELECT r AS row, col, count(*) AS cnt
+            FROM cells GROUP BY r, col
+        ),
+        keys AS (SELECT DISTINCT v FROM vals),
+        probes AS (
+            SELECT v, r,
+                   try_cast('0x' || substr(md5(CAST(r AS VARCHAR)
+                       || ':' || v), 1, 15) AS BIGINT) % 256 AS col
+            FROM keys, unnest([0, 1, 2, 3]) AS u(r)
+        )
+        SELECT p.v, min(coalesce(g.cnt, 0)) AS est_cnt
+        FROM probes p
+        LEFT JOIN grid g ON g.row = p.r AND g.col = p.col
+        GROUP BY p.v"""
+
+
+def _q_hist_quantiles_chars(spark, sf_dir):
+    """Mergeable fixed-bin histogram + interpolated quantiles
+    (functions/histograms.py): per-language n_chars distribution over
+    [0, 4000) in 40 bins, p50/p90 read out by window cumsum + linear
+    interpolation. The oracle replays binning, cumulative window, and
+    the interpolation arithmetic digit-for-digit."""
+    from ferenda_spark.functions.histograms import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    h = histogram_sketch(d, ["lang"], "n_chars", lo=0.0, hi=4000.0, n_bins=40)
+    return histogram_quantiles(
+        h, ["lang"], [0.5, 0.9], lo=0.0, hi=4000.0, n_bins=40
+    )
+
+
+_HIST_ORACLE = """
+        WITH h AS (
+            SELECT lang,
+                   least(greatest(CAST(floor(CAST(n_chars AS DOUBLE)
+                       / 100.0) AS INTEGER), 0), 39) AS bin,
+                   count(*) AS cnt
+            FROM documents WHERE n_chars IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT lang, bin, cnt,
+                   sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                   coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_before,
+                   sum(cnt) OVER (PARTITION BY lang) AS total
+            FROM h
+        ),
+        qq AS (SELECT unnest([CAST(0.5 AS DOUBLE),
+                              CAST(0.9 AS DOUBLE)]) AS q),
+        cand AS (
+            SELECT c.*, qq.q, qq.q * c.total AS target FROM c, qq
+        ),
+        hit AS (
+            SELECT lang, q, bin, cnt, cum_before, target,
+                   row_number() OVER (PARTITION BY lang, q
+                                      ORDER BY bin) AS rn
+            FROM cand WHERE cum >= target
+        )
+        SELECT lang, q,
+               round(bin * 100.0 + (target - cum_before) / cnt * 100.0, 6)
+                   AS est
+        FROM hit WHERE rn = 1"""
+
+
+def _q_key_skew_profile(spark, sf_dir):
+    """Key-skew profiler (operators/profiling.py::profile_keys — the
+    measuring instrument behind 'does this join key need salting'):
+    top-5 heaviest event_type values with counts and corpus fractions."""
+    from ferenda_spark.operators.profiling import profile_keys
+
+    e = _t(spark, sf_dir, "events")
+    return profile_keys(e, "event_type", top_k=5)
+
+
+_SKEW_ORACLE = """
+        WITH c AS (
+            SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS cnt
+            FROM events GROUP BY 1
+        ),
+        t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+        top AS (
+            SELECT key, cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, key ASC)
+                        AS INTEGER) AS rank
+            FROM c
+        )
+        SELECT rank, key, cnt,
+               round(cnt / (SELECT total FROM t), 6) AS frac
+        FROM top WHERE rank <= 5"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -3565,6 +3693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prov_lineage_triples": _q_prov_lineage_triples,
         "dict_encode_triples": _q_dict_encode_triples,
         "weighted_sample_mix": _q_weighted_sample_mix,
+        "cms_frequencies": _q_cms_frequencies,
+        "hist_quantiles_chars": _q_hist_quantiles_chars,
+        "key_skew_profile": _q_key_skew_profile,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -5435,4 +5566,7 @@ def oracle_sql() -> dict[str, str]:
         "prov_lineage_triples": _PROV_ORACLE,
         "dict_encode_triples": _DICTENC_ORACLE,
         "weighted_sample_mix": _WSAMPLE_ORACLE,
+        "cms_frequencies": _CMS_ORACLE,
+        "hist_quantiles_chars": _HIST_ORACLE,
+        "key_skew_profile": _SKEW_ORACLE,
     }

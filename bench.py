@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "prov_lineage_triples",
     "dict_encode_triples",
     "weighted_sample_mix",
+    "cms_frequencies",
+    "hist_quantiles_chars",
+    "key_skew_profile",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs

@@ -77,3 +77,34 @@ def profile_schema(triples: DataFrame) -> DataFrame:
         F.countDistinct("subj").alias("n_subj"),
         F.countDistinct("obj").alias("n_obj"),
     )
+
+
+def profile_keys(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Key-skew profile: the top-``top_k`` heaviest values of ``key_col``
+    with absolute counts and corpus fractions — the diagnostic that
+    decides whether a join/groupBy on this key needs salting, AQE skew
+    handling, or a broadcast rewrite (north_rule: "partitioning / shuffle
+    / skew handled explicitly" — this is the measuring instrument).
+
+    Returns ``(rank, key, cnt, frac)`` (frac rounded to 6); deterministic
+    tie-break by key. One map-side-combined groupBy + a global top-k
+    (TakeOrderedAndProject over the distinct-key-sized aggregate) — the
+    corpus is touched once."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(top_k)
+        .crossJoin(F.broadcast(total))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "key",
+        "cnt",
+        F.round(F.col("cnt") / F.col("_total"), 6).alias("frac"),
+    )
