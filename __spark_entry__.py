@@ -3581,6 +3581,151 @@ _SKEW_ORACLE = """
         FROM top WHERE rank <= 5"""
 
 
+def _q_owl_property_closure(spark, sf_dir):
+    """OWL-lite property semantics (operators/owl.py::owl_closure):
+    doc-derived graph with a transitive chain predicate (p:next along
+    doc_id blocks of 6), a symmetric predicate (p:near with a modular
+    partner), and an inverseOf pair (hasPart/partOf). Returns the
+    inferred-only layer; the oracle replays each rule arm (recursive CTE
+    for the chain closure) and EXCEPTs the asserted set."""
+    from ferenda_spark.operators.inference import RDF_TYPE
+    from ferenda_spark.operators.owl import (
+        OWL_INVERSE_OF,
+        OWL_SYMMETRIC,
+        OWL_TRANSITIVE,
+        owl_closure,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    c = d.count()
+    ent = F.concat(F.lit("ent:"), F.col("doc_id").cast("string"))
+    null_s = F.lit(None).cast("string")
+
+    def tri(frame, s, p, o):
+        return frame.select(
+            s.alias("subj"), F.lit(p).alias("pred"), o.alias("obj"),
+            F.lit(True).alias("obj_is_uri"), null_s.alias("obj_lang"),
+            null_s.alias("obj_dtype"),
+        )
+
+    decl = spark.createDataFrame(
+        [
+            ("p:next", RDF_TYPE, OWL_TRANSITIVE),
+            ("p:near", RDF_TYPE, OWL_SYMMETRIC),
+            ("p:hasPart", OWL_INVERSE_OF, "p:partOf"),
+        ],
+        "subj string, pred string, obj string",
+    ).select(
+        "subj", "pred", "obj", F.lit(True).alias("obj_is_uri"),
+        null_s.alias("obj_lang"), null_s.alias("obj_dtype"),
+    )
+    nxt = tri(
+        d.filter(F.col("doc_id") % 6 != 5), ent, "p:next",
+        F.concat(F.lit("ent:"), (F.col("doc_id") + 1).cast("string")),
+    )
+    near = tri(
+        d, ent, "p:near",
+        F.concat(F.lit("ent:"),
+                 ((F.col("doc_id") * 7 + 3) % c).cast("string")),
+    )
+    haspart = tri(
+        d, ent, "p:hasPart",
+        F.concat(F.lit("sec:"), F.col("doc_id").cast("string")),
+    )
+    asserted = decl.unionByName(nxt).unionByName(near).unionByName(haspart)
+    return owl_closure(asserted)
+
+
+def _owl_oracle() -> str:
+    return """
+        WITH RECURSIVE nxt AS (
+            SELECT 'ent:' || doc_id AS src,
+                   'ent:' || (doc_id + 1) AS dst
+            FROM documents WHERE doc_id % 6 <> 5
+        ),
+        paths AS (
+            SELECT src, dst FROM nxt
+            UNION
+            SELECT p.src, n.dst FROM paths p JOIN nxt n ON n.src = p.dst
+        ),
+        near AS (
+            SELECT 'ent:' || doc_id AS a,
+                   'ent:' || ((doc_id * 7 + 3)
+                              % (SELECT count(*) FROM documents)) AS b
+            FROM documents
+        ),
+        asserted AS (
+            SELECT DISTINCT subj, pred, obj FROM (
+                SELECT src AS subj, 'p:next' AS pred, dst AS obj FROM nxt
+                UNION ALL SELECT a, 'p:near', b FROM near
+                UNION ALL
+                SELECT 'ent:' || doc_id, 'p:hasPart', 'sec:' || doc_id
+                FROM documents
+            )
+        ),
+        inferred AS (
+            SELECT DISTINCT subj, pred, obj FROM (
+                SELECT 'sec:' || doc_id AS subj, 'p:partOf' AS pred,
+                       'ent:' || doc_id AS obj
+                FROM documents
+                UNION ALL SELECT b, 'p:near', a FROM near
+                UNION ALL SELECT src, 'p:next', dst FROM paths
+            )
+        )
+        SELECT subj, pred, obj, TRUE AS obj_is_uri,
+               CAST(NULL AS VARCHAR) AS obj_lang,
+               CAST(NULL AS VARCHAR) AS obj_dtype
+        FROM (SELECT subj, pred, obj FROM inferred
+              EXCEPT SELECT subj, pred, obj FROM asserted)"""
+
+
+def _q_owl_functional_conflicts(spark, sf_dir):
+    """owl:FunctionalProperty conflict audit (operators/owl.py::
+    functional_conflicts — conflicting crawl assertions become triage
+    rows, never silent subject-smushing): subjects ent:(doc_id%50)
+    asserting p:home city:(doc_id%3) collide by construction; the audit
+    reports each conflicted (subj, pred) with the sorted value list."""
+    from ferenda_spark.operators.inference import RDF_TYPE
+    from ferenda_spark.operators.owl import OWL_FUNCTIONAL, functional_conflicts
+
+    d = _t(spark, sf_dir, "documents")
+    null_s = F.lit(None).cast("string")
+    decl = spark.createDataFrame(
+        [("p:home", RDF_TYPE, OWL_FUNCTIONAL)],
+        "subj string, pred string, obj string",
+    ).select(
+        "subj", "pred", "obj", F.lit(True).alias("obj_is_uri"),
+        null_s.alias("obj_lang"), null_s.alias("obj_dtype"),
+    )
+    facts = d.select(
+        F.concat(F.lit("ent:"), (F.col("doc_id") % 50).cast("string")).alias("subj"),
+        F.lit("p:home").alias("pred"),
+        F.concat(F.lit("city:"), (F.col("doc_id") % 3).cast("string")).alias("obj"),
+        F.lit(True).alias("obj_is_uri"), null_s.alias("obj_lang"),
+        null_s.alias("obj_dtype"),
+    )
+    out = functional_conflicts(decl.unionByName(facts))
+    return out.select(
+        "subj", "pred", "n_values",
+        F.concat_ws(",", "values").alias("values_csv"),
+    )
+
+
+_OWLFUN_ORACLE = """
+        WITH facts AS (
+            SELECT DISTINCT 'ent:' || (doc_id % 50) AS subj,
+                   'p:home' AS pred,
+                   'city:' || (doc_id % 3) AS obj
+            FROM documents
+        )
+        SELECT subj, pred,
+               CAST(count(DISTINCT obj) AS BIGINT) AS n_values,
+               string_agg(DISTINCT obj, ',' ORDER BY obj) AS values_csv
+        FROM facts
+        GROUP BY subj, pred
+        HAVING count(DISTINCT obj) > 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -3696,6 +3841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_frequencies": _q_cms_frequencies,
         "hist_quantiles_chars": _q_hist_quantiles_chars,
         "key_skew_profile": _q_key_skew_profile,
+        "owl_property_closure": _q_owl_property_closure,
+        "owl_functional_conflicts": _q_owl_functional_conflicts,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -5569,4 +5716,6 @@ def oracle_sql() -> dict[str, str]:
         "cms_frequencies": _CMS_ORACLE,
         "hist_quantiles_chars": _HIST_ORACLE,
         "key_skew_profile": _SKEW_ORACLE,
+        "owl_property_closure": _owl_oracle(),
+        "owl_functional_conflicts": _OWLFUN_ORACLE,
     }

@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "cms_frequencies",
     "hist_quantiles_chars",
     "key_skew_profile",
+    "owl_property_closure",
+    "owl_functional_conflicts",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs

@@ -95,3 +95,65 @@ def test_anti_join_shape(spark):
     df = entrymod.queries()["skeleton_anti"](spark, SF_DIR)
     plan = _plan(df)
     assert "LeftAnti" in plan
+
+
+def test_adamic_adar_no_nested_loop(spark):
+    """The wedge join must be an equi-join on the center node and the
+    final top-k a TakeOrderedAndProject — no cartesian/nested-loop join,
+    no global Sort."""
+    df = entrymod.queries()["adamic_adar_links"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dictionary_encode_is_map_only(spark):
+    """encode_triples' encoded output is a projection: zero Exchange."""
+    from ferenda_spark.operators.dictenc import encode_triples
+
+    tri = spark.createDataFrame(
+        [("s", "p", "o")], "subj string, pred string, obj string"
+    )
+    _, enc = encode_triples(tri)
+    assert "Exchange" not in _plan(enc)
+
+
+def test_prov_triples_map_only(spark):
+    """Lineage → PROV triples is explode + filter: zero Exchange."""
+    df = entrymod.queries()["prov_lineage_triples"](spark, SF_DIR)
+    # the lineage synthesis aggregates (one Exchange); the PROV conversion
+    # itself must add none beyond it
+    assert _plan(df).count("Exchange") <= 2  # partial+final of ONE agg
+
+
+def test_nquads_serialization_map_only(spark):
+    from ferenda_spark.sources.nquads import to_nquads_lines
+
+    q = spark.createDataFrame(
+        [("s", "p", "o", True, None, None, "g")],
+        "subj string, pred string, obj string, obj_is_uri boolean, "
+        "obj_lang string, obj_dtype string, graph string",
+    )
+    assert "Exchange" not in _plan(to_nquads_lines(q))
+
+
+def test_bm25_ends_in_top_k(spark):
+    df = entrymod.queries()["fulltext_bm25"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_single_window_shuffle(spark):
+    """One hash-partitioned Exchange for the strata window; no global
+    single-partition sort."""
+    df = entrymod.queries()["weighted_sample_mix"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_cms_query_broadcasts_grid(spark):
+    df = entrymod.queries()["cms_frequencies"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
