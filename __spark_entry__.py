@@ -3726,6 +3726,192 @@ _OWLFUN_ORACLE = """
         HAVING count(DISTINCT obj) > 1"""
 
 
+def _q_rdf_list_flatten(spark, sf_dir):
+    """rdf:List flattening (operators/rdflists.py — JSON-LD @list /
+    RDFa order recovery at corpus scale): 20 interleaved cons-cell
+    chains (cell:i rest→ cell:i+20), flattened to (head, idx, member)
+    by pointer doubling over the reversed rest edges. The oracle walks
+    each chain with a recursive CTE carrying the index."""
+    from ferenda_spark.operators.rdflists import (
+        RDF_FIRST,
+        RDF_NIL,
+        RDF_REST,
+        flatten_rdf_lists,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    c = d.count()
+    cell = F.concat(F.lit("cell:"), F.col("doc_id").cast("string"))
+    rest = d.select(
+        cell.alias("subj"), F.lit(RDF_REST).alias("pred"),
+        F.when(
+            F.col("doc_id") + 20 < c,
+            F.concat(F.lit("cell:"), (F.col("doc_id") + 20).cast("string")),
+        ).otherwise(F.lit(RDF_NIL)).alias("obj"),
+        F.lit(True).alias("obj_is_uri"),
+    )
+    firsts = d.select(
+        cell.alias("subj"), F.lit(RDF_FIRST).alias("pred"),
+        F.concat(F.lit("item:"), F.col("doc_id").cast("string")).alias("obj"),
+        F.lit(False).alias("obj_is_uri"),
+    )
+    return flatten_rdf_lists(rest.unionByName(firsts))
+
+
+_RDFLIST_ORACLE = """
+        WITH RECURSIVE cells AS (
+            SELECT doc_id AS i,
+                   (SELECT count(*) FROM documents) AS c
+            FROM documents
+        ),
+        walk AS (
+            SELECT 'cell:' || i AS head, 0 AS idx, i FROM cells WHERE i < 20
+            UNION ALL
+            SELECT w.head, w.idx + 1, c2.i
+            FROM walk w JOIN cells c2 ON c2.i = w.i + 20
+        )
+        SELECT head, idx, 'item:' || i AS member,
+               FALSE AS member_is_uri, TRUE AS ok
+        FROM walk"""
+
+
+def _q_crawl_schedule(spark, sf_dir):
+    """Politeness scheduling (operators/scheduler.py): doc-derived
+    frontier URLs over 5 hosts → per-host md5-ordered queues, one worker
+    per host, not_before offsets at 1s delay. The oracle replays window,
+    worker hash, and offsets exactly."""
+    from ferenda_spark.operators.scheduler import schedule_fetches
+
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example/p"), F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return schedule_fetches(urls, delay_ms=1000, n_workers=8)
+
+
+_SCHEDULE_ORACLE = """
+        WITH u AS (
+            SELECT 'https://h' || (doc_id % 5) || '.example/p' || doc_id
+                       AS url,
+                   'h' || (doc_id % 5) || '.example' AS host
+            FROM documents
+        )
+        SELECT url, host,
+               CAST(try_cast('0x' || substr(md5(host), 1, 15) AS BIGINT)
+                    % 8 AS INTEGER) AS worker,
+               CAST(row_number() OVER (
+                   PARTITION BY host ORDER BY md5(url), url) - 1
+                   AS INTEGER) AS seq,
+               CAST((row_number() OVER (
+                   PARTITION BY host ORDER BY md5(url), url) - 1) * 1000
+                   AS BIGINT) AS not_before_ms
+        FROM u"""
+
+
+def _q_skolemized_triples(spark, sf_dir):
+    """Blank-node skolemization (functions/uris.py::skolemize_col):
+    harvest-style triples where even doc_ids carry bnode subjects and
+    every third object is a bnode — skolemized to well-known genid IRIs;
+    the oracle replays the md5 genid construction."""
+    from ferenda_spark.functions.uris import skolemize_col
+
+    d = _t(spark, sf_dir, "documents")
+    subj = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("_:doc"), F.col("doc_id").cast("string"), F.lit("/b0")),
+    ).otherwise(F.concat(F.lit("ent:"), F.col("doc_id").cast("string")))
+    obj = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("_:doc"), F.col("doc_id").cast("string"), F.lit("/b1")),
+    ).otherwise(F.concat(F.lit("val:"), (F.col("doc_id") % 7).cast("string")))
+    tri = d.select(subj.alias("subj"), F.lit("p:rel").alias("pred"),
+                   obj.alias("obj"))
+    return tri.select(
+        skolemize_col(F.col("subj")).alias("subj"),
+        "pred",
+        skolemize_col(F.col("obj")).alias("obj"),
+    )
+
+
+_SKOLEM_ORACLE = """
+        WITH tri AS (
+            SELECT CASE WHEN doc_id % 2 = 0
+                        THEN '_:doc' || doc_id || '/b0'
+                        ELSE 'ent:' || doc_id END AS subj,
+                   'p:rel' AS pred,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN '_:doc' || doc_id || '/b1'
+                        ELSE 'val:' || (doc_id % 7) END AS obj
+            FROM documents
+        )
+        SELECT CASE WHEN starts_with(subj, '_:')
+                    THEN 'https://kg.example/.well-known/genid/' || md5(subj)
+                    ELSE subj END AS subj,
+               pred,
+               CASE WHEN starts_with(obj, '_:')
+                    THEN 'https://kg.example/.well-known/genid/' || md5(obj)
+                    ELSE obj END AS obj
+        FROM tri"""
+
+
+def _q_kg_as_of_view(spark, sf_dir):
+    """Point-in-time KG view (operators/temporal.py::as_of over the SCD2
+    fact_versions output): the graph's asserted user-status facts as of
+    2024-01-15 — the validity-interval filter that answers time-travel
+    queries without per-day snapshots."""
+    from ferenda_spark.operators.temporal import as_of, fact_versions
+
+    e = _t(spark, sf_dir, "events")
+    assertions = e.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("subj"),
+        F.lit("p:status").alias("pred"),
+        F.col("event_type").alias("obj"),
+        F.col("ts"),
+    )
+    return as_of(fact_versions(assertions), "2024-01-15 00:00:00")
+
+
+_ASOF_ORACLE = """
+        WITH obs AS (
+            SELECT DISTINCT user_id, event_type AS value, ts
+            FROM events
+        ),
+        w1 AS (
+            SELECT user_id, value, ts,
+                   lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, value
+                   ) AS prev
+            FROM obs
+        ),
+        ch AS (
+            SELECT user_id, value, ts FROM w1
+            WHERE prev IS NULL OR value <> prev
+        ),
+        v AS (
+            SELECT 'user:' || user_id AS subj,
+                   'p:status' AS pred,
+                   value,
+                   ts AS valid_from,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, value
+                   ) AS valid_to,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, value
+                   ) AS INT) AS version,
+                   (lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, value
+                   ) IS NULL) AS is_current
+            FROM ch
+        )
+        SELECT * FROM v
+        WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+          AND (valid_to IS NULL
+               OR valid_to > TIMESTAMP '2024-01-15 00:00:00')"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -3843,6 +4029,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": _q_key_skew_profile,
         "owl_property_closure": _q_owl_property_closure,
         "owl_functional_conflicts": _q_owl_functional_conflicts,
+        "rdf_list_flatten": _q_rdf_list_flatten,
+        "crawl_schedule": _q_crawl_schedule,
+        "skolemized_triples": _q_skolemized_triples,
+        "kg_as_of_view": _q_kg_as_of_view,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -5718,4 +5908,8 @@ def oracle_sql() -> dict[str, str]:
         "key_skew_profile": _SKEW_ORACLE,
         "owl_property_closure": _owl_oracle(),
         "owl_functional_conflicts": _OWLFUN_ORACLE,
+        "rdf_list_flatten": _RDFLIST_ORACLE,
+        "crawl_schedule": _SCHEDULE_ORACLE,
+        "skolemized_triples": _SKOLEM_ORACLE,
+        "kg_as_of_view": _ASOF_ORACLE,
     }

@@ -91,6 +91,10 @@ BENCH_QUERIES = [
     "key_skew_profile",
     "owl_property_closure",
     "owl_functional_conflicts",
+    "rdf_list_flatten",
+    "crawl_schedule",
+    "skolemized_triples",
+    "kg_as_of_view",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs

@@ -134,3 +134,23 @@ def normalize_url_py(url: str) -> str:
     elif scheme == "https" and host.endswith(":443"):
         host = host[:-4]
     return f"{scheme}://{host}{rest}"
+
+
+def skolemize_col(term: Column, base: str = "https://kg.example/") -> Column:
+    """Blank-node skolemization (RDF 1.1 §3.5): replace ``_:label`` terms
+    with well-known genid IRIs so bnodes survive cross-dataset union,
+    dictionary encoding, and SPARQL joins (a bnode label is only scoped
+    to its source graph — two harvests both emitting ``_:b0`` MUST NOT
+    merge, which is why the genid hashes the full doc-scoped label the
+    structured-data harvest mints, operators/structured.py). Pure column
+    expression; the md5 form replays in any engine:
+
+        _:x → <base>.well-known/genid/md5(label)
+    """
+    return F.when(
+        term.startswith("_:"),
+        F.concat(
+            F.lit(base + ".well-known/genid/"),
+            F.md5(term),
+        ),
+    ).otherwise(term)
