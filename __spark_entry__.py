@@ -3912,6 +3912,105 @@ _ASOF_ORACLE = """
                OR valid_to > TIMESTAMP '2024-01-15 00:00:00')"""
 
 
+def _q_entity_pmi_pairs(spark, sf_dir):
+    """Entity co-occurrence PMI (operators/cooccur.py): each document
+    mentions three modular entities; pairs co-occurring in ≥2 docs get
+    ln(n_ab·N/(n_a·n_b)), rounded to 6. The oracle replays the distinct
+    bipartite table, both marginals, the pair self-join, and the
+    formula."""
+    from ferenda_spark.operators.cooccur import entity_pmi
+
+    d = _t(spark, sf_dir, "documents")
+    doc = F.concat(F.lit("d"), F.col("doc_id").cast("string"))
+
+    def ment(expr):
+        return d.select(
+            doc.alias("doc"),
+            F.concat(F.lit("e"), expr.cast("string")).alias("ent"),
+        )
+
+    m = (
+        ment(F.col("doc_id") % 8)
+        .unionByName(ment((F.col("doc_id") * 3 + 1) % 8))
+        .unionByName(ment((F.col("doc_id") * 5 + 2) % 8))
+    )
+    return entity_pmi(m)
+
+
+_PMI_ORACLE = """
+        WITH de AS (
+            SELECT DISTINCT doc, ent FROM (
+                SELECT 'd' || doc_id AS doc,
+                       'e' || (doc_id % 8) AS ent FROM documents
+                UNION ALL
+                SELECT 'd' || doc_id,
+                       'e' || ((doc_id * 3 + 1) % 8) FROM documents
+                UNION ALL
+                SELECT 'd' || doc_id,
+                       'e' || ((doc_id * 5 + 2) % 8) FROM documents
+            )
+        ),
+        nd AS (SELECT CAST(count(DISTINCT doc) AS DOUBLE) AS n FROM de),
+        ec AS (SELECT ent, count(*) AS n_e FROM de GROUP BY ent),
+        pc AS (
+            SELECT l.ent AS a, r.ent AS b, count(*) AS n_ab
+            FROM de l JOIN de r ON l.doc = r.doc AND l.ent < r.ent
+            GROUP BY l.ent, r.ent
+            HAVING count(*) >= 2
+        )
+        SELECT pc.a, pc.b, pc.n_ab,
+               round(ln(pc.n_ab * (SELECT n FROM nd)
+                        / (ea.n_e * eb.n_e)), 6) AS pmi
+        FROM pc
+        JOIN ec ea ON ea.ent = pc.a
+        JOIN ec eb ON eb.ent = pc.b"""
+
+
+def _q_graph_random_walks(spark, sf_dir):
+    """Deterministic random walks (operators/walks.py — DeepWalk-style
+    embedding-corpus generation with hash-derived choices): 3-step walks
+    from every node of the md5 graph. The oracle rebuilds the ranked
+    adjacency and unrolls each step's pick = hash60(start:step:node) mod
+    degree."""
+    from ferenda_spark.operators.walks import random_walks
+
+    return random_walks(_hash_graph(spark, sf_dir, "walk"), length=3)
+
+
+def _walks_oracle(length: int = 3) -> str:
+    head = f"""
+        WITH {_hash_graph_sql('walk')},
+        deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),
+        adj AS (
+            SELECT und.a AS u, und.b AS v,
+                   row_number() OVER (PARTITION BY und.a ORDER BY und.b)
+                       - 1 AS rk,
+                   deg.deg
+            FROM und JOIN deg ON deg.a = und.a
+        ),
+        w0 AS (SELECT a AS start, 0 AS step, a AS node
+               FROM (SELECT DISTINCT a FROM und))"""
+    steps = []
+    for t in range(1, length + 1):
+        steps.append(f"""
+        w{t} AS MATERIALIZED (
+            SELECT w.start, {t} AS step, adj.v AS node
+            FROM w{t - 1} w
+            JOIN adj ON adj.u = w.node
+               AND adj.rk = try_cast('0x' || substr(md5(
+                       CAST(w.start AS VARCHAR) || ':{t - 1}:'
+                       || CAST(w.node AS VARCHAR)), 1, 15) AS BIGINT)
+                   % adj.deg
+        )""")
+    union = "\n            UNION ALL\n            ".join(
+        f"SELECT start, step, node FROM w{t}" for t in range(length + 1)
+    )
+    return head + "," + ",".join(steps) + f"""
+        SELECT start, CAST(step AS INTEGER) AS step, node FROM (
+            {union}
+        )"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -4033,6 +4132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": _q_crawl_schedule,
         "skolemized_triples": _q_skolemized_triples,
         "kg_as_of_view": _q_kg_as_of_view,
+        "entity_pmi_pairs": _q_entity_pmi_pairs,
+        "graph_random_walks": _q_graph_random_walks,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -5912,4 +6013,6 @@ def oracle_sql() -> dict[str, str]:
         "crawl_schedule": _SCHEDULE_ORACLE,
         "skolemized_triples": _SKOLEM_ORACLE,
         "kg_as_of_view": _ASOF_ORACLE,
+        "entity_pmi_pairs": _PMI_ORACLE,
+        "graph_random_walks": _walks_oracle(),
     }

@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "crawl_schedule",
     "skolemized_triples",
     "kg_as_of_view",
+    "entity_pmi_pairs",
+    "graph_random_walks",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs
