@@ -4831,7 +4831,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(doc_id % 4 AS INT) AS bucket,
                        doc_id,
                        CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                             END AS BIGINT) AS n_tokens
                 FROM documents
             ), o AS (
@@ -5814,7 +5814,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
                 SELECT lang, doc_id,
                        CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                             END AS BIGINT) AS n_tokens
                 FROM documents
             ), o AS (

@@ -219,7 +219,9 @@ def test_adamic_adar_center_cap(spark):
         (0, 100): round(2.0 / math.log(2), 6),
         (1, 2): round(1.0 / math.log(2), 6),
     }
-    assert not any(1 <= a < b <= 6 for (a, b) in rows)
+    # leaves 3..6 share ONLY the hub as a neighbor — any pair among them
+    # could come only through center 0, which the cap excluded
+    assert not any(3 <= a < b <= 6 for (a, b) in rows)
 
 
 # ---------------------------------------------------------------- WL colors
