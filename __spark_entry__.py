@@ -4011,6 +4011,86 @@ def _walks_oracle(length: int = 3) -> str:
         )"""
 
 
+def _q_void_dataset_stats(spark, sf_dir):
+    """VoID dataset self-description (operators/void_stats.py): the
+    doc-derived triple set's statistics emitted AS triples — dataset
+    totals plus per-predicate and per-class partition nodes (md5-minted,
+    order-independent). The oracle recomputes every count and partition
+    arm."""
+    from ferenda_spark.operators.void_stats import void_description
+
+    d = _t(spark, sf_dir, "documents")
+    ent = F.concat(F.lit("ent:"), F.col("doc_id").cast("string"))
+    tri = (
+        d.select(
+            ent.alias("subj"), F.lit("rdf:type").alias("pred"),
+            F.concat(F.lit("c:"), (F.col("doc_id") % 3).cast("string")).alias("obj"),
+        )
+        .unionByName(d.select(
+            ent.alias("subj"), F.lit("p:cites").alias("pred"),
+            F.concat(F.lit("ent:"),
+                     ((F.col("doc_id") * 7 + 3) % 1000).cast("string")).alias("obj"),
+        ))
+        .unionByName(d.select(
+            ent.alias("subj"), F.lit("p:label").alias("pred"),
+            F.concat(F.lit("L-"), F.col("lang")).alias("obj"),
+        ))
+    )
+    return void_description(tri)
+
+
+_VOID_ORACLE = """
+        WITH tri AS (
+            SELECT 'ent:' || doc_id AS subj, 'rdf:type' AS pred,
+                   'c:' || (doc_id % 3) AS obj FROM documents
+            UNION ALL
+            SELECT 'ent:' || doc_id, 'p:cites',
+                   'ent:' || ((doc_id * 7 + 3) % 1000) FROM documents
+            UNION ALL
+            SELECT 'ent:' || doc_id, 'p:label', 'L-' || lang FROM documents
+        ),
+        tot AS (
+            SELECT count(*) AS n_triples,
+                   count(DISTINCT subj) AS n_subj,
+                   count(DISTINCT obj) AS n_obj,
+                   count(DISTINCT pred) AS n_pred,
+                   count(DISTINCT CASE WHEN pred = 'rdf:type' THEN obj END)
+                       AS n_classes
+            FROM tri
+        ),
+        pp AS (SELECT pred, count(*) AS n FROM tri GROUP BY pred),
+        cp AS (SELECT obj AS cls, count(DISTINCT subj) AS n
+               FROM tri WHERE pred = 'rdf:type' GROUP BY obj),
+        xsd AS (SELECT 'http://www.w3.org/2001/XMLSchema#integer' AS t)
+        SELECT 'void:ds' AS subj, 'rdf:type' AS pred,
+               'void:Dataset' AS obj, TRUE AS obj_is_uri,
+               CAST(NULL AS VARCHAR) AS obj_dtype
+        UNION ALL SELECT 'void:ds', 'void:triples',
+               CAST(n_triples AS VARCHAR), FALSE, (SELECT t FROM xsd) FROM tot
+        UNION ALL SELECT 'void:ds', 'void:distinctSubjects',
+               CAST(n_subj AS VARCHAR), FALSE, (SELECT t FROM xsd) FROM tot
+        UNION ALL SELECT 'void:ds', 'void:distinctObjects',
+               CAST(n_obj AS VARCHAR), FALSE, (SELECT t FROM xsd) FROM tot
+        UNION ALL SELECT 'void:ds', 'void:properties',
+               CAST(n_pred AS VARCHAR), FALSE, (SELECT t FROM xsd) FROM tot
+        UNION ALL SELECT 'void:ds', 'void:classes',
+               CAST(n_classes AS VARCHAR), FALSE, (SELECT t FROM xsd) FROM tot
+        UNION ALL SELECT 'void:ds', 'void:propertyPartition',
+               'void:ds/prop/' || md5(pred), TRUE, CAST(NULL AS VARCHAR)
+               FROM pp
+        UNION ALL SELECT 'void:ds/prop/' || md5(pred), 'void:property',
+               pred, TRUE, CAST(NULL AS VARCHAR) FROM pp
+        UNION ALL SELECT 'void:ds/prop/' || md5(pred), 'void:triples',
+               CAST(n AS VARCHAR), FALSE, (SELECT t FROM xsd) FROM pp
+        UNION ALL SELECT 'void:ds', 'void:classPartition',
+               'void:ds/class/' || md5(cls), TRUE, CAST(NULL AS VARCHAR)
+               FROM cp
+        UNION ALL SELECT 'void:ds/class/' || md5(cls), 'void:class',
+               cls, TRUE, CAST(NULL AS VARCHAR) FROM cp
+        UNION ALL SELECT 'void:ds/class/' || md5(cls), 'void:entities',
+               CAST(n AS VARCHAR), FALSE, (SELECT t FROM xsd) FROM cp"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -4134,6 +4214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_as_of_view": _q_kg_as_of_view,
         "entity_pmi_pairs": _q_entity_pmi_pairs,
         "graph_random_walks": _q_graph_random_walks,
+        "void_dataset_stats": _q_void_dataset_stats,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -6015,4 +6096,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_as_of_view": _ASOF_ORACLE,
         "entity_pmi_pairs": _PMI_ORACLE,
         "graph_random_walks": _walks_oracle(),
+        "void_dataset_stats": _VOID_ORACLE,
     }

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "kg_as_of_view",
     "entity_pmi_pairs",
     "graph_random_walks",
+    "void_dataset_stats",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs

@@ -68,6 +68,7 @@ def run_pipeline(
     enrich_kg: bool = False,
     shapes: DataFrame | None = None,
     enrich_extra_triples: DataFrame | None = None,
+    describe_dataset: bool = False,
 ) -> dict[str, str]:
     """Run (or resume) the full DAG; returns stage-table paths.
 
@@ -327,6 +328,35 @@ def run_pipeline(
             paths["lineage"],
         )
         ledger.mark_parts("enrich", [-1], run_id=run_id)
+
+    # ------------------------------------- VoID self-description (opt-in)
+    # dataset statistics AS triples (operators/void_stats.py) over the
+    # graph a consumer actually queries: the canonical table when the
+    # enrichment stage ran, else raw SPO. Facet-sized output (O(preds +
+    # classes) rows) → reruns whole, same policy as rollup.
+    if describe_dataset:
+        from ferenda_spark.operators.void_stats import void_description
+
+        paths["void"] = _p(out_dir, "void")
+        _t0v = _time.monotonic()
+        src_path = (
+            paths["triples_canonical"] if enrich_kg else paths["triples_spo"]
+        )
+        graph_tbl = catalog.read_table(spark, src_path)
+        catalog.write_table(void_description(graph_tbl), paths["void"])
+        catalog.append_table(
+            _whole_stage_lineage(
+                spark,
+                stage="void",
+                n_in=graph_tbl.count(),
+                n_out=catalog.read_table(spark, paths["void"]).count(),
+                bytes_in=_table_bytes(spark, src_path),
+                wall_ms=int((_time.monotonic() - _t0v) * 1000),
+                run_id=run_id,
+            ),
+            paths["lineage"],
+        )
+        ledger.mark_parts("void", [-1], run_id=run_id)
 
     # --------------------------------------------------------------- rollup
 

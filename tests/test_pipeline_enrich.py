@@ -79,3 +79,30 @@ def test_enrich_off_by_default(spark, tmp_path):
         spark.read.parquet(paths["lineage"])
         .filter("stage = 'enrich'").count() == 0
     )
+
+
+def test_void_stage(spark, tmp_path):
+    out = str(tmp_path / "kg")
+    corpus = generate_corpus(spark, 20)
+    paths = run_pipeline(
+        spark, corpus, dictionary_df(spark), out, n_parts=4,
+        describe_dataset=True,
+    )
+    assert "void" in paths
+    void = spark.read.parquet(paths["void"])
+    rows = {
+        (r["subj"], r["pred"]): r["obj"] for r in void.collect()
+    }
+    spo = spark.read.parquet(paths["triples_spo"])
+    assert rows[("void:ds", "void:triples")] == str(spo.count())
+    assert rows[("void:ds", "rdf:type")] == "void:Dataset"
+    # per-predicate partitions cover every asserted predicate
+    preds = {r["pred"] for r in spo.select("pred").distinct().collect()}
+    props = {
+        r["obj"] for r in void.filter("pred = 'void:property'").collect()
+    }
+    assert props == preds
+    # lineage row with real metrics
+    lin = spark.read.parquet(paths["lineage"]).filter("stage = 'void'")
+    r = lin.collect()[0]
+    assert r["n_in"] > 0 and r["n_out"] > 0 and r["wall_ms"] is not None

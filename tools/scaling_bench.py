@@ -306,9 +306,14 @@ def history_section(ts, n_docs, n, t_n, t_4n, eff) -> str:
         with open(path) as f:
             text = f.read()
         if _HISTORY_HEADER in text:
-            block = text.split(_HISTORY_HEADER, 1)[1]
+            # the history table ends at the next heading; without the
+            # bound, later sections' tables (e.g. the curation stage
+            # rows) get swallowed into the history on every rerun
+            block = text.split(_HISTORY_HEADER, 1)[1].split("\n## ", 1)[0]
             for line in block.splitlines():
-                if line.startswith("|") and not line.startswith(("|---", "| session box")):
+                if line.startswith("|") and not line.startswith(
+                    ("|---", "| session box", "| stage ")
+                ):
                     rows.append(line)
     except OSError:
         pass
