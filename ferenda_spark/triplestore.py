@@ -23,6 +23,8 @@ full-context rewrite server-side.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -209,6 +211,15 @@ class SparkTripleStore:
         in volatile executor block storage, where an executor loss
         mid-rewrite loses the store permanently."""
         kept = self.triples().filter(_domain(F.col("src_url")) != context.lower())
+        self._replace_with(kept)
+
+    def _replace_with(self, kept: DataFrame) -> None:
+        """Replace the store's contents with ``kept`` — which may be (and
+        usually is) DERIVED FROM THE STORE'S OWN TABLE, so a plain
+        overwrite would read and clobber the same files mid-job. The
+        survivor rows are staged at a durable sibling first, then swapped
+        (plain mode), or published as an atomic snapshot commit (snapshot
+        mode, where data dirs are immutable)."""
         if self.snapshot_mode:
             # the snapshot layer IS the sibling+swap discipline: survivor
             # files are durable before the manifest rename publishes them,
@@ -240,3 +251,117 @@ class SparkTripleStore:
             # internally staged at a durable sibling + swapped, so readers
             # never see a half-written POS table.
             write_pos(self.triples(), self.pos_path)
+
+    # ------------------------------------------------------------- updates
+
+    _UPDATE_RE = re.compile(
+        r"^\s*(INSERT DATA|DELETE DATA|DELETE WHERE)\s*\{(.*)\}\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _TERM_RE = (
+        r'(\?[A-Za-z_]\w*|<[^>]*>|"(?:[^"\\]|\\.)*"'
+        r"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?)"
+    )
+
+    def update(self, query: str, n_parts: int = 8) -> None:
+        """SPARQL 1.1 Update subset (reference analog: TripleStore's
+        add_serialized/clear are ferenda's only write paths — this closes
+        the standard-syntax gap for store maintenance):
+
+        - ``INSERT DATA { <NT lines> }`` — ground triples appended
+          (``add``); the block is parsed by the N-Triples machinery
+          (sources/ntriples.py), so escaping/lang/datatype handling is the
+          audited serializer's, not a second parser. ``part_key`` is
+          minted from the subject hash; ``src_url`` stays NULL (assertion
+          provenance is the pipeline's job, not the update language's).
+        - ``DELETE DATA { <NT lines> }`` — exact ground triples removed
+          (NULL-safe value match, same discipline as rdfs_closure's
+          anti-join).
+        - ``DELETE WHERE { ?s <p> ?o }`` — ONE triple pattern with
+          variables/constants; matching triples removed. Multi-pattern
+          templates would need full solution-mapping semantics — refused
+          loudly (same philosophy as the SPARQL maybe-null guard) rather
+          than silently approximated.
+
+        Deletions rewrite through ``rewrite`` (sibling+swap / snapshot
+        commit), so crash-safety matches ``clear``.
+        """
+        m = self._UPDATE_RE.match(query)
+        if not m:
+            raise ValueError(
+                "unsupported update form (INSERT DATA / DELETE DATA / "
+                f"DELETE WHERE only): {query[:80]!r}"
+            )
+        op, block = m.group(1).upper(), m.group(2)
+        if op in ("INSERT DATA", "DELETE DATA"):
+            rows = self._parse_data_block(block, n_parts)
+            if op == "INSERT DATA":
+                self.add(rows)
+                return
+            cond = None
+            cur = self.triples().alias("_t")
+            d = rows.select(
+                "subj", "pred", "obj", "obj_is_uri", "obj_lang", "obj_dtype"
+            ).alias("_d")
+            for c in ("subj", "pred", "obj", "obj_is_uri", "obj_lang",
+                      "obj_dtype"):
+                e = F.col(f"_t.{c}").eqNullSafe(F.col(f"_d.{c}"))
+                cond = e if cond is None else (cond & e)
+            self._replace_with(cur.join(d, cond, "left_anti"))
+            return
+        # DELETE WHERE: one pattern
+        pat = re.findall(
+            rf"{self._TERM_RE}\s+{self._TERM_RE}\s+{self._TERM_RE}\s*\.?",
+            block.strip(),
+        )
+        if len(pat) != 1:
+            raise ValueError(
+                "DELETE WHERE supports exactly one triple pattern; got "
+                f"{len(pat)} in {block.strip()[:80]!r}"
+            )
+        s_t, p_t, o_t = pat[0]
+        cond = F.lit(True)
+        for term, col in ((s_t, "subj"), (p_t, "pred")):
+            if not term.startswith("?"):
+                if not (term.startswith("<") and term.endswith(">")):
+                    raise ValueError(f"{col} term must be <iri> or var: {term}")
+                cond = cond & (F.col(col) == term[1:-1])
+        if not o_t.startswith("?"):
+            if o_t.startswith("<"):
+                cond = cond & (F.col("obj") == o_t[1:-1]) & F.col("obj_is_uri")
+            else:
+                lex = re.match(r'^"((?:[^"\\]|\\.)*)"', o_t).group(1)
+                lex = (
+                    lex.replace("\\\\", "\x00").replace('\\"', '"')
+                    .replace("\\n", "\n").replace("\\r", "\r")
+                    .replace("\\t", "\t").replace("\x00", "\\")
+                )
+                cond = cond & (F.col("obj") == lex) & ~F.col("obj_is_uri")
+                suffix = o_t[o_t.rindex('"') + 1:]
+                if suffix.startswith("@"):
+                    cond = cond & (F.col("obj_lang") == suffix[1:])
+                elif suffix.startswith("^^<"):
+                    cond = cond & (F.col("obj_dtype") == suffix[3:-1])
+        self._replace_with(self.triples().filter(~cond))
+
+    def _parse_data_block(self, block: str, n_parts: int) -> DataFrame:
+        from ferenda_spark.sources.ntriples import parse_ntriples_lines
+
+        lines = [
+            ln.strip() for ln in block.strip().splitlines() if ln.strip()
+        ]
+        if not lines:
+            raise ValueError("empty data block")
+        parsed = parse_ntriples_lines(
+            self.spark.createDataFrame([(l,) for l in lines], "line string")
+        ).cache()
+        bad = parsed.filter(F.col("kind") != "triple").limit(1).collect()
+        if bad:
+            raise ValueError(f"malformed triple in data block: {bad[0]['obj']!r}")
+        return parsed.drop("kind").select(
+            "subj", "pred", "obj", "obj_is_uri", "obj_lang", "obj_dtype",
+            F.lit(None).cast("string").alias("src_url"),
+            F.pmod(F.xxhash64("subj"), F.lit(n_parts)).cast("int").alias(
+                "part_key"
+            ),
+        )

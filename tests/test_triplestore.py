@@ -172,3 +172,73 @@ def test_snapshot_clear_keeps_history(snap_store):
 def test_plain_store_rejects_version(store):
     with pytest.raises(ValueError, match="snapshot_mode"):
         store.triples(version=1)
+
+
+# ------------------------------------------------------------ SPARQL UPDATE
+
+
+def _update_store(spark, tmp_path, rows):
+    from ferenda_spark.triplestore import SparkTripleStore
+
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_uri boolean, "
+        "obj_lang string, obj_dtype string, src_url string, part_key int",
+    )
+    store = SparkTripleStore(spark, str(tmp_path / "spo_upd"))
+    store.rewrite(df)
+    return store
+
+
+BASE = [
+    ("e:1", "p:a", "e:2", True, None, None, "u:1", 0),
+    ("e:1", "p:label", "one", False, "en", None, "u:1", 0),
+    ("e:2", "p:a", "e:3", True, None, None, "u:2", 1),
+]
+
+
+def test_insert_data(spark, tmp_path):
+    store = _update_store(spark, tmp_path, BASE)
+    store.update('INSERT DATA { <e:9> <p:a> <e:1> .\n<e:9> <p:label> "nine" . }')
+    got = {(r["subj"], r["pred"], r["obj"]) for r in store.triples().collect()}
+    assert ("e:9", "p:a", "e:1") in got
+    assert ("e:9", "p:label", "nine") in got
+    assert len(got) == 5
+
+
+def test_delete_data_exact_only(spark, tmp_path):
+    store = _update_store(spark, tmp_path, BASE)
+    store.update('DELETE DATA { <e:1> <p:label> "one"@en . }')
+    got = {(r["subj"], r["pred"], r["obj"]) for r in store.triples().collect()}
+    assert ("e:1", "p:label", "one") not in got
+    assert len(got) == 2
+    # wrong lang tag deletes nothing
+    store.update('DELETE DATA { <e:1> <p:a> "e:2" . }')  # literal, not uri
+    assert store.triples().count() == 2
+
+
+def test_delete_where_pattern(spark, tmp_path):
+    store = _update_store(spark, tmp_path, BASE)
+    store.update("DELETE WHERE { ?s <p:a> ?o . }")
+    got = {(r["subj"], r["pred"]) for r in store.triples().collect()}
+    assert got == {("e:1", "p:label")}
+
+
+def test_delete_where_constant_object(spark, tmp_path):
+    store = _update_store(spark, tmp_path, BASE)
+    store.update("DELETE WHERE { ?s ?p <e:3> . }")
+    got = {(r["subj"], r["obj"]) for r in store.triples().collect()}
+    assert ("e:2", "e:3") not in got
+    assert len(got) == 2
+
+
+def test_update_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    store = _update_store(spark, tmp_path, BASE)
+    with _pytest.raises(ValueError, match="unsupported update form"):
+        store.update("INSERT { ?s ?p ?o } WHERE { ?s ?p ?o }")
+    with _pytest.raises(ValueError, match="exactly one triple pattern"):
+        store.update("DELETE WHERE { ?s <p:a> ?o . ?o <p:a> ?x . }")
+    with _pytest.raises(ValueError, match="malformed"):
+        store.update("INSERT DATA { garbage }")
