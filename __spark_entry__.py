@@ -4091,6 +4091,46 @@ _VOID_ORACLE = """
                CAST(n AS VARCHAR), FALSE, (SELECT t FROM xsd) FROM cp"""
 
 
+def _q_negative_samples(spark, sf_dir):
+    """Deterministic negative sampling (operators/walks.py::
+    negative_samples — word2vec/TransE-style corruption rows): 4 hash-
+    chosen negatives per directed md5-graph edge, tail drawn from the
+    two-level (bucket, n) dense node ranking. The oracle rebuilds the
+    ranking as ONE row_number window and replays every draw."""
+    from ferenda_spark.operators.walks import negative_samples
+
+    return negative_samples(_hash_graph(spark, sf_dir, "neg"), k=4)
+
+
+def _negsample_oracle(k: int = 4) -> str:
+    js = ", ".join(str(j) for j in range(k))
+    return f"""
+        WITH {_hash_graph_sql('neg')},
+        nodes AS (
+            SELECT DISTINCT n FROM (
+                SELECT src AS n FROM e UNION ALL SELECT dst FROM e
+            )
+        ),
+        ranked AS (
+            SELECT n,
+                   row_number() OVER (ORDER BY
+                       try_cast('0x' || substr(md5(CAST(n AS VARCHAR)),
+                                               1, 15) AS BIGINT) % 64,
+                       n) - 1 AS rk
+            FROM nodes
+        ),
+        nv AS (SELECT count(*) AS v FROM nodes),
+        probes AS (
+            SELECT src AS a, dst AS b, j,
+                   try_cast('0x' || substr(md5(CAST(src AS VARCHAR) || ':'
+                       || CAST(dst AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+                       1, 15) AS BIGINT) % (SELECT v FROM nv) AS rk
+            FROM e, unnest([{js}]) AS u(j)
+        )
+        SELECT p.a AS src, r.n AS neg, CAST(p.j AS INTEGER) AS j
+        FROM probes p JOIN ranked r USING (rk)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -4215,6 +4255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_pmi_pairs": _q_entity_pmi_pairs,
         "graph_random_walks": _q_graph_random_walks,
         "void_dataset_stats": _q_void_dataset_stats,
+        "negative_samples": _q_negative_samples,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -6097,4 +6138,5 @@ def oracle_sql() -> dict[str, str]:
         "entity_pmi_pairs": _PMI_ORACLE,
         "graph_random_walks": _walks_oracle(),
         "void_dataset_stats": _VOID_ORACLE,
+        "negative_samples": _negsample_oracle(),
     }

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "entity_pmi_pairs",
     "graph_random_walks",
     "void_dataset_stats",
+    "negative_samples",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs

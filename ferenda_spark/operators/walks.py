@@ -87,3 +87,88 @@ def random_walks(
         out = out.unionByName(nxt)
         cur = nxt
     return out
+
+
+def negative_samples(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    k: int = 5,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic negative sampling for link-prediction / embedding
+    training: for every directed positive edge, ``k`` corruption rows
+    ``(src, neg, j)`` with the tail replaced by a hash-chosen node.
+
+    The choice is ``nodes[hash60(src ‖ ':' ‖ dst ‖ ':' ‖ j ‖ salt) mod
+    |V|]`` over the ascending-ranked node table — a pure function of the
+    edge bytes, so re-runs, other partitionings, and a SQL oracle
+    reproduce the exact sample. Following word2vec/TransE practice the
+    sample is NOT rejection-filtered against true edges: at web-graph
+    sparsity a collision is rare, filtering would cost an extra
+    edge-sized join per round, and the training objective tolerates the
+    noise (documented rather than hidden).
+
+    Scale shape: the node table gets a dense 0..V-1 rank WITHOUT a global
+    sort — a single-partition row_number would bottleneck at 10^9 nodes,
+    so the rank is two-level: row_number within a hash bucket (B-way
+    parallel windows) plus the bucket's cumulative offset (a window over
+    the B-row bucket-count table). The resulting total order is
+    (bucket, n) — deterministic and SQL-replayable as ONE
+    ``row_number() OVER (ORDER BY bucket, n)``. Then ONE equi-join of the
+    k-exploded edges against the ranked table — the join key is the
+    uniform hash rank, skew-free."""
+    n_buckets = 64
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    nodes = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .distinct()
+        .withColumn("bk", F.pmod(hash60(F.col("n")), F.lit(n_buckets)))
+    )
+    within = nodes.withColumn(
+        "wrk",
+        F.row_number().over(Window.partitionBy("bk").orderBy("n")) - 1,
+    )
+    offsets = (
+        nodes.groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("bk").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bk", "off")
+    )
+    ranked = within.join(F.broadcast(offsets), "bk").select(
+        "n", (F.col("wrk") + F.col("off")).alias("rk")
+    )
+    n_nodes = nodes.count()
+    probes = e.select(
+        "a",
+        "b",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
+    ).withColumn(
+        "rk",
+        F.pmod(
+            hash60(
+                F.concat_ws(
+                    ":",
+                    F.col("a").cast("string"),
+                    F.col("b").cast("string"),
+                    F.concat(F.col("j").cast("string"), F.lit(salt)),
+                )
+            ),
+            F.lit(n_nodes),
+        ),
+    )
+    return probes.join(ranked, "rk").select(
+        F.col("a").alias("src"), F.col("n").alias("neg"), "j"
+    )

@@ -111,3 +111,47 @@ def test_walks_dead_end_truncates(spark):
         for r in random_walks(df, length=3, directed=True).collect()
     }
     assert got == {(1, 0, 1), (1, 1, 2)}
+
+
+def _h60(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _neg_ref(edges, k, salt=""):
+    nodes = sorted(
+        {x for e in edges for x in e},
+        key=lambda n: (_h60(str(n)) % 64, n),
+    )
+    v = len(nodes)
+    out = []
+    for a, b in edges:
+        for j in range(k):
+            r = _h60(f"{a}:{b}:{j}{salt}") % v
+            out.append((a, nodes[r], j))
+    return sorted(out)
+
+
+def test_negative_samples_match_reference(spark):
+    from ferenda_spark.operators.walks import negative_samples
+
+    edges = [(i, (i * 7 + 3) % 20) for i in range(20) if i != (i * 7 + 3) % 20]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = sorted(
+        (r["src"], r["neg"], r["j"])
+        for r in negative_samples(df, k=3).collect()
+    )
+    assert got == _neg_ref(edges, 3)
+
+
+def test_negative_samples_deterministic_and_salted(spark):
+    from ferenda_spark.operators.walks import negative_samples
+
+    edges = [(i, (i + 1) % 10) for i in range(10)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a = sorted(map(tuple, negative_samples(df, k=2).collect()))
+    b = sorted(map(tuple, negative_samples(df.repartition(4), k=2).collect()))
+    assert a == b
+    c = sorted(map(tuple, negative_samples(df, k=2, salt="x").collect()))
+    assert a != c  # different salt → different draw
+    # k rows per edge
+    assert len(a) == len(edges) * 2
