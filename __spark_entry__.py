@@ -4127,7 +4127,8 @@ def _negsample_oracle(k: int = 4) -> str:
                        1, 15) AS BIGINT) % (SELECT v FROM nv) AS rk
             FROM e, unnest([{js}]) AS u(j)
         )
-        SELECT p.a AS src, r.n AS neg, CAST(p.j AS INTEGER) AS j
+        SELECT p.a AS src, p.b AS dst, r.n AS neg,
+               CAST(p.j AS INTEGER) AS j
         FROM probes p JOIN ranked r USING (rk)"""
 
 

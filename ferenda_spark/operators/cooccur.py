@@ -38,6 +38,10 @@ def entity_pmi(
     """→ ``(a, b, n_ab, pmi)`` for unordered entity pairs (a < b) that
     co-occur in ≥ ``min_pair`` documents; pmi rounded to 6, fully
     deterministic."""
+    # lazy end-to-end: the distinct/join Exchanges behind `kept` are
+    # reused across its four consumers (n_docs, ent_counts, both pair
+    # sides) by Spark's exchange reuse inside the one evaluating action —
+    # no persist needed (same stance as graph_analytics.adamic_adar)
     de = mentions.select(
         F.col(doc_col).alias("doc"), F.col(ent_col).alias("ent")
     ).distinct()

@@ -101,8 +101,12 @@ def search(
     (every query term present), else OR."""
     terms = tokenize_query(query)
     if not terms:
+        # mirror the postings table's actual id type — a hardcoded string
+        # id would make the empty-query path schema-incompatible with
+        # every non-empty result (union/join type mismatch)
+        id_t = postings.schema["id"].dataType.simpleString()
         return postings.sparkSession.createDataFrame(
-            [], "id string, n_matched int, score double"
+            [], f"id {id_t}, n_matched int, score double"
         )
     hits = postings.filter(F.col("term").isin(terms))
     scored = hits.groupBy("id").agg(
@@ -150,8 +154,12 @@ def bm25_search(
     """
     terms = tokenize_query(query)
     if not terms:
+        # mirror the postings table's actual id type — a hardcoded string
+        # id would make the empty-query path schema-incompatible with
+        # every non-empty result (union/join type mismatch)
+        id_t = postings.schema["id"].dataType.simpleString()
         return postings.sparkSession.createDataFrame(
-            [], "id string, n_matched int, score double"
+            [], f"id {id_t}, n_matched int, score double"
         )
     dl = postings.groupBy("id").agg(F.sum("tf").alias("dl"))
     avgdl = dl.agg(F.avg("dl").alias("avgdl"))

@@ -165,13 +165,23 @@ def label_propagation(
                 .groupBy("a", "nl")
                 .agg(F.count(F.lit(1)).alias("cnt"))
             )
-            # argmax by (cnt DESC, label ASC): max over (cnt, -label)
+            # argmax by (cnt DESC, label ASC) as min over (-cnt, label):
+            # negating the COUNT (always numeric) instead of the label
+            # keeps the tie-break correct for STRING node ids too (a
+            # negated string column would silently cast to NULL)
             nxt = (
                 counts.groupBy("a")
-                .agg(F.max(F.struct(F.col("cnt"), (-F.col("nl")).alias("neg"))).alias("m"))
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("cnt")).alias("negc"),
+                            F.col("nl").alias("lbl"),
+                        )
+                    ).alias("m")
+                )
                 .select(
                     F.col("a").alias("node"),
-                    (-F.col("m.neg")).alias("label"),
+                    F.col("m.lbl").alias("label"),
                 )
                 .localCheckpoint(eager=True)
             )
@@ -247,6 +257,13 @@ def adamic_adar(
     operator's definition and the SQL oracle replays it verbatim. Degree-1
     centers are skipped too (they form no wedge). Final top-k compiles to
     TakeOrderedAndProject — no global sort.
+
+    No persist: the operator is lazy end-to-end, and the symmetrize+
+    distinct Exchange behind ``und`` is REUSED across its four consumers
+    (deg, both wedge sides, the existing-edge anti-join) by Spark's
+    exchange reuse within the single evaluating action — the same stance
+    as ``graph.triangle_count``; the iterative operators above persist
+    because their loops run many separate actions.
     """
     und = _undirected(edges, src, dst)
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))

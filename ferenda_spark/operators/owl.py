@@ -162,7 +162,14 @@ def functional_conflicts(triples: DataFrame) -> DataFrame:
     return (
         scoped.groupBy("subj", "pred")
         .agg(
-            F.countDistinct("obj").alias("n_values"),
+            # distinct over the FULL term (lexical + lang + dtype +
+            # uri-ness), not the lexical form alone: "Boston"@en vs
+            # "Boston"^^xsd:string IS a conflict — countDistinct over a
+            # struct (a struct is never NULL, so NULL lang/dtype rows
+            # still count, unlike multi-column countDistinct)
+            F.countDistinct(
+                F.struct("obj", "obj_is_uri", "obj_lang", "obj_dtype")
+            ).alias("n_values"),
             F.sort_array(F.collect_set("obj")).alias("values"),
         )
         .filter(F.col("n_values") > 1)

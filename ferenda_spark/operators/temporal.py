@@ -83,17 +83,5 @@ def facts_as_of(versions: DataFrame, ts, *, ts_col_from: str = "valid_from",
     )
 
 
-def as_of(versions: DataFrame, ts, *, ts_col_from: str = "valid_from",
-          ts_col_to: str = "valid_to") -> DataFrame:
-    """Point-in-time view over ``fact_versions`` output: the rows whose
-    validity interval covers ``ts`` (``valid_from <= ts < valid_to``,
-    NULL valid_to = still current) — the query that answers "what did the
-    graph assert on date X" without storing per-day snapshots. A pure
-    filter: predicate-pushable into the versions table's scan, no shuffle,
-    and with the versions table partitioned/z-ordered on valid_from the
-    scan prunes to the covering files."""
-    t = F.lit(ts)
-    return versions.filter(
-        (F.col(ts_col_from) <= t)
-        & (F.col(ts_col_to).isNull() | (F.col(ts_col_to) > t))
-    )
+# the name SPARQL/SQL users reach for; one implementation, two entries
+as_of = facts_as_of

@@ -99,7 +99,8 @@ def negative_samples(
 ) -> DataFrame:
     """Deterministic negative sampling for link-prediction / embedding
     training: for every directed positive edge, ``k`` corruption rows
-    ``(src, neg, j)`` with the tail replaced by a hash-chosen node.
+    ``(src, dst, neg, j)`` — the POSITIVE tail rides along so a trainer
+    can pair each positive with exactly its k corruptions.
 
     The choice is ``nodes[hash60(src ‖ ':' ‖ dst ‖ ':' ‖ j ‖ salt) mod
     |V|]`` over the ascending-ranked node table — a pure function of the
@@ -170,5 +171,6 @@ def negative_samples(
         ),
     )
     return probes.join(ranked, "rk").select(
-        F.col("a").alias("src"), F.col("n").alias("neg"), "j"
+        F.col("a").alias("src"), F.col("b").alias("dst"),
+        F.col("n").alias("neg"), "j",
     )

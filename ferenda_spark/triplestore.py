@@ -342,7 +342,22 @@ class SparkTripleStore:
                     cond = cond & (F.col("obj_lang") == suffix[1:])
                 elif suffix.startswith("^^<"):
                     cond = cond & (F.col("obj_dtype") == suffix[3:-1])
-        self._replace_with(self.triples().filter(~cond))
+                else:
+                    # a SIMPLE literal matches neither @tagged nor ^^typed
+                    # terms (SPARQL term equality) — without this, DELETE
+                    # WHERE { ?s ?p "x" } would also delete "x"@en
+                    cond = (
+                        cond
+                        & F.col("obj_lang").isNull()
+                        & F.col("obj_dtype").isNull()
+                    )
+        # three-valued logic: a NULL conjunct (e.g. obj_lang NULL compared
+        # to 'en') makes cond NULL, and filter(~NULL) would DROP the row —
+        # deleting triples the pattern does not match. NULL means no-match,
+        # so coalesce to FALSE before negating.
+        self._replace_with(
+            self.triples().filter(~F.coalesce(cond, F.lit(False)))
+        )
 
     def _parse_data_block(self, block: str, n_parts: int) -> DataFrame:
         from ferenda_spark.sources.ntriples import parse_ntriples_lines
@@ -355,13 +370,22 @@ class SparkTripleStore:
         parsed = parse_ntriples_lines(
             self.spark.createDataFrame([(l,) for l in lines], "line string")
         ).cache()
-        bad = parsed.filter(F.col("kind") != "triple").limit(1).collect()
-        if bad:
-            raise ValueError(f"malformed triple in data block: {bad[0]['obj']!r}")
-        return parsed.drop("kind").select(
-            "subj", "pred", "obj", "obj_is_uri", "obj_lang", "obj_dtype",
-            F.lit(None).cast("string").alias("src_url"),
-            F.pmod(F.xxhash64("subj"), F.lit(n_parts)).cast("int").alias(
-                "part_key"
-            ),
-        )
+        try:
+            bad = parsed.filter(F.col("kind") != "triple").limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"malformed triple in data block: {bad[0]['obj']!r}"
+                )
+            rows = parsed.drop("kind").select(
+                "subj", "pred", "obj", "obj_is_uri", "obj_lang", "obj_dtype",
+                F.lit(None).cast("string").alias("src_url"),
+                F.pmod(F.xxhash64("subj"), F.lit(n_parts)).cast("int").alias(
+                    "part_key"
+                ),
+            )
+            # materialize before unpersisting (data blocks are human-scale;
+            # without this every update() would pin one cached frame in
+            # block-manager memory for the session's lifetime)
+            return rows.localCheckpoint(eager=True)
+        finally:
+            parsed.unpersist()

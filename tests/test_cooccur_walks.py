@@ -127,7 +127,7 @@ def _neg_ref(edges, k, salt=""):
     for a, b in edges:
         for j in range(k):
             r = _h60(f"{a}:{b}:{j}{salt}") % v
-            out.append((a, nodes[r], j))
+            out.append((a, b, nodes[r], j))
     return sorted(out)
 
 
@@ -137,7 +137,7 @@ def test_negative_samples_match_reference(spark):
     edges = [(i, (i * 7 + 3) % 20) for i in range(20) if i != (i * 7 + 3) % 20]
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
     got = sorted(
-        (r["src"], r["neg"], r["j"])
+        (r["src"], r["dst"], r["neg"], r["j"])
         for r in negative_samples(df, k=3).collect()
     )
     assert got == _neg_ref(edges, 3)

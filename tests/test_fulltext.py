@@ -157,3 +157,15 @@ def test_bm25_empty_query(spark):
     df = spark.createDataFrame(docs, "doc_id int, text string")
     postings, n = build_fulltext_index(df, "text", "doc_id")
     assert bm25_search(postings, n, " , ").count() == 0
+
+
+def test_bm25_empty_query_schema_matches_id_type(spark):
+    from ferenda_spark.operators.fulltext import bm25_search
+
+    docs = [(1, "a b")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    postings, n = build_fulltext_index(df, "text", "doc_id")
+    empty = bm25_search(postings, n, "!!!")
+    full = bm25_search(postings, n, "a")
+    assert empty.schema["id"].dataType == full.schema["id"].dataType
+    assert empty.unionByName(full).count() == full.count()

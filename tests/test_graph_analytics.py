@@ -264,3 +264,14 @@ def test_wl_refinement_splits_degree_ties(spark):
     c2 = {r["node"]: r["color"] for r in wl_colors(_df(spark, edges), n_rounds=2).collect()}
     assert c0[1] == c0[4]  # same degree
     assert c2[1] != c2[4]  # different 2-hop structure
+
+
+def test_lpa_string_node_ids(spark):
+    """String ids must work — the tie-break may not negate the label."""
+    cl1 = [(f"h{a}", f"h{b}") for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(cl1, "src string, dst string")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iter=4).collect()
+    }
+    assert got == {f"h{i}": "h0" for i in range(4)}

@@ -150,3 +150,19 @@ def test_functional_conflicts(spark):
     r = got[0]
     assert (r["subj"], r["pred"], r["n_values"]) == ("e1", "birthPlace", 2)
     assert r["values"] == ["Lyon", "Paris"]
+
+
+def test_functional_conflict_on_full_term_not_lexical(spark):
+    """Same lexical form with different lang/dtype IS a conflict."""
+    df = spark.createDataFrame(
+        [
+            ("birthPlace", T, OWL_FUNCTIONAL, True, None, None),
+            ("e1", "birthPlace", "Boston", False, "en", None),
+            ("e1", "birthPlace", "Boston", False, None, "xsd:string"),
+        ],
+        COLS,
+    )
+    got = functional_conflicts(df).collect()
+    assert len(got) == 1
+    assert got[0]["n_values"] == 2
+    assert got[0]["values"] == ["Boston"]

@@ -242,3 +242,29 @@ def test_update_guards(spark, tmp_path):
         store.update("DELETE WHERE { ?s <p:a> ?o . ?o <p:a> ?x . }")
     with _pytest.raises(ValueError, match="malformed"):
         store.update("INSERT DATA { garbage }")
+
+
+def test_delete_data_tagged_literal_spares_plain(spark, tmp_path):
+    """Three-valued logic guard: deleting "one"@en must NOT delete the
+    NULL-lang plain literal "one" (a NULL conjunct used to nuke it)."""
+    rows = BASE + [("e:3", "p:label", "one", False, None, None, "u:3", 2)]
+    store = _update_store(spark, tmp_path, rows)
+    store.update('DELETE WHERE { ?s <p:label> "one"@en . }')
+    got = {(r["subj"], r["obj"], r["obj_lang"])
+           for r in store.triples().collect()}
+    assert ("e:3", "one", None) in got  # plain literal survives
+    assert ("e:1", "one", "en") not in got  # tagged one deleted
+
+
+def test_delete_where_plain_literal_spares_tagged(spark, tmp_path):
+    """SPARQL term equality: a simple literal pattern matches neither
+    @tagged nor ^^typed terms."""
+    rows = BASE + [
+        ("e:3", "p:label", "one", False, None, None, "u:3", 2),
+        ("e:4", "p:label", "one", False, None, "xsd:token", "u:4", 3),
+    ]
+    store = _update_store(spark, tmp_path, rows)
+    store.update('DELETE WHERE { ?s ?p "one" . }')
+    got = {(r["subj"], r["obj_lang"], r["obj_dtype"])
+           for r in store.triples().filter("obj = 'one'").collect()}
+    assert got == {("e:1", "en", None), ("e:4", None, "xsd:token")}
