@@ -4132,6 +4132,88 @@ def _negsample_oracle(k: int = 4) -> str:
         FROM probes p JOIN ranked r USING (rk)"""
 
 
+def _q_katz_centrality_hosts(spark, sf_dir):
+    """Fixed-iteration Katz centrality (graph_analytics.py::
+    katz_centrality — the walk-counting prior next to pagerank/HITS):
+    4 iterations at α=0.1 over a pagerank-style modular graph
+    (dst = (11·id + 13j) mod C, j ∈ {1,2}). The oracle unrolls
+    x_{t+1} = 1 + α·Σ_in x_t exactly like the pagerank oracle."""
+    from ferenda_spark.operators.graph_analytics import katz_centrality
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    c = d.count()
+    e = d.select(
+        "doc_id", F.explode(F.array(F.lit(1), F.lit(2))).alias("j")
+    ).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 11 + 13 * F.col("j")) % c).alias("dst"),
+    )
+    return katz_centrality(e, alpha=0.1, n_iter=4)
+
+
+def _katz_oracle(n_iter: int = 4) -> str:
+    head = """
+        WITH cnt AS (SELECT count(*) AS c FROM documents),
+        e AS (
+            SELECT DISTINCT doc_id AS src,
+                   (doc_id * 11 + 13 * j) % (SELECT c FROM cnt) AS dst
+            FROM documents, unnest([1, 2]) AS u(j)
+            WHERE (doc_id * 11 + 13 * j) % (SELECT c FROM cnt) <> doc_id
+        ),
+        nodes AS (
+            SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e
+        ),
+        x0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS katz FROM nodes)"""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(f"""
+        x{k} AS MATERIALIZED (
+            SELECT nd.node,
+                   1.0 + CAST(0.1 AS DOUBLE) * COALESCE(m.s, 0.0) AS katz
+            FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS node, sum(x.katz) AS s
+                FROM e JOIN x{k - 1} x ON x.node = e.src
+                GROUP BY e.dst
+            ) m ON m.node = nd.node
+        )""")
+    return head + "," + ",".join(steps) + f"""
+        SELECT node, round(katz, 6) AS katz FROM x{n_iter}"""
+
+
+def _q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (graph_analytics.py::degree_assortativity —
+    does this link structure look like organic web or a link farm): one
+    Pearson r over the md5 graph's endpoint-degree pairs, computed from
+    exact integer sufficient statistics so the oracle replays it
+    digit-for-digit."""
+    from ferenda_spark.operators.graph_analytics import degree_assortativity
+
+    return degree_assortativity(_hash_graph(spark, sf_dir, "assort"))
+
+
+_ASSORT_ORACLE = f"""
+        WITH {_hash_graph_sql('assort')},
+        deg AS (SELECT a, count(*) AS d FROM und GROUP BY a),
+        pts AS (
+            SELECT da.d AS dx, db.d AS dy
+            FROM und
+            JOIN deg da ON da.a = und.a
+            JOIN deg db ON db.a = und.b
+        ),
+        s AS (
+            SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+                   sum(dx * dy) AS sxy, sum(dx * dx) AS sxx,
+                   sum(dy * dy) AS syy
+            FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_endpoints,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+        FROM s"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -4257,6 +4339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_random_walks": _q_graph_random_walks,
         "void_dataset_stats": _q_void_dataset_stats,
         "negative_samples": _q_negative_samples,
+        "katz_centrality_hosts": _q_katz_centrality_hosts,
+        "degree_assortativity": _q_degree_assortativity,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -6140,4 +6224,6 @@ def oracle_sql() -> dict[str, str]:
         "graph_random_walks": _walks_oracle(),
         "void_dataset_stats": _VOID_ORACLE,
         "negative_samples": _negsample_oracle(),
+        "katz_centrality_hosts": _katz_oracle(),
+        "degree_assortativity": _ASSORT_ORACLE,
     }

@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "graph_random_walks",
     "void_dataset_stats",
     "negative_samples",
+    "katz_centrality_hosts",
+    "degree_assortativity",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs

@@ -141,10 +141,11 @@ def label_propagation(
 
     Per round: one edge-keyed join + one (node, label) count aggregation
     (map-side combined — a celebrity node's million same-label neighbors
-    pre-reduce per map partition) + one per-node max. The per-node max is
-    computed as ``max(struct(cnt, -label))`` rather than a row_number
+    pre-reduce per map partition) + one per-node argmax. The argmax is
+    computed as ``min(struct(-cnt, label))`` rather than a row_number
     window: an aggregation combines map-side and never materializes the
-    sorted per-node candidate list the way a window would.
+    sorted per-node candidate list the way a window would, and negating
+    the count (not the label) keeps string node ids working.
     """
     und = _undirected(edges, src, dst).persist()
     labels = (
@@ -376,4 +377,102 @@ def graph_digest(colors: DataFrame) -> DataFrame:
                 ),
             )
         ).alias("digest"),
+    )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    alpha: float = 0.1,
+    n_iter: int = 4,
+) -> DataFrame:
+    """Fixed-iteration Katz centrality → (node, katz), rounded to 6.
+
+        x_{t+1}(v) = 1 + α · Σ over in-neighbors u of x_t(u),  x_0 = 1
+
+    The walk-counting prior that complements PageRank (no out-degree
+    normalization: a page is central if MANY paths lead to it, not many
+    random walks) — with α below 1/λ_max the fixed iterations approximate
+    the closed form; like ``graph.pagerank`` the iteration count is fixed
+    (deterministic across cluster sizes) and the per-round cost is ONE
+    edge-keyed, map-side-combined shuffle over the cached edge set, with
+    ``localCheckpoint`` truncating lineage per round.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    ).distinct().persist()
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    x = nodes.withColumn("katz", F.lit(1.0)).localCheckpoint(eager=True)
+    try:
+        for _ in range(n_iter):
+            mass = (
+                e.join(
+                    x.select(F.col("node").alias("a"), F.col("katz").alias("xa")),
+                    "a",
+                )
+                .groupBy("b")
+                .agg(F.sum("xa").alias("m"))
+                .withColumnRenamed("b", "node")
+            )
+            nxt = (
+                nodes.join(mass, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0)
+                        + F.lit(alpha) * F.coalesce("m", F.lit(0.0))
+                    ).alias("katz"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            _unpersist_checkpoint(x)
+            x = nxt
+        return x.select("node", F.round("katz", 6).alias("katz"))
+    finally:
+        e.unpersist()
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Pearson degree assortativity of the undirected graph → one row
+    ``(n_endpoints, r)``. Positive r: hubs link to hubs (social graphs);
+    negative: hubs link to leaves (the web's signature) — the one-number
+    diagnostic for whether a crawl frontier's link structure looks like
+    organic web or a link farm.
+
+    Computed from INTEGER sufficient statistics (Σx, Σy, Σxy, Σx², Σy², n
+    over the symmetrized endpoint-degree pairs) — exact bigint aggregates,
+    one double division at the end, rounded to 6: bit-replayable by any
+    SQL engine, unlike engine-native corr() implementations with their
+    own streaming-update orders."""
+    und = _undirected(edges, src, dst)
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    pairs = und.join(
+        deg.select(F.col("a"), F.col("d").alias("dx")), "a"
+    ).join(
+        deg.select(F.col("a").alias("b"), F.col("d").alias("dy")), "b"
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        F.col("n").alias("n_endpoints"),
+        F.round(num.cast("double") / den, 6).alias("r"),
     )

@@ -275,3 +275,77 @@ def test_lpa_string_node_ids(spark):
         for r in label_propagation(df, n_iter=4).collect()
     }
     assert got == {f"h{i}": "h0" for i in range(4)}
+
+
+# -------------------------------------------------------------- Katz
+
+
+def _katz_ref(edges, alpha, n_iter):
+    nodes = {x for e in edges for x in e if e[0] != e[1]}
+    ins = defaultdict(set)
+    for a, b in set(edges):
+        if a != b:
+            ins[b].add(a)
+    x = {v: 1.0 for v in nodes}
+    for _ in range(n_iter):
+        x = {v: 1.0 + alpha * sum(x[u] for u in ins[v]) for v in nodes}
+    return {v: round(s, 6) for v, s in x.items()}
+
+
+def test_katz_matches_reference(spark):
+    from ferenda_spark.operators.graph_analytics import katz_centrality
+
+    edges = _edges(30, 80, "katz")
+    got = {
+        r["node"]: r["katz"]
+        for r in katz_centrality(_df(spark, edges), alpha=0.1, n_iter=4).collect()
+    }
+    assert got == _katz_ref(edges, 0.1, 4)
+
+
+def test_katz_sink_prefers_in_degree(spark):
+    from ferenda_spark.operators.graph_analytics import katz_centrality
+
+    # everything points at node 0; node 0 points at 1
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    got = {
+        r["node"]: r["katz"]
+        for r in katz_centrality(_df(spark, edges), n_iter=3).collect()
+    }
+    assert got[0] > got[1] > got[2]
+
+
+# ------------------------------------------------------- assortativity
+
+
+def test_assortativity_star_is_negative(spark):
+    from ferenda_spark.operators.graph_analytics import degree_assortativity
+
+    star = [(0, i) for i in range(1, 8)]
+    r = degree_assortativity(_df(spark, star)).collect()[0]["r"]
+    assert r == -1.0  # pure hub-leaf mixing
+
+
+def test_assortativity_matches_reference(spark):
+    import math as _math
+
+    from ferenda_spark.operators.graph_analytics import degree_assortativity
+
+    edges = _edges(30, 70, "assort")
+    adj = _adj(edges)
+    pts = [
+        (len(adj[a]), len(adj[b]))
+        for a in adj for b in adj[a]
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+    ref = round(
+        (n * sxy - sx * sy)
+        / _math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy)),
+        6,
+    )
+    got = degree_assortativity(_df(spark, edges)).collect()[0]
+    assert got["n_endpoints"] == n
+    assert got["r"] == ref
