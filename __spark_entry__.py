@@ -4214,6 +4214,67 @@ _ASSORT_ORACLE = f"""
         FROM s"""
 
 
+def _q_turtle_serialize(spark, sf_dir):
+    """Turtle-lite serialization (sources/turtle.py): per-doc triples
+    (typed / lang-tagged / URI objects) grouped into one compact
+    subject statement each — objects sorted by term, predicates by IRI,
+    insertion-order invariant. The oracle replays the grouping as two
+    nested string_agg(... ORDER BY ...) levels."""
+    from ferenda_spark.sources.turtle import to_turtle_lines
+
+    d = _t(spark, sf_dir, "documents")
+    ent = F.concat(F.lit("ent:"), F.col("doc_id").cast("string"))
+    null_s = F.lit(None).cast("string")
+
+    def row(pred, obj, uri, lang, dtype):
+        return d.select(
+            ent.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj"),
+            F.lit(uri).alias("obj_is_uri"),
+            (lang if lang is not None else null_s).alias("obj_lang"),
+            (F.lit(dtype) if dtype else null_s).alias("obj_dtype"),
+        )
+
+    tri = (
+        row("p:cites",
+            F.concat(F.lit("ent:"),
+                     ((F.col("doc_id") * 7 + 3) % 1000).cast("string")),
+            True, None, None)
+        .unionByName(row("p:label", F.concat(F.lit("L-"), F.col("lang")),
+                         False, F.col("lang"), None))
+        .unionByName(row("p:nchars", F.col("n_chars").cast("string"),
+                         False, None, "xsd:integer"))
+    )
+    return to_turtle_lines(tri)
+
+
+_TURTLE_ORACLE = """
+        WITH rows_ AS (
+            SELECT 'ent:' || doc_id AS subj, 'p:cites' AS pred,
+                   '<ent:' || ((doc_id * 7 + 3) % 1000) || '>' AS term
+            FROM documents
+            UNION ALL
+            SELECT 'ent:' || doc_id, 'p:label',
+                   '"L-' || lang || '"@' || lang
+            FROM documents
+            UNION ALL
+            SELECT 'ent:' || doc_id, 'p:nchars',
+                   '"' || n_chars || '"^^<xsd:integer>'
+            FROM documents
+        ),
+        pp AS (
+            SELECT subj, pred,
+                   string_agg(term, ' , ' ORDER BY term) AS objs
+            FROM rows_ GROUP BY subj, pred
+        ),
+        ps AS (
+            SELECT subj,
+                   string_agg('<' || pred || '> ' || objs, ' ; '
+                              ORDER BY pred) AS body
+            FROM pp GROUP BY subj
+        )
+        SELECT subj, '<' || subj || '> ' || body || ' .' AS line FROM ps"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -4341,6 +4402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": _q_negative_samples,
         "katz_centrality_hosts": _q_katz_centrality_hosts,
         "degree_assortativity": _q_degree_assortativity,
+        "turtle_serialize": _q_turtle_serialize,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -6226,4 +6288,5 @@ def oracle_sql() -> dict[str, str]:
         "negative_samples": _negsample_oracle(),
         "katz_centrality_hosts": _katz_oracle(),
         "degree_assortativity": _ASSORT_ORACLE,
+        "turtle_serialize": _TURTLE_ORACLE,
     }

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "negative_samples",
     "katz_centrality_hosts",
     "degree_assortativity",
+    "turtle_serialize",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs
