@@ -113,3 +113,72 @@ def void_description(
         .select("t.*")
     )
     return ds_rows.unionByName(prop_rows).unionByName(cls_rows)
+
+
+def void_sketch_state(triples: DataFrame, *, k: int = 256) -> DataFrame:
+    """Mergeable VoID state for APPEND-ONLY maintenance: exact counters
+    merge by addition, distinct counters by KMV-sketch union
+    (functions/sketches.py) — so the statistics of a growing 100 TB table
+    are maintained per ingest batch without ever rescanning history
+    (``void_description`` recomputes exactly; this trades bounded error
+    for O(batch) upkeep — publish the exact form at full-rebuild points
+    and the sketched form between them).
+
+    Returns one row per metric: ``(metric, cnt, kmv)`` where exact
+    metrics carry ``kmv=NULL`` and distinct metrics carry ``cnt=NULL``:
+
+        triples (exact), subjects / objects / predicates / classes (KMV)
+    """
+    from ..functions.sketches import kmv_sketch
+
+    def sk(frame, col, name):
+        return kmv_sketch(
+            frame.withColumn("metric", F.lit(name)), ["metric"], col, k=k
+        ).select("metric", F.lit(None).cast("bigint").alias("cnt"), "kmv")
+
+    exact = triples.agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("triples").alias("metric"), "cnt",
+        F.lit(None).cast("array<bigint>").alias("kmv"),
+    )
+    classes = triples.filter(F.col("pred") == RDF_TYPE_SHORT)
+    return (
+        exact.unionByName(sk(triples, "subj", "subjects"))
+        .unionByName(sk(triples, "obj", "objects"))
+        .unionByName(sk(triples, "pred", "predicates"))
+        .unionByName(sk(classes, "obj", "classes"))
+    )
+
+
+def void_merge_states(states: DataFrame, *, k: int = 256) -> DataFrame:
+    """Merge per-batch states (same schema) into one: counters add, KMV
+    sketches union-merge — state(A ∪ B) == merge(state(A), state(B))
+    exactly, which is what makes per-batch maintenance correct."""
+    from ..functions.sketches import kmv_merge
+
+    counts = (
+        states.filter(F.col("cnt").isNotNull())
+        .groupBy("metric")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select("metric", "cnt",
+                F.lit(None).cast("array<bigint>").alias("kmv"))
+    )
+    sketches = kmv_merge(
+        states.filter(F.col("kmv").isNotNull()), ["metric"], k=k
+    ).select("metric", F.lit(None).cast("bigint").alias("cnt"), "kmv")
+    return counts.unionByName(sketches)
+
+
+def void_estimate(state: DataFrame, *, k: int = 256) -> DataFrame:
+    """State → ``(metric, value)``: exact counters pass through, KMV
+    sketches read out via the (k-1)·2^60/kth estimator (exact below k
+    distinct — vocabulary-sized metrics like predicates/classes are
+    usually exact in practice)."""
+    from ..functions.sketches import kmv_estimate
+
+    exact = state.filter(F.col("cnt").isNotNull()).select(
+        "metric", F.col("cnt").cast("double").alias("value")
+    )
+    est = kmv_estimate(
+        state.filter(F.col("kmv").isNotNull()), k=k
+    ).select("metric", F.col("est_distinct").alias("value"))
+    return exact.unionByName(est)

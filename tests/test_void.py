@@ -57,3 +57,55 @@ def test_numeric_literals_typed(spark):
         if r["pred"] in ("void:property", "void:class", "rdf:type",
                          "void:propertyPartition", "void:classPartition"):
             assert r["obj_is_uri"]
+
+
+def _tri2(spark, lo, hi):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.concat(F.lit("e:"), F.col("id").cast("string")).alias("subj"),
+            F.lit("rdf:type").alias("pred"),
+            F.concat(F.lit("c:"), (F.col("id") % 4).cast("string")).alias("obj"),
+        )
+        .unionByName(
+            spark.range(lo, hi).select(
+                F.concat(F.lit("e:"), F.col("id").cast("string")).alias("subj"),
+                F.lit("p:cites").alias("pred"),
+                F.concat(F.lit("e:"), ((F.col("id") * 3 + 1) % 200).cast("string")).alias("obj"),
+            )
+        )
+    )
+
+
+def test_void_state_merge_equals_union(spark):
+    from ferenda_spark.operators.void_stats import (
+        void_merge_states,
+        void_sketch_state,
+    )
+
+    a = void_sketch_state(_tri2(spark, 0, 60))
+    b = void_sketch_state(_tri2(spark, 60, 130))
+    merged = void_merge_states(a.unionByName(b))
+    full = void_sketch_state(_tri2(spark, 0, 130))
+    ma = {r["metric"]: (r["cnt"], r["kmv"]) for r in merged.collect()}
+    mf = {r["metric"]: (r["cnt"], r["kmv"]) for r in full.collect()}
+    assert ma == mf  # state(A∪B) == merge(state(A), state(B)) exactly
+
+
+def test_void_estimates_exact_below_k(spark):
+    from ferenda_spark.operators.void_stats import (
+        void_estimate,
+        void_sketch_state,
+    )
+
+    t = _tri2(spark, 0, 100)  # 130 distinct subjects max < k=256 → exact
+    got = {r["metric"]: r["value"] for r in void_estimate(void_sketch_state(t)).collect()}
+    assert got["triples"] == 200.0
+    assert got["subjects"] == 100.0
+    assert got["predicates"] == 2.0
+    assert got["classes"] == 4.0
+    # objects: 4 classes + distinct cite targets
+    exact_obj = t.select("obj").distinct().count()
+    assert got["objects"] == float(exact_obj)
