@@ -4275,6 +4275,70 @@ _TURTLE_ORACLE = """
         SELECT subj, '<' || subj || '> ' || body || ' .' AS line FROM ps"""
 
 
+def _q_anchor_alias_dict(spark, sf_dir):
+    """Anchor-text alias dictionary (operators/weblinks.py::
+    anchor_alias_dictionary — the Wikipedia-anchors trick for entity
+    linking): per-target top-2 normalized anchors with count ≥ 2,
+    emitted in the linking dictionary shape. Anchors include a
+    double-space variant so the oracle replays the whitespace-collapse
+    normalization (regexp_replace ... 'g' in DuckDB)."""
+    from ferenda_spark.operators.weblinks import anchor_alias_dictionary
+
+    d = _t(spark, sf_dir, "documents")
+    dst = F.concat(
+        F.lit("https://t"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example/"),
+    )
+    a1 = d.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".example/p"), F.col("doc_id").cast("string")).alias("src"),
+        dst.alias("dst"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("Site  "), (F.col("doc_id") % 20).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("Site "), (F.col("doc_id") % 20).cast("string"))
+        ).alias("anchor"),
+    )
+    a2 = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.lit("s2").alias("src"), dst.alias("dst"),
+        F.concat(F.lit("T"), (F.col("doc_id") % 20).cast("string")).alias("anchor"),
+    )
+    return anchor_alias_dictionary(a1.unionByName(a2), min_count=2, k=2)
+
+
+_ANCHOR_DICT_ORACLE = """
+        WITH links AS (
+            SELECT CASE WHEN doc_id % 3 = 0
+                        THEN 'Site  ' || (doc_id % 20)
+                        ELSE 'Site ' || (doc_id % 20) END AS anchor,
+                   'https://t' || (doc_id % 20) || '.example/' AS dst
+            FROM documents
+            UNION ALL
+            SELECT 'T' || (doc_id % 20),
+                   'https://t' || (doc_id % 20) || '.example/'
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        per AS (
+            SELECT dst,
+                   lower(regexp_replace(trim(anchor), '\\s+', ' ', 'g'))
+                       AS alias_key,
+                   count(*) AS n_links,
+                   min(trim(anchor)) AS alias
+            FROM links WHERE length(trim(anchor)) > 0
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY dst ORDER BY n_links DESC, alias_key ASC) AS rn
+            FROM per
+        )
+        SELECT alias, alias_key, dst AS canonical_uri,
+               'anchor' AS kind, CAST(n_links AS BIGINT) AS n_links
+        FROM r WHERE rn <= 2"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -4403,6 +4467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_centrality_hosts": _q_katz_centrality_hosts,
         "degree_assortativity": _q_degree_assortativity,
         "turtle_serialize": _q_turtle_serialize,
+        "anchor_alias_dict": _q_anchor_alias_dict,
         # rows-only (non-SQL-expressible) below
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
@@ -6289,4 +6354,5 @@ def oracle_sql() -> dict[str, str]:
         "katz_centrality_hosts": _katz_oracle(),
         "degree_assortativity": _ASSORT_ORACLE,
         "turtle_serialize": _TURTLE_ORACLE,
+        "anchor_alias_dict": _ANCHOR_DICT_ORACLE,
     }

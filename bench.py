@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "katz_centrality_hosts",
     "degree_assortativity",
     "turtle_serialize",
+    "anchor_alias_dict",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs

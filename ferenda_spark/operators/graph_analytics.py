@@ -476,3 +476,31 @@ def degree_assortativity(
         F.col("n").alias("n_endpoints"),
         F.round(num.cast("double") / den, 6).alias("r"),
     )
+
+
+def diameter_estimate(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_hops: int = 64,
+) -> DataFrame:
+    """Double-sweep diameter lower bound → one row
+    ``(seed, far_node, diameter_lb)``: BFS from the (deterministic)
+    minimum node id to its farthest node, then BFS again from there —
+    the classic 2-sweep heuristic, exact on trees and within a small
+    factor on real web graphs, at the cost of TWO BFS runs instead of
+    all-pairs. The two single-row collects (picking each sweep's
+    periphery node) are scalar probes, same class as the triplestore's
+    ASK boolean — never corpus-sized."""
+    und_nodes = _undirected(edges, src, dst).select("a")
+    seed = und_nodes.agg(F.min("a").alias("m")).collect()[0]["m"]
+    d1 = bfs_distances(edges, [seed], src, dst, max_hops=max_hops)
+    far1 = d1.orderBy(F.desc("dist"), F.asc("node")).limit(1).collect()[0]
+    d2 = bfs_distances(edges, [far1["node"]], src, dst, max_hops=max_hops)
+    far2 = d2.orderBy(F.desc("dist"), F.asc("node")).limit(1).collect()[0]
+    sess = edges.sparkSession
+    return sess.createDataFrame(
+        [(seed, far2["node"], far2["dist"])],
+        "seed bigint, far_node bigint, diameter_lb int",
+    )

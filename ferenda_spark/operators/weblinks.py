@@ -148,3 +148,42 @@ def anchor_profiles(links: DataFrame, k: int = 5) -> DataFrame:
             "anchors"
         ),
     )
+
+
+def anchor_alias_dictionary(
+    links: DataFrame, *, min_count: int = 2, k: int = 3
+) -> DataFrame:
+    """Mine an entity-linking alias dictionary from anchor text — the
+    web-native alias source (what people CALL a page is anchor text, the
+    signal behind classic entity-linking dictionaries built from
+    Wikipedia anchors): per target URL, the top-``k`` normalized anchor
+    strings seen at least ``min_count`` times become dictionary rows
+    ``(alias, alias_key, canonical_uri, kind='anchor', n_links)``
+    compatible with the linking dictionary shape (schemas.URI_DICTIONARY;
+    feed them to link_mentions alongside the curated dictionary).
+
+    ``alias_key`` is the exact-tier join normalization (casefold +
+    whitespace collapse — mirrors uris.normalize_alias); ``alias`` keeps
+    a deterministic original surface form (min by bytes). One (dst, key)
+    aggregation + a k-bounded window per dst."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("anchor")), r"\s+", " "))
+    per = (
+        links.filter(F.length(F.trim("anchor")) > 0)
+        .groupBy(F.col("dst"), norm.alias("alias_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.min(F.trim(F.col("anchor"))).alias("alias"),
+        )
+        .filter(F.col("n_links") >= min_count)
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.desc("n_links"), F.asc("alias_key")
+    )
+    return (
+        per.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select(
+            "alias", "alias_key", F.col("dst").alias("canonical_uri"),
+            F.lit("anchor").alias("kind"), "n_links",
+        )
+    )

@@ -349,3 +349,43 @@ def test_assortativity_matches_reference(spark):
     got = degree_assortativity(_df(spark, edges)).collect()[0]
     assert got["n_endpoints"] == n
     assert got["r"] == ref
+
+
+# ---------------------------------------------------------- diameter
+
+
+def test_diameter_double_sweep_on_path(spark):
+    from ferenda_spark.operators.graph_analytics import diameter_estimate
+
+    edges = [(i, i + 1) for i in range(9)]  # path of 10 → diameter 9
+    got = diameter_estimate(_df(spark, edges)).collect()[0]
+    assert got["diameter_lb"] == 9
+    assert got["seed"] == 0
+
+
+def test_diameter_lower_bounds_true_diameter(spark):
+    from ferenda_spark.operators.graph_analytics import diameter_estimate
+
+    edges = _edges(25, 50, "diam")
+    adj = _adj(edges)
+
+    def ecc(v):
+        dist = {v: 0}
+        frontier = [v]
+        while frontier:
+            nxt = []
+            for x in frontier:
+                for u in adj[x]:
+                    if u not in dist:
+                        dist[u] = dist[x] + 1
+                        nxt.append(u)
+            frontier = nxt
+        return dist
+
+    # true diameter of the seed's component
+    comp = set(ecc(min(adj)).keys())
+    true_d = max(max(ecc(v).values()) for v in comp)
+    got = diameter_estimate(_df(spark, edges)).collect()[0]
+    assert got["diameter_lb"] <= true_d
+    # double sweep is exact on most small graphs; at least half is certain
+    assert got["diameter_lb"] * 2 >= true_d

@@ -98,3 +98,35 @@ def test_spark_outlinks_and_anchor_profiles(spark):
     # Home count 3 beats Start count 1
     assert t["anchors"] == ["Home", "Start"]
     assert prof["https://b.example/z"]["anchors"] == ["B"]
+
+
+def test_anchor_alias_dictionary(spark):
+    from ferenda_spark.operators.weblinks import anchor_alias_dictionary
+
+    rows = [
+        ("s1", "https://t.example/", "ACME Corp"),
+        ("s2", "https://t.example/", "acme   corp"),  # normalizes same
+        ("s3", "https://t.example/", "ACME"),
+        ("s4", "https://t.example/", "ACME"),
+        ("s5", "https://t.example/", "once-only"),  # below min_count
+        ("s6", "https://u.example/", ""),  # empty anchor dropped
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, anchor string")
+    got = {
+        (r["alias_key"], r["canonical_uri"]): (r["alias"], r["n_links"], r["kind"])
+        for r in anchor_alias_dictionary(df, min_count=2, k=3).collect()
+    }
+    assert got == {
+        ("acme corp", "https://t.example/"): ("ACME Corp", 2, "anchor"),
+        ("acme", "https://t.example/"): ("ACME", 2, "anchor"),
+    }
+
+
+def test_anchor_alias_dictionary_topk(spark):
+    from ferenda_spark.operators.weblinks import anchor_alias_dictionary
+
+    rows = [("s", "d", f"a{i % 4}") for i in range(40)]
+    df = spark.createDataFrame(rows, "src string, dst string, anchor string")
+    got = anchor_alias_dictionary(df, min_count=1, k=2).collect()
+    assert len(got) == 2  # k bound per dst
+    assert {r["alias_key"] for r in got} == {"a0", "a1"}  # count ties → asc key
