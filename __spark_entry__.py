@@ -3046,6 +3046,7 @@ def _q_snapshot_diff_triples(spark, sf_dir):
     (v2 drops doc_id%11 subjects, rewrites the status of doc_id%10, adds
     p:new rows for doc_id%13), then diff v1→v2. The oracle reconstructs
     both versions relationally and EXCEPT-ALLs them both ways."""
+    import hashlib as _hashlib
     import os as _os
     import shutil as _shutil
 
@@ -3076,7 +3077,12 @@ def _q_snapshot_diff_triples(spark, sf_dir):
         )
         .filter(F.col("doc_id") % 11 != 0)
     )
-    root = f"/tmp/ferenda_spark_snapdiff_q_{_os.path.basename(sf_dir.rstrip('/'))}"
+    # key on a digest of the FULL path, not just the basename: two
+    # concurrent runs over different dirs that happen to share a basename
+    # must not rmtree each other's snapshot roots mid-query.
+    _dirtag = _hashlib.sha256(
+        _os.path.abspath(sf_dir.rstrip("/")).encode()).hexdigest()[:16]
+    root = f"/tmp/ferenda_spark_snapdiff_q_{_dirtag}"
     _shutil.rmtree(root, ignore_errors=True)
     commit_snapshot(v1.drop("doc_id"), root)
     commit_snapshot(v2.drop("doc_id"), root, mode="overwrite")

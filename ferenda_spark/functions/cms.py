@@ -86,27 +86,37 @@ def cms_query(
     d: int = 4,
     w: int = 1024,
 ) -> DataFrame:
-    """Point estimates for every row of ``keys``: all ``keys`` columns +
-    ``est_cnt`` = min over the key's d cells (missing cell = 0). ``cms``
-    must be a single-group sketch (pre-filter a grouped one); the grid is
-    d·w rows, so the join broadcasts."""
+    """Point estimates for every DISTINCT row of ``keys``: all ``keys``
+    columns + ``est_cnt`` = min over the key's d cells (missing cell =
+    0). Duplicate key rows are deduped up front (the estimate is a pure
+    function of the key, so one output row per distinct key is the only
+    sensible contract). ``cms`` must be a single-group sketch
+    (pre-filter a grouped one); the grid is d·w rows, so the join
+    broadcasts. Probe coordinates live under reserved ``_cms_row`` /
+    ``_cms_col`` names so a ``keys`` frame that itself has ``row`` /
+    ``col`` / ``cnt`` columns cannot collide."""
+    keys = keys.distinct()
     probes = keys.select(
         "*",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("row"),
-                        _cell(i, value_col, w).alias("col"),
+                        F.lit(i).alias("r"),
+                        _cell(i, value_col, w).alias("c"),
                     )
                     for i in range(d)
                 ]
             )
         ).alias("_c"),
-    ).select("*", "_c.row", "_c.col").drop("_c")
-    joined = probes.join(F.broadcast(cms.select("row", "col", "cnt")),
-                         ["row", "col"], "left")
+    ).select("*", F.col("_c.r").alias("_cms_row"),
+             F.col("_c.c").alias("_cms_col")).drop("_c")
+    grid = cms.select(
+        F.col("row").alias("_cms_row"), F.col("col").alias("_cms_col"),
+        F.col("cnt").alias("_cms_cnt"),
+    )
+    joined = probes.join(F.broadcast(grid), ["_cms_row", "_cms_col"], "left")
     return (
         joined.groupBy(*keys.columns)
-        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_cnt"))
+        .agg(F.min(F.coalesce("_cms_cnt", F.lit(0))).alias("est_cnt"))
     )

@@ -500,7 +500,10 @@ def diameter_estimate(
     d2 = bfs_distances(edges, [far1["node"]], src, dst, max_hops=max_hops)
     far2 = d2.orderBy(F.desc("dist"), F.asc("node")).limit(1).collect()[0]
     sess = edges.sparkSession
+    # node ids keep the edge column's own type (string hosts work like
+    # every sibling operator here, not just bigint ids).
+    id_type = edges.schema[src].dataType.simpleString()
     return sess.createDataFrame(
         [(seed, far2["node"], far2["dist"])],
-        "seed bigint, far_node bigint, diameter_lb int",
+        f"seed {id_type}, far_node {id_type}, diameter_lb int",
     )

@@ -5,10 +5,15 @@ A node-embedding pipeline (DeepWalk/node2vec) needs millions of short
 walks over the entity/host graph as its training corpus. ``sample()``
 -based walks are irreproducible across re-runs and cluster sizes — the
 same violation `splits.py` documents for corpus splitting — so the
-"random" choice here is hash-derived: at step t of the walk started at
-s, standing on node u, the next node is
+"random" choice here is hash-derived: standing on node u at position
+t-1 of the walk started at s (so picking the node for position t), the
+next node is
 
-    neighbors(u)[ hash60(s ‖ ':' ‖ t ‖ ':' ‖ u) mod degree(u) ]
+    neighbors(u)[ hash60(s ‖ ':' ‖ (t-1) ‖ salt ‖ ':' ‖ u) mod degree(u) ]
+
+(the hash is keyed on the CURRENT position t-1, which is what the
+DuckDB oracle replays — position t would be equivalent but is not what
+ships)
 
 with ``neighbors(u)`` in ascending order. The walk is a pure function of
 (graph, start, salt): re-runs, other partitionings, and the DuckDB

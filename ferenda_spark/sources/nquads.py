@@ -55,7 +55,17 @@ def parse_nquads_lines(
     is non-greedy with an optional trailing ``<graph>`` group, so a
     literal containing `` <x>`` never leaks into the graph slot (the
     graph term may not contain quotes, and literal escaping keeps raw
-    ``"`` out of the rendered object)."""
+    ``"`` out of the rendered object).
+
+    IRI-only restriction (deliberate, same stance as ``ntriples.py``):
+    subject and graph terms must be ``<IRI>``s — spec-legal blank-node
+    subjects/graphs (``_:b0 …``), which external dumps such as Wikidata's
+    do contain, parse as ``kind='nq_error'`` rows rather than quads. This
+    pipeline never emits blank nodes (COIN minting skolemizes first); to
+    ingest a bnode-bearing external dump, pre-process it through
+    ``functions.uris.skolemize_col`` (rewrite ``_:label`` into a
+    deterministic ``<.well-known/genid/...>`` IRI per dump file), after
+    which every line parses."""
     line = F.col(line_col)
     kept = lines.filter(
         (F.trim(line) != "") & ~F.trim(line).startswith("#")

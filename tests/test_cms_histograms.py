@@ -119,3 +119,23 @@ def test_profile_keys(spark):
     df = _values(spark, rows)
     got = [tuple(r) for r in profile_keys(df, "v", top_k=2).collect()]
     assert got == [(1, "a", 6, 0.6), (2, "b", 3, 0.3)]
+
+
+def test_cms_query_dedupes_keys_and_survives_reserved_cols(spark):
+    # duplicate key rows → one output row per distinct key; a keys frame
+    # that already carries row/col/cnt columns must not collide with the
+    # probe coordinates (they live under reserved _cms_* names now).
+    vals = ["a"] * 5 + ["b"] * 2
+    cms = cms_build(_values(spark, vals), [], "v", d=4, w=4096)
+    keys = spark.createDataFrame(
+        [("a", 1, 2, 3), ("a", 1, 2, 3), ("b", 9, 9, 9)],
+        "v string, row int, col int, cnt int",
+    )
+    got = cms_query(cms, keys, "v", d=4, w=4096).collect()
+    assert len(got) == 2
+    est = {r["v"]: r["est_cnt"] for r in got}
+    assert est == {"a": 5, "b": 2}
+    # original key columns ride through untouched
+    assert {r["v"]: (r["row"], r["col"], r["cnt"]) for r in got} == {
+        "a": (1, 2, 3), "b": (9, 9, 9)
+    }

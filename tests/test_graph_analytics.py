@@ -389,3 +389,18 @@ def test_diameter_lower_bounds_true_diameter(spark):
     assert got["diameter_lb"] <= true_d
     # double sweep is exact on most small graphs; at least half is certain
     assert got["diameter_lb"] * 2 >= true_d
+
+
+def test_diameter_string_node_ids(spark):
+    # ADVICE r03: the result schema must follow the edge column's type —
+    # string host ids, like every sibling operator here.
+    from ferenda_spark.operators.graph_analytics import diameter_estimate
+
+    edges = [("a.com", "b.com"), ("b.com", "c.com"), ("c.com", "d.com")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = diameter_estimate(df).collect()[0]
+    assert got["diameter_lb"] == 3
+    assert got["seed"] == "a.com"
+    # second sweep starts at d.com (periphery of sweep 1) and its
+    # farthest node is back at a.com on a path graph
+    assert got["far_node"] == "a.com"
