@@ -1161,29 +1161,52 @@ def _null_tolerant_correlate(
     maybe: list[str],
     how: str,
     minus: bool = False,
+    sub_maybe: list[str] | None = None,
 ) -> DataFrame:
     """Correlated semi/anti join under SPARQL's unbound-is-compatible rule
-    when some outer join variables (``maybe``) may be SQL NULL
-    (OPTIONAL/UNION-introduced): an unbound variable is a FREE variable in
-    the correlated pattern — it matches anything — so instead of one
-    non-equi condition (``a = b OR a IS NULL`` forces a nested-loop join)
-    the outer rows split by their null-mask over ``maybe`` into 2^k
-    equi-join legs (k ≤ _MAX_MAYBE_NULL):
+    when join variables may be SQL NULL on EITHER side
+    (OPTIONAL/UNION-introduced): an unbound variable imposes no constraint
+    — it is compatible with anything — so instead of one non-equi
+    condition (``a = b OR a IS NULL OR b IS NULL`` forces a nested-loop
+    join) both sides split by null-mask into equi-join legs
+    (2^|maybe| outer × 2^|sub_maybe| sub, |maybe|+|sub_maybe| ≤
+    _MAX_MAYBE_NULL):
 
-    - each leg filters the outer side to one exact null-mask and equi
-      semi/anti joins on the vars that are NON-null under that mask;
-    - the all-null leg (no join keys left): for EXISTS the test degenerates
-      to pattern non-emptiness — probed with a broadcast limit(1), never a
-      full-pattern materialization; for MINUS (``minus=True``) the variable
-      domains are disjoint, so the spec KEEPS the row unconditionally.
+    - each OUTER leg filters the outer side to one exact null-mask; the
+      vars non-null under that mask are the candidate keys — outer-null
+      vars constrain nothing (free on the outer side);
+    - within an outer leg, the SUB side splits by its null-mask over
+      ``sub_maybe`` ∩ keys: a sub leg joins only on the vars non-null on
+      BOTH sides. Legs compose progressively (matched rows peel off via
+      anti-join before the next leg probes), so no outer row is ever
+      double-counted;
+    - a leg with NO join keys left: for EXISTS the test degenerates to
+      leg non-emptiness — probed with a broadcast limit(1), never a
+      full-pattern materialization; for MINUS (``minus=True``) the
+      variable domains are disjoint, so the spec KEEPS the row
+      unconditionally (both when the OUTER row binds no shared var and
+      when the SUB solution binds none — dom(μ1) ∩ dom(μ2) = ∅).
+
+    Semantics note (documented choice): with sub-side maybe-nulls this
+    implements COMPATIBILITY semantics — the outer row passes EXISTS iff
+    some sub solution is compatible with it. For UNION-introduced
+    sub-nulls this coincides with SPARQL 1.1's substitution rule (a
+    branch not mentioning the var yields solutions that constrain it
+    nowhere); for OPTIONAL-introduced sub-nulls substitution-vs-
+    compatibility is the divergence the W3C SPARQL-EXISTS CG documents
+    across engines — this engine picks compatibility, the same rule
+    MINUS is specified with, and the property suite's naive evaluator
+    replays exactly that. MINUS itself is spec'd as compatibility +
+    domain-overlap, which the keys-empty rule above reproduces.
 
     All legs are hash joins over the same child plans, so the split costs
-    k extra scans of the (already small) correlated pattern, not a shuffle
-    of the outer side."""
-    if len(maybe) > _MAX_MAYBE_NULL:
+    a few extra scans of the (already small) correlated pattern, not a
+    shuffle of the outer side."""
+    sub_maybe = list(sub_maybe or [])
+    if len(maybe) + len(sub_maybe) > _MAX_MAYBE_NULL:
         raise SparqlUnsupportedError(
             f"correlation through more than {_MAX_MAYBE_NULL} maybe-unbound "
-            f"variables: {sorted(maybe)}"
+            f"variables: {sorted(set(maybe) | set(sub_maybe))}"
         )
     sure = [v for v in on if v not in maybe]
     legs: list[DataFrame] = []
@@ -1196,15 +1219,54 @@ def _null_tolerant_correlate(
         for v in keys:
             if v in maybe:
                 rows = rows.filter(F.col(v).isNotNull())
-        if keys:
+        if not keys:
+            if minus:
+                # MINUS with every shared var unbound on this row: disjoint
+                # variable domains — the solution is never removed
+                legs.append(rows)
+            else:
+                probe = F.broadcast(
+                    sdf.limit(1).select(F.lit(1).alias("__probe")))
+                legs.append(rows.join(probe, F.lit(True), how=how))
+            continue
+        smaybe = [v for v in sub_maybe if v in keys]
+        if not smaybe:
             legs.append(rows.join(sdf.select(*keys), on=keys, how=how))
-        elif minus:
-            # MINUS with every shared var unbound on this row: disjoint
-            # variable domains — the solution is never removed
-            legs.append(rows)
-        else:
-            probe = F.broadcast(sdf.limit(1).select(F.lit(1).alias("__probe")))
-            legs.append(rows.join(probe, F.lit(True), how=how))
+            continue
+        # sub-side split: progressive legs — matched rows peel off, the
+        # remainder probes the next sub null-mask; masks partition the sub
+        # rows, so each side of the correlation is counted exactly once.
+        remaining = rows
+        matched: list[DataFrame] = []
+        for smask in range(1 << len(smaybe)):
+            snull = [v for i, v in enumerate(smaybe) if smask >> i & 1]
+            skeys = [v for v in keys if v not in snull]
+            sleg = sdf
+            for v in snull:
+                sleg = sleg.filter(F.col(v).isNull())
+            for v in smaybe:
+                if v not in snull:
+                    sleg = sleg.filter(F.col(v).isNotNull())
+            if skeys:
+                if how == "left_semi":
+                    matched.append(
+                        remaining.join(sleg.select(*skeys), skeys,
+                                       "left_semi"))
+                remaining = remaining.join(
+                    sleg.select(*skeys), skeys, "left_anti")
+            elif not minus:
+                # sub solution binding NO outer-bound shared var:
+                # compatible with every outer row — non-emptiness probe.
+                # (MINUS: dom overlap is empty → never removes → skip.)
+                probe = F.broadcast(
+                    sleg.limit(1).select(F.lit(1).alias("__probe")))
+                if how == "left_semi":
+                    matched.append(
+                        remaining.join(probe, F.lit(True), "left_semi"))
+                remaining = remaining.join(probe, F.lit(True), "left_anti")
+        # semi (EXISTS): rows matched by ANY leg; anti (NOT EXISTS /
+        # MINUS): rows matched by NO leg — the progressive remainder.
+        legs.extend(matched if how == "left_semi" else [remaining])
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
@@ -1219,10 +1281,10 @@ def _join_group(
     ``maybe_null_vars`` ⊆ bound_vars: variables a row can carry as SQL NULL
     (introduced by OPTIONAL, or private to some UNION branch). SPARQL's
     unbound-is-compatible join rule cannot be expressed as ONE equi-join on
-    such a variable — EXISTS/MINUS split the outer rows by null-mask into
-    2^k equi-join legs (_null_tolerant_correlate, k ≤ _MAX_MAYBE_NULL);
-    every other join site (and patterns whose OWN shared vars may be
-    unbound) raises SparqlUnsupportedError rather than silently
+    such a variable — EXISTS/MINUS split BOTH sides by null-mask into
+    equi-join legs (_null_tolerant_correlate; outer maybe-nulls and
+    sub-pattern maybe-nulls together capped at _MAX_MAYBE_NULL); every
+    other join site raises SparqlUnsupportedError rather than silently
     dropping/keeping rows the spec wouldn't."""
     if not (
         group.patterns
@@ -1398,21 +1460,21 @@ def _join_group(
             raise SparqlUnsupportedError(
                 "EXISTS sharing no variables not supported"
             )
-        if set(on) & snull:
-            raise SparqlUnsupportedError(
-                "EXISTS correlated on a variable the EXISTS pattern itself "
-                f"may leave unbound: {sorted(set(on) & snull)}"
-            )
         maybe = sorted(set(on) & nullable)
+        sub_maybe = sorted(set(on) & snull)
         how = "left_anti" if negated else "left_semi"
-        if not maybe:
+        if not maybe and not sub_maybe:
             # correlated on the shared variables → semi/anti join (the J6
             # skeleton shape). Equivalent to SPARQL's binding substitution.
             df = df.join(sdf.select(*on), on=on, how=how)
         else:
-            # SPARQL substitution semantics with maybe-unbound outer vars:
-            # an unbound var is FREE in the pattern (matches anything)
-            df = _null_tolerant_correlate(df, sdf, on, maybe, how)
+            # unbound-is-compatible on either side: an unbound outer var
+            # is FREE in the pattern; a sub solution leaving a var unbound
+            # constrains it nowhere (compatibility semantics — see
+            # _null_tolerant_correlate's docstring for the
+            # substitution-vs-compatibility note on sub-side OPTIONALs)
+            df = _null_tolerant_correlate(
+                df, sdf, on, maybe, how, sub_maybe=sub_maybe)
     for sub in group.minuses:
         sdf, svars, snull = _join_group(triples, pos_triples, sub)
         if svars & bind_names:
@@ -1427,26 +1489,20 @@ def _join_group(
             # a no-op (unlike EXISTS, which would be a constant test)
             continue
         maybe = sorted(set(on) & nullable)
-        if len(on) > 1 and set(on) & snull:
-            # sub-side maybe-nulls make compatibility trivially true for
-            # that var while the others still constrain — not an equi-join;
-            # refuse rather than keep rows the spec removes. (With ONE
-            # shared var, a sub-side null means disjoint domains → row kept,
-            # which equi-join null-never-matches reproduces.)
-            raise SparqlUnsupportedError(
-                "multi-variable MINUS where the MINUS pattern may leave a "
-                f"shared variable unbound: {sorted(set(on) & snull)}"
-            )
-        if len(on) > 1 and maybe:
-            # compatibility with maybe-unbound outer vars: rows binding a
-            # var must agree on it to be removed; rows leaving it unbound
-            # are compatible regardless (trivially), and the row survives
-            # only if EVERY shared var is unbound (disjoint domains) — the
-            # null-mask legs express exactly that. (With ONE shared var,
-            # null-never-matches already coincides with the domain-overlap
-            # rule: an unbound side → disjoint domains → row kept.)
+        sub_maybe = sorted(set(on) & snull)
+        if len(on) > 1 and (maybe or sub_maybe):
+            # compatibility + domain overlap with maybe-unbound vars on
+            # EITHER side: rows binding a var must agree on it to be
+            # removed; a var unbound on either side is compatible
+            # regardless (trivially); the row survives when the shared
+            # bound-on-both-sides set is empty (disjoint domains) — the
+            # two-sided null-mask legs express exactly that. (With ONE
+            # shared var, null-never-matches already coincides with the
+            # domain-overlap rule on BOTH sides: an unbound side →
+            # disjoint domains → row kept.)
             df = _null_tolerant_correlate(
-                df, sdf, on, maybe, "left_anti", minus=True
+                df, sdf, on, maybe, "left_anti", minus=True,
+                sub_maybe=sub_maybe,
             )
         else:
             df = df.join(sdf.select(*on), on=on, how="left_anti")

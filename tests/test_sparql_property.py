@@ -778,3 +778,225 @@ def test_minus_through_two_optional_vars_matches_naive(_spark, graph, main, data
 
     want = [b for b in _chain_opt_bindings(graph, main, [o1, o2]) if not removed(b)]
     assert got == _tuples(want, out_vars)
+
+
+# ------- EXISTS / MINUS whose OWN pattern may leave a shared var unbound
+# (sub-side maybe-nulls — the shapes the compiler refused through round 3)
+
+
+def _compatible(b, m2):
+    common = set(b) & set(m2)
+    return all(b[k] == m2[k] for k in common)
+
+
+def _group_solutions(graph, mand, opt):
+    """Naive solutions of { mand OPTIONAL { opt } } from an empty seed."""
+    out = []
+    for m in _naive(graph, mand):
+        exts = _naive_from(graph, opt, m)
+        out.extend(exts if exts else [m])
+    return out
+
+
+def _sub_side_fixture(data, main_vars):
+    """An EXISTS/MINUS body { mand OPTIONAL { opt } } where the OPTIONAL
+    binds a MAIN variable the mandatory part does not — so the sub group
+    may leave a var the outer side binds unbound (snull ∩ on ≠ ∅)."""
+    anchor = data.draw(st.sampled_from(sorted(main_vars)))
+    shared = data.draw(st.sampled_from(sorted(main_vars)))
+    # mandatory: fresh subject var chained off the outer anchor
+    mand = [
+        Pattern(Term("var", anchor),
+                Term("iri", data.draw(st.sampled_from(PREDS))),
+                Term("var", "e_s")),
+    ]
+    # optional: binds the shared main var only when it matches
+    opt = [
+        Pattern(Term("var", "e_s"),
+                Term("iri", data.draw(st.sampled_from(PREDS))),
+                Term("var", shared)),
+    ]
+    return mand, opt, anchor, shared
+
+
+@given(graph=graph_st, main=bgp_st(), data=st.data())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@pytest.mark.parametrize("negated", [False, True])
+def test_exists_sub_side_optional_null_matches_naive(
+    _spark, negated, graph, main, data
+):
+    """Compatibility semantics for EXISTS whose pattern may leave a shared
+    var unbound (OPTIONAL inside EXISTS): the outer row passes iff some
+    sub solution is compatible with it — a sub solution that leaves the
+    var unbound constrains it nowhere (round-3 verdict, next-round #6;
+    this shape used to raise SparqlUnsupportedError)."""
+    from ferenda_spark.operators.sparql import sparql_select as sel
+
+    main_vars = {t.value for p in main for t in (p.s, p.p, p.o) if t.kind == "var"}
+    mand, opt, _anchor, shared = _sub_side_fixture(data, main_vars)
+    # keep the shared var OPTIONAL-only on the sub side: if it collides
+    # with the mandatory part's vars the sub always binds it (different,
+    # already-tested shape)
+    if shared in {t.value for p in mand for t in (p.s, p.p, p.o) if t.kind == "var"}:
+        return
+    kw = "NOT EXISTS" if negated else "EXISTS"
+    q = (
+        f"SELECT * WHERE {{ {_body(main)} "
+        f"FILTER {kw} {{ {_body(mand)} OPTIONAL {{ {_body(opt)} }} }} }}"
+    )
+    out_vars = sorted(main_vars)
+    got = sorted(
+        tuple(r[v] for v in out_vars)
+        for r in sel(_graph_df(_spark, graph), q).collect()
+    )
+    subs = _group_solutions(graph, mand, opt)
+    want = sorted(
+        tuple(b[v] for v in out_vars)
+        for b in _naive(graph, main)
+        if any(_compatible(b, m2) for m2 in subs) != negated
+    )
+    assert got == want
+
+
+@given(graph=graph_st, main=bgp_st(), data=st.data())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_minus_sub_side_optional_null_matches_naive(_spark, graph, main, data):
+    """MINUS whose pattern may leave a shared var unbound: a sub solution
+    unbinding v is trivially compatible on v while the other shared vars
+    still constrain; removal additionally needs domain overlap (≥1 var
+    bound on both sides). Used to raise for len(on) > 1."""
+    from ferenda_spark.operators.sparql import sparql_select as sel
+
+    main_vars = {t.value for p in main for t in (p.s, p.p, p.o) if t.kind == "var"}
+    mand, opt, _anchor, shared = _sub_side_fixture(data, main_vars)
+    if shared in {t.value for p in mand for t in (p.s, p.p, p.o) if t.kind == "var"}:
+        return
+    q = (
+        f"SELECT * WHERE {{ {_body(main)} "
+        f"MINUS {{ {_body(mand)} OPTIONAL {{ {_body(opt)} }} }} }}"
+    )
+    out_vars = sorted(main_vars)
+    got = sorted(
+        tuple(r[v] for v in out_vars)
+        for r in sel(_graph_df(_spark, graph), q).collect()
+    )
+    subs = _naive(graph, mand)
+    subs = [
+        e for m in subs
+        for e in (_naive_from(graph, opt, m) or [m])
+    ]
+
+    def removed(b):
+        for m2 in subs:
+            common = set(b) & set(m2)
+            if common and all(b[k] == m2[k] for k in common):
+                return True
+        return False
+
+    want = sorted(
+        tuple(b[v] for v in out_vars)
+        for b in _naive(graph, main)
+        if not removed(b)
+    )
+    assert got == want
+
+
+@given(graph=graph_st, main=bgp_st(), data=st.data())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@pytest.mark.parametrize("negated", [False, True])
+def test_exists_sub_side_union_null_matches_naive(
+    _spark, negated, graph, main, data
+):
+    """UNION inside EXISTS where only ONE branch binds the shared var: the
+    other branch's solutions leave it unbound → compatible with any outer
+    value (here compatibility == SPARQL substitution exactly)."""
+    from ferenda_spark.operators.sparql import sparql_select as sel
+
+    main_vars = {t.value for p in main for t in (p.s, p.p, p.o) if t.kind == "var"}
+    anchor = data.draw(st.sampled_from(sorted(main_vars)))
+    shared = data.draw(st.sampled_from(sorted(main_vars)))
+    b1 = [Pattern(Term("var", anchor),
+                  Term("iri", data.draw(st.sampled_from(PREDS))),
+                  Term("var", shared))]
+    b2 = [Pattern(Term("var", anchor),
+                  Term("iri", data.draw(st.sampled_from(PREDS))),
+                  Term(data.draw(st.sampled_from(["iri", "lit"])),
+                       data.draw(st.sampled_from(SUBJECTS + OBJ_LEX))))]
+    if shared == anchor:
+        return  # branch 1 degenerates to a self-join var; different shape
+    kw = "NOT EXISTS" if negated else "EXISTS"
+    q = (
+        f"SELECT * WHERE {{ {_body(main)} "
+        f"FILTER {kw} {{ {{ {_body(b1)} }} UNION {{ {_body(b2)} }} }} }}"
+    )
+    out_vars = sorted(main_vars)
+    got = sorted(
+        tuple(r[v] for v in out_vars)
+        for r in sel(_graph_df(_spark, graph), q).collect()
+    )
+    subs = _naive(graph, b1) + _naive(graph, b2)
+    want = sorted(
+        tuple(b[v] for v in out_vars)
+        for b in _naive(graph, main)
+        if any(_compatible(b, m2) for m2 in subs) != negated
+    )
+    assert got == want
+
+
+@given(graph=graph_st, main=bgp_st(), data=st.data())
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@pytest.mark.parametrize("negated", [False, True])
+def test_exists_null_on_both_sides_matches_naive(
+    _spark, negated, graph, main, data
+):
+    """The full two-sided case: the OUTER row may leave the shared var
+    unbound (main OPTIONAL) AND the EXISTS pattern may too (OPTIONAL
+    inside EXISTS) — outer legs split first, sub legs split within."""
+    from ferenda_spark.operators.sparql import sparql_select as sel
+
+    main_vars = {t.value for p in main for t in (p.s, p.p, p.o) if t.kind == "var"}
+    anchor = data.draw(st.sampled_from(sorted(main_vars)))
+    # outer OPTIONAL introduces fresh maybe-null var o_v
+    o_pats = [Pattern(Term("var", anchor),
+                      Term("iri", data.draw(st.sampled_from(PREDS))),
+                      Term("var", "o_v"))]
+    # EXISTS: mandatory anchored on the main anchor; OPTIONAL binds o_v
+    mand = [Pattern(Term("var", anchor),
+                    Term("iri", data.draw(st.sampled_from(PREDS))),
+                    Term("var", "e_s"))]
+    opt = [Pattern(Term("var", "e_s"),
+                   Term("iri", data.draw(st.sampled_from(PREDS))),
+                   Term("var", "o_v"))]
+    kw = "NOT EXISTS" if negated else "EXISTS"
+    q = (
+        f"SELECT * WHERE {{ {_body(main)} OPTIONAL {{ {_body(o_pats)} }} "
+        f"FILTER {kw} {{ {_body(mand)} OPTIONAL {{ {_body(opt)} }} }} }}"
+    )
+    out_vars = sorted(main_vars | {"o_v"})
+    got = sorted(
+        (tuple(r[v] for v in out_vars)
+         for r in sel(_graph_df(_spark, graph), q).collect()),
+        key=lambda x: tuple(("", "") if v is None else ("x", v) for v in x),
+    )
+    subs = _group_solutions(graph, mand, opt)
+    want = [
+        b for b in _opt_bindings(graph, main, o_pats)
+        if any(_compatible(b, m2) for m2 in subs) != negated
+    ]
+    assert got == _tuples(want, out_vars)

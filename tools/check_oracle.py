@@ -30,6 +30,30 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+# Rows-only queries (no SQL oracle) get their row count PINNED here per
+# sf_dir basename — the corpus is seed-42 deterministic, so any drift is
+# a real regression, and a silent collapse to 0 rows can no longer read
+# as green (round-3 verdict finding #1). A rows-only query with no pin
+# for the requested sf_dir FAILS loudly: pin it when you add it.
+EXPECTED_ROWS: dict[str, dict[str, int]] = {
+    "generate_html":       {"sf0.001": 100,   "sf0.01": 100},
+    "quality_classifier":  {"sf0.001": 40,    "sf0.01": 40},
+    "curation_report":     {"sf0.001": 1,     "sf0.01": 1},
+    "kg_triples":          {"sf0.001": 10732, "sf0.01": 10732},
+    "kg_entity_links":     {"sf0.001": 1705,  "sf0.01": 1705},
+    "dedup_embedding_lsh": {"sf0.001": 37,    "sf0.01": 40},
+    "dedup_minhash":       {"sf0.001": 28,    "sf0.01": 25},
+    "dedup_simhash":       {"sf0.001": 133,   "sf0.01": 122},
+    "similarity_ivf":      {"sf0.001": 10,    "sf0.01": 10},
+    "similarity_pq":       {"sf0.001": 10,    "sf0.01": 10},
+    "bpe_token_stats":     {"sf0.001": 5,     "sf0.01": 5},
+    "media_features":      {"sf0.001": 64,    "sf0.01": 64},
+    "curation_pipeline":   {"sf0.001": 89,    "sf0.01": 89},
+    "kg_xhtml":            {"sf0.001": 100,   "sf0.01": 100},
+    "toc_html_pages":      {"sf0.001": 44,    "sf0.01": 45},
+    "kg_patched_parse":    {"sf0.001": 60,    "sf0.01": 60},
+}
+
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
@@ -74,11 +98,25 @@ def main() -> None:
             "spark_rows": None, "oracle_rows": None, "err": None,
         }
         report[name] = rec
+        status = []
         try:
             if name not in oracles:
                 n = fn(spark, sf_dir).count()
-                rec.update(spark_rows=n, rows_match=n >= 0)
-                print(f"{name:24s} rows-only: {n} rows")
+                sf_key = os.path.basename(sf_dir.rstrip("/"))
+                want = EXPECTED_ROWS.get(name, {}).get(sf_key)
+                rec.update(spark_rows=n, expected_rows=want,
+                           rows_match=(want is not None and n == want))
+                if want is None:
+                    status.append(
+                        f"rows-only query has no pinned expected_rows for "
+                        f"{sf_key} — add it to EXPECTED_ROWS")
+                elif n != want:
+                    status.append(f"ROWS {n} vs pinned {want}")
+                if status:
+                    failures.append(name)
+                    print(f"{name:24s} FAIL: {'; '.join(status)}")
+                else:
+                    print(f"{name:24s} rows-only OK: {n} rows (pinned)")
                 continue
             sdf = fn(spark, sf_dir).toPandas()
             odf = con.execute(oracles[name]).df()
@@ -114,6 +152,13 @@ def main() -> None:
             print(f"{name:24s} OK ({rec['spark_rows']} rows)")
 
     if only is None:  # partial runs must not clobber the round artifact
+        # lockstep guard (round-3 verdict): the artifact must cover the
+        # FULL contract — a report shorter than queries() means a query
+        # was added without regenerating this file.
+        if len(report) != len(qs):
+            print(f"LOCKSTEP VIOLATION: report covers {len(report)} of "
+                  f"{len(qs)} contract queries")
+            sys.exit(1)
         out = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "CHECK_ORACLE.json")
         with open(out, "w") as f:
