@@ -51,12 +51,47 @@ _VALUE_COLS = ["subj", "pred", "obj", "obj_is_uri", "obj_lang", "obj_dtype"]
 _MAX_DOUBLINGS = 32
 
 
-def transitive_closure(edges: DataFrame, max_doublings: int = _MAX_DOUBLINGS) -> DataFrame:
+class ClosureBudgetError(RuntimeError):
+    """The materialized closure grew past ``max_rows`` — a pathologically
+    deep/dense transitive chain. Carries the last audited round so the
+    caller's lineage can record how far the doubling got."""
+
+    def __init__(self, rows: int, max_rows: int, rounds: int):
+        self.rows, self.max_rows, self.rounds = rows, max_rows, rounds
+        super().__init__(
+            f"transitive closure reached {rows} rows after {rounds} "
+            f"doubling rounds, over the {max_rows}-row budget — the input "
+            f"chain is too deep/dense to materialize; raise max_rows, or "
+            f"pass on_budget='partial' for a documented partial closure"
+        )
+
+
+def transitive_closure(
+    edges: DataFrame,
+    max_doublings: int = _MAX_DOUBLINGS,
+    *,
+    max_rows: int | None = None,
+    on_budget: str = "raise",
+    audit: list | None = None,
+) -> DataFrame:
     """Strict transitive closure of a two-column ``(sub, sup)`` frame by
     iterative doubling (path length covered doubles per round — O(log
     longest-chain) self-joins). Self-loops are dropped on entry; cycles
     therefore converge (a cycle's members reach each other, their
-    self-pairs are filtered each round)."""
+    self-pairs are filtered each round).
+
+    Growth audit & row budget (round-3 verdict: a closure IS inherently
+    O(n²) rows on a deep chain — the operator must observe its own growth
+    instead of materializing unboundedly): pass ``audit=[]`` to receive
+    one dict per round ``{round, rows, added, budget_exceeded}`` — wire it
+    into the pipeline's lineage rows. ``max_rows`` caps the materialized
+    row count; on breach, ``on_budget='raise'`` (default) raises
+    :class:`ClosureBudgetError`, ``on_budget='partial'`` returns the rows
+    computed so far — a correct UNDER-approximation (every returned pair
+    is a true path of length ≤ 2^rounds; deeper pairs are missing) with
+    the final audit entry flagged ``budget_exceeded=True``."""
+    if on_budget not in ("raise", "partial"):
+        raise ValueError(f"on_budget must be 'raise' or 'partial': {on_budget!r}")
     reach = (
         edges.select("sub", "sup")
         .filter(F.col("sub") != F.col("sup"))
@@ -64,7 +99,16 @@ def transitive_closure(edges: DataFrame, max_doublings: int = _MAX_DOUBLINGS) ->
         .localCheckpoint(eager=True)
     )
     n = reach.count()
-    for _ in range(max_doublings):
+    if audit is not None:
+        audit.append(
+            {"round": 0, "rows": n, "added": n, "budget_exceeded": False})
+    for i in range(max_doublings):
+        if max_rows is not None and n > max_rows:
+            if audit is not None:
+                audit[-1]["budget_exceeded"] = True
+            if on_budget == "partial":
+                return reach
+            raise ClosureBudgetError(n, max_rows, i)
         stepped = (
             reach.select(F.col("sub"), F.col("sup").alias("_mid"))
             .join(reach.select(F.col("sub").alias("_mid"), "sup"), "_mid")
@@ -73,6 +117,9 @@ def transitive_closure(edges: DataFrame, max_doublings: int = _MAX_DOUBLINGS) ->
         )
         new = reach.unionByName(stepped).distinct().localCheckpoint(eager=True)
         m = new.count()
+        if audit is not None:
+            audit.append({"round": i + 1, "rows": m, "added": m - n,
+                          "budget_exceeded": False})
         if m == n:
             _unpersist_checkpoint(new)
             return reach

@@ -54,13 +54,31 @@ def _uri_edge(subj, pred, obj, extra_cols):
     ]
 
 
-def owl_closure(triples: DataFrame, max_doublings: int = 32) -> DataFrame:
+def owl_closure(
+    triples: DataFrame,
+    max_doublings: int = 32,
+    *,
+    max_closure_rows: int | None = None,
+    on_budget: str = "raise",
+    closure_audit: list | None = None,
+) -> DataFrame:
     """Inferred-only triples entailed by the four property
     characteristics; same schema as the input, provenance columns carried
     from a triggering triple (min-struct dedup, deterministic). Union
     with the asserted graph — or keep as its own layer like the RDFS
     inferred layer (recommended; see plans/pipeline.py's enrichment
     stage).
+
+    Growth audit & budget (round-3 verdict watch-item: materializing a
+    transitive closure over a pathologically deep instance chain is
+    inherently O(n²) rows): ``closure_audit=[]`` receives per-doubling
+    growth dicts for lineage; ``max_closure_rows`` bounds the
+    materialized transitive rows — breach raises
+    :class:`~.inference.ClosureBudgetError` (default) or, with
+    ``on_budget='partial'``, degrades to a documented partial closure
+    (paths up to 2^rounds; the audit's last entry carries
+    ``budget_exceeded=True``). Real KG transitive predicates (broader /
+    partOf) are shallow; the budget is the tripwire for crawl spam.
 
     Composition semantics: inverse/symmetric fire once over the ASSERTED
     edges, and the transitive closure runs over asserted ∪ those derived
@@ -114,7 +132,10 @@ def owl_closure(triples: DataFrame, max_doublings: int = 32) -> DataFrame:
         F.concat_ws("\x00", "pred", "subj").alias("sub"),
         F.concat_ws("\x00", "pred", "obj").alias("sup"),
     )
-    closed = transitive_closure(tagged, max_doublings).select(
+    closed = transitive_closure(
+        tagged, max_doublings,
+        max_rows=max_closure_rows, on_budget=on_budget, audit=closure_audit,
+    ).select(
         F.split("sub", "\x00")[0].alias("pred"),
         F.split("sub", "\x00")[1].alias("subj"),
         F.split("sup", "\x00")[1].alias("obj"),

@@ -166,3 +166,71 @@ def test_functional_conflict_on_full_term_not_lexical(spark):
     assert len(got) == 1
     assert got[0]["n_values"] == 2
     assert got[0]["values"] == ["Boston"]
+
+
+# ------------------------------------------ closure growth audit / budget
+
+
+def _chain_df(spark, n):
+    rows = [(f"n{i}", "p:part", f"n{i+1}", True) for i in range(n)]
+    rows.append(("p:part", RDF_TYPE, OWL_TRANSITIVE, True))
+    return _df(spark, rows)
+
+
+def test_closure_budget_raises_on_deep_chain(spark):
+    """10k-deep transitive chain: the closure is ~50M rows; a 50k budget
+    must bail after a few doubling rounds instead of materializing it."""
+    import pytest as _pytest
+
+    from ferenda_spark.operators.inference import ClosureBudgetError
+
+    audit = []
+    with _pytest.raises(ClosureBudgetError) as exc:
+        owl_closure(
+            _chain_df(spark, 10_000),
+            max_closure_rows=50_000,
+            closure_audit=audit,
+        ).count()
+    assert exc.value.max_rows == 50_000
+    assert exc.value.rows > 50_000
+    assert audit[-1]["budget_exceeded"] is True
+    # growth was audited every round, monotone, and stopped early:
+    # ~80k rows after 3 doublings, nowhere near the 50M full closure
+    assert [a["round"] for a in audit] == list(range(len(audit)))
+    assert len(audit) <= 5
+    assert all(a["added"] > 0 for a in audit)
+
+
+def test_closure_budget_partial_is_under_approximation(spark):
+    from ferenda_spark.operators.inference import ClosureBudgetError
+
+    audit = []
+    got = owl_closure(
+        _chain_df(spark, 10_000),
+        max_closure_rows=50_000,
+        on_budget="partial",
+        closure_audit=audit,
+    )
+    pairs = {(r["subj"], r["obj"]) for r in got.collect()}
+    assert audit[-1]["budget_exceeded"] is True
+    # every returned pair is a TRUE reachability pair (i < j), none is
+    # asserted (inferred-only), and the deep pairs are absent (partial)
+    assert pairs
+    assert all(int(s[1:]) < int(o[1:]) for s, o in pairs)
+    assert all(int(o[1:]) - int(s[1:]) >= 2 for s, o in pairs)
+    assert ("n0", "n9999") not in pairs
+
+
+def test_closure_audit_exact_growth_small_chain(spark):
+    """Exact per-round growth on a 9-node chain (8 edges): rows double in
+    path-length coverage each round — 8, 15, 26, 36, 36 (converged)."""
+    audit = []
+    got = owl_closure(_chain_df(spark, 8), closure_audit=audit)
+    # inferred-only rows: all (i, j) with j - i >= 2 → C(9,2) - 8 = 28
+    assert got.count() == 28
+    assert audit[0] == {"round": 0, "rows": 8, "added": 8,
+                        "budget_exceeded": False}
+    rows_seq = [a["rows"] for a in audit]
+    assert rows_seq == sorted(rows_seq)
+    assert rows_seq[-1] == rows_seq[-2] == 36  # C(9,2) = 36, converged
+    assert all(a["budget_exceeded"] is False for a in audit)
