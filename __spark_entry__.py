@@ -1644,6 +1644,30 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_media_real_decode(spark, sf_dir):
+    """Multimodal REAL decode (round-4): every payload is a genuine PNG
+    (functions/png.py::encode_png), mode='real' runs the pure-stdlib
+    zlib-inflate + scanline-unfilter decoder (decode_png) inside the
+    Arrow-batched UDF, and the deterministic corruption slots
+    (media_id % 8 == 3) surface as errors-as-data rows instead of
+    killing the batch. Rows-only probe (no SQL replay of a PNG codec);
+    pinned at 48 rows with the per-row invariants projected out so the
+    pin catches a silent decode regression, not just a row-count one."""
+    from ferenda_spark.operators.multimodal import (
+        extract_media_features,
+        synthetic_png_media,
+    )
+
+    feats = extract_media_features(synthetic_png_media(spark, 48), mode="real")
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.size("features").alias("n_features"),
+        F.col("decode_error").isNotNull().alias("is_error"),
+    )
+
+
 def _q_docx_struct_triples(spark, sf_dir):
     """S5 + T2 integrated (round-3): DOCX heading styles drive the styled
     Section/Subsection FSM (fsm.parse_styled_structure) through
@@ -4638,6 +4662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_pq": _q_similarity_pq,
         "bpe_token_stats": _q_bpe_token_stats,
         "media_features": _q_media_features,
+        "media_real_decode": _q_media_real_decode,
         "curation_pipeline": _q_curation_pipeline,
         "kg_xhtml": _q_kg_xhtml,
         "toc_html_pages": _q_toc_html_pages,

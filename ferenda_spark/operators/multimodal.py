@@ -5,9 +5,12 @@ No reference analog (ferenda's PDF/Word readers, [ref: ferenda/pdfreader.py],
 [ref: ferenda/wordreader.py], shell out to external converters per file);
 this is the Spark-native shape of that slot for a training-data pipeline:
 the *plumbing* — schemas, batch iteration, partitioning, UDF signatures —
-is real and tested; the codec step is stubbed because the sandbox ships no
-image/audio libraries (PIL/cv2/librosa gated behind import-try, with a
-deterministic fake for tests).
+is real and tested. The codec story (round-3 verdict #4): PNG images
+decode for REAL via the pure-stdlib codec in functions/png.py (zlib
+inflate + scanline unfilter — PIL is preferred when importable, the
+sandbox has none); audio/video codecs remain env-gated fakes
+(librosa/cv2 absent). Codec failures are errors-as-data
+(``decode_error`` column), same discipline as the PDF/DOCX readers.
 
 Scale notes:
 - payloads stay in Arrow binary buffers end-to-end; `mapInPandas` streams
@@ -48,6 +51,7 @@ MEDIA_FEATURES = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("features", T.ArrayType(T.FloatType()), False),
+        T.StructField("decode_error", T.StringType(), True),
     ]
 )
 
@@ -63,18 +67,59 @@ def _real_decode_available() -> bool:
         return False
 
 
-def decode_image(payload: bytes):  # pragma: no cover - real-codec path
-    """Real decode path — requires PIL; the sandbox intentionally stubs it.
-    Callers choosing mode='real' get a loud failure, not silent fakes."""
-    if not _real_decode_available():
-        raise NotImplementedError(
-            "image decoding requires PIL/opencv, not present in this "
-            "environment; use mode='fake' (deterministic) for plumbing tests"
-        )
-    import PIL.Image
-    import io
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real decode path → (h, w, channels) uint8 array. PIL handles every
+    format when importable; without it (this sandbox) the pure-stdlib PNG
+    codec (functions/png.py) covers PNG payloads and anything else raises
+    loudly — callers choosing mode='real' get an error row, never silent
+    fakes."""
+    if _real_decode_available():  # pragma: no cover - sandbox has no PIL
+        import io
 
-    return PIL.Image.open(io.BytesIO(payload))
+        import PIL.Image
+
+        return np.asarray(PIL.Image.open(io.BytesIO(payload)))
+    from ..functions.png import decode_png
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError(
+            "non-PNG image decoding requires PIL/opencv, not present in "
+            "this environment; PNG decodes via the stdlib codec"
+        )
+    return decode_png(payload)
+
+
+def _to_gray(img: np.ndarray) -> np.ndarray:
+    """(h, w, ch) uint8 → (h, w) float32 grayscale; alpha ignored."""
+    ch = img.shape[2]
+    if ch == 1:
+        return img[:, :, 0].astype(np.float32)
+    if ch == 2:  # gray + alpha
+        return img[:, :, 0].astype(np.float32)
+    return img[:, :, :3].astype(np.float32).mean(axis=2)
+
+
+def _real_features(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode and extract the same-shaped feature vector as
+    :func:`_fake_features` — FEATURE_DIM floats in [-1, 1] — but from
+    real pixels: an 8×8 average-pooled grayscale thumbnail, each cell
+    rescaled from 0..255. Box pooling over integer cell edges handles
+    any aspect ratio; images smaller than 8px replicate rows/cols."""
+    img = decode_image(payload)
+    h, w = img.shape[:2]
+    gray = _to_gray(img)
+    side = int(np.sqrt(FEATURE_DIM))
+    ys = np.linspace(0, h, side + 1).astype(int)
+    xs = np.linspace(0, w, side + 1).astype(int)
+    cells = np.empty((side, side), dtype=np.float32)
+    for i in range(side):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(side):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            cells[i, j] = gray[min(y0, h - 1):min(y1, h),
+                               min(x0, w - 1):min(x1, w)].mean()
+    feats = (cells.reshape(-1) / 127.5 - 1.0).astype(np.float32)
+    return feats, w, h
 
 
 def _fake_features(payload: bytes) -> tuple[np.ndarray, int, int]:
@@ -93,9 +138,17 @@ def _fake_features(payload: bytes) -> tuple[np.ndarray, int, int]:
 def extract_media_features(media: DataFrame, mode: str = "fake") -> DataFrame:
     """media(MEDIA schema) → MEDIA_FEATURES via mapInPandas.
 
-    mode='fake' (default in-sandbox): deterministic hash-derived features.
-    mode='real': decode via PIL → raises NotImplementedError here.
-    """
+    mode='fake' (default): deterministic hash-derived features — exercises
+    the full Spark plumbing with zero codec dependencies.
+    mode='real': IMAGES decode for real (PIL when importable, else the
+    stdlib PNG codec) into an 8×8 thumbnail feature vector; a codec
+    failure becomes an error row (``decode_error`` set, features empty,
+    width/height NULL) — the batch never dies. Audio/video have no
+    in-sandbox codec and keep the deterministic fake (their
+    ``decode_error`` stays NULL; the fake is the documented behavior,
+    not a silent fallback)."""
+    if mode not in ("fake", "real"):
+        raise ValueError(f"mode must be 'fake' or 'real': {mode!r}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -104,9 +157,15 @@ def extract_media_features(media: DataFrame, mode: str = "fake") -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 b = bytes(payload)
-                if mode == "real":
-                    decode_image(b)  # raises NotImplementedError in-sandbox
-                feats, w, h = _fake_features(b)
+                err = None
+                if mode == "real" and kind == "image":
+                    try:
+                        feats, w, h = _real_features(b)
+                    except Exception as e:  # noqa: BLE001 — errors-as-data
+                        feats, w, h = np.zeros(0, dtype=np.float32), None, None
+                        err = f"{type(e).__name__}: {e}"
+                else:
+                    feats, w, h = _fake_features(b)
                 rows.append(
                     dict(
                         media_id=int(mid),
@@ -116,6 +175,7 @@ def extract_media_features(media: DataFrame, mode: str = "fake") -> DataFrame:
                         width=w if kind == "image" else None,
                         height=h if kind == "image" else None,
                         features=feats.tolist(),
+                        decode_error=err,
                     )
                 )
             yield pd.DataFrame(rows)
@@ -153,6 +213,44 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(fn, schema=schema)
     )
+
+
+def synthetic_png_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic REAL-PNG media corpus: every payload is a valid PNG
+    (functions/png.py::encode_png over seeded pixels, sizes/channel counts
+    varying per id) so ``extract_media_features(mode='real')`` exercises
+    the stdlib decode path end-to-end. Every 8th payload is corrupted
+    (IDAT truncated mid-chunk) to exercise the errors-as-data column —
+    a crawl's media payloads are never all well-formed."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w = 8 + (i * 7) % 40
+                h = 8 + (i * 5) % 32
+                ch = (1, 2, 3, 4)[i % 4]
+                rng = np.random.RandomState(1000 + i)
+                img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+                payload = encode_png(img)
+                if i % 8 == 3:  # deterministic corruption slot
+                    payload = payload[: len(payload) // 2]
+                rows.append(
+                    dict(
+                        media_id=i,
+                        kind="image",
+                        mime="image/png",
+                        payload=payload,
+                        meta={"src": f"synthetic-png:{i}",
+                              "w": str(w), "h": str(h), "ch": str(ch)},
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA)
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:

@@ -106,16 +106,75 @@ def test_media_features_deterministic(spark):
     assert aud and all(r["width"] is None for r in aud)
 
 
-def test_media_real_mode_raises(spark):
-    media = multimodal.synthetic_media(spark, 3)
-    import pytest as _pt
-    from py4j.protocol import Py4JJavaError
-
-    with _pt.raises(Exception) as exc:
-        multimodal.extract_media_features(media, mode="real").collect()
-    assert "NotImplementedError" in str(exc.value) or isinstance(
-        exc.value, NotImplementedError
+def test_media_real_mode_nonpng_is_error_row(spark):
+    """synthetic_media image payloads are NOT PNGs; mode='real' must turn
+    each into an errors-as-data row (round-4: no more loud batch death),
+    while audio/video keep the documented deterministic fake."""
+    media = multimodal.synthetic_media(spark, 9)
+    rows = multimodal.extract_media_features(media, mode="real").collect()
+    assert len(rows) == 9
+    imgs = [r for r in rows if r["kind"] == "image"]
+    assert imgs and all(
+        r["decode_error"] and "NotImplementedError" in r["decode_error"]
+        for r in imgs
     )
+    assert all(r["features"] == [] and r["width"] is None for r in imgs)
+    rest = [r for r in rows if r["kind"] != "image"]
+    assert rest and all(r["decode_error"] is None for r in rest)
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in rest)
+
+
+def test_media_real_mode_decodes_png(spark):
+    """mode='real' over synthetic_png_media: genuine stdlib PNG decode —
+    width/height match the encoder's metadata, features are real-pixel
+    8x8 pools in [-1, 1], the deterministic corruption slots (media_id
+    % 8 == 3) become error rows, and the whole thing is partitioning-
+    invariant."""
+    media = multimodal.synthetic_png_media(spark, 24)
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.extract_media_features(media, mode="real").collect()
+    }
+    meta = {r["media_id"]: r["meta"] for r in media.collect()}
+    assert len(rows) == 24
+    for mid, r in rows.items():
+        if mid % 8 == 3:
+            assert r["decode_error"] and r["width"] is None
+            assert r["features"] == []
+        else:
+            assert r["decode_error"] is None, r["decode_error"]
+            assert r["width"] == int(meta[mid]["w"])
+            assert r["height"] == int(meta[mid]["h"])
+            assert len(r["features"]) == multimodal.FEATURE_DIM
+            assert all(-1.0 <= f <= 1.0 for f in r["features"])
+    again = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_media_features(
+            media.repartition(7), mode="real"
+        ).collect()
+    }
+    assert all(again[m] == rows[m]["features"] for m in rows)
+
+
+def test_real_features_match_pixel_means():
+    """The 8x8 pooled feature vector is exactly the per-cell grayscale
+    mean rescaled to [-1, 1] — checked against a uniform image where
+    every cell mean is known in closed form."""
+    import numpy as np
+
+    from ferenda_spark.functions.png import encode_png
+
+    img = np.full((16, 16, 3), 51, dtype=np.uint8)  # gray==51 everywhere
+    feats, w, h = multimodal._real_features(encode_png(img))
+    assert (w, h) == (16, 16)
+    expect = 51 / 127.5 - 1.0
+    assert np.allclose(feats, expect, atol=1e-6)
+    # non-uniform: top half black, bottom half white → first 32 cells -1,
+    # last 32 cells +1
+    img2 = np.zeros((32, 32, 1), dtype=np.uint8)
+    img2[16:] = 255
+    feats2, _, _ = multimodal._real_features(encode_png(img2))
+    assert np.allclose(feats2[:32], -1.0) and np.allclose(feats2[32:], 1.0)
 
 
 def test_frame_sampling(spark):
