@@ -39,17 +39,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _unpersist_checkpoint(df: DataFrame) -> None:
-    """Free a localCheckpoint's cached RDD blocks. There is no public API;
-    the checkpointed RDD sits in the df's LogicalRDD plan node (verified:
-    getPersistentRDDs drops to zero after this, while the documented-ish
-    ``toRdd()`` route unpersists only a wrapper and frees nothing).
-    Best-effort — on failure the ContextCleaner frees it at GC time."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:  # pragma: no cover
-        pass
+# round-4: every per-round truncation goes through truncate_checkpoint —
+# the bare localCheckpoint preserves the join-product size ESTIMATE, which
+# squares per round and stalls the driver in BigInt stats math from round
+# ~17 (see ferenda_spark/checkpoint.py for the measured failure).
+from ferenda_spark.checkpoint import (  # noqa: F401 — re-exported
+    truncate_checkpoint as _truncate_checkpoint,
+    unpersist_checkpoint as _unpersist_checkpoint,
+)
 
 
 def _propagation_round(und: DataFrame, labels: DataFrame) -> DataFrame:
@@ -109,17 +106,16 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
+    labels = _truncate_checkpoint(
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
     )
 
     try:
         prev_ckpt: DataFrame | None = labels  # the initial checkpoint
         for _ in range(max_iter):
-            new = _propagation_round(und, labels).localCheckpoint(eager=True)
+            new = _truncate_checkpoint(_propagation_round(und, labels))
             # free the previous round's checkpoint blocks eagerly — without
             # this, every round's O(nodes) label table stays pinned in
             # executor storage until driver GC happens to collect it
@@ -245,7 +241,7 @@ def pagerank(
             dm_term = F.col("dm") / F.lit(float(n))
         else:
             dm_term = F.lit(0.0)
-        new = (
+        new = _truncate_checkpoint(
             new.select(
                 "node",
                 (
@@ -254,7 +250,6 @@ def pagerank(
                     * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + dm_term)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
         if prev_ckpt is not None:
             _unpersist_checkpoint(prev_ckpt)
@@ -327,24 +322,24 @@ def hits(
             .agg(F.sum("hub").alias("_v"))
             .withColumnRenamed("dst", "node")
         )
-        auths = _normalize(
+        auths = _truncate_checkpoint(_normalize(
             nodes.join(a_raw, "node", "left").select(
                 "node", F.coalesce("_v", F.lit(0.0)).alias("authority")
             ),
             "authority",
-        ).localCheckpoint(eager=True)
+        ))
         h_raw = (
             e.join(auths.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
             .agg(F.sum("authority").alias("_v"))
             .withColumnRenamed("src", "node")
         )
-        hubs = _normalize(
+        hubs = _truncate_checkpoint(_normalize(
             nodes.join(h_raw, "node", "left").select(
                 "node", F.coalesce("_v", F.lit(0.0)).alias("hub")
             ),
             "hub",
-        ).localCheckpoint(eager=True)
+        ))
         for p in prev:
             _unpersist_checkpoint(p)
         prev = [auths, hubs]

@@ -35,6 +35,8 @@ from typing import Iterable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ferenda_spark.checkpoint import truncate_checkpoint as _tckpt
+
 from .graph import _unpersist_checkpoint
 
 
@@ -92,7 +94,7 @@ def bfs_distances(
         sources.select(F.col(first).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0))
-        .localCheckpoint(eager=True)
+        .transform(_tckpt)
     )
     frontier = settled
 
@@ -106,12 +108,12 @@ def bfs_distances(
             new = (
                 cand.join(settled.select("node"), "node", "left_anti")
                 .withColumn("dist", F.lit(h))
-                .localCheckpoint(eager=True)
+                .transform(_tckpt)
             )
             if not new.limit(1).take(1):
                 _unpersist_checkpoint(new)
                 break
-            nxt = settled.unionByName(new).localCheckpoint(eager=True)
+            nxt = settled.unionByName(new).transform(_tckpt)
             _unpersist_checkpoint(settled)
             if frontier is not settled:
                 _unpersist_checkpoint(frontier)
@@ -152,7 +154,7 @@ def label_propagation(
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(_tckpt)
     )
     try:
         for _ in range(n_iter):
@@ -184,7 +186,7 @@ def label_propagation(
                     F.col("a").alias("node"),
                     F.col("m.lbl").alias("label"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(_tckpt)
             )
             _unpersist_checkpoint(labels)
             labels = nxt
@@ -216,7 +218,7 @@ def k_core(
     ``max_iter`` is a pathology guard that raises rather than returning a
     superset of the core silently.
     """
-    und = _undirected(edges, src, dst).localCheckpoint(eager=True)
+    und = _undirected(edges, src, dst).transform(_tckpt)
     for _ in range(max_iter):
         deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
         bad = deg.filter(F.col("degree") < k).select("a").persist()
@@ -227,7 +229,7 @@ def k_core(
                 und.join(bad, "a", "left_anti")
                 .join(bad.withColumnRenamed("a", "b"), "b", "left_anti")
                 .select("a", "b")
-                .localCheckpoint(eager=True)
+                .transform(_tckpt)
             )
             _unpersist_checkpoint(und)
             und = nxt
@@ -327,7 +329,7 @@ def wl_colors(
             F.col("a").alias("node"),
             F.md5(F.col("d").cast("string")).alias("color"),
         )
-        .localCheckpoint(eager=True)
+        .transform(_tckpt)
     )
     try:
         for _ in range(n_rounds):
@@ -349,7 +351,7 @@ def wl_colors(
                     F.col("a").alias("node"),
                     F.md5(F.concat_ws("|", "color", "sig")).alias("color"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(_tckpt)
             )
             _unpersist_checkpoint(colors)
             colors = nxt
@@ -408,7 +410,7 @@ def katz_centrality(
         .unionByName(e.select(F.col("b").alias("node")))
         .distinct()
     )
-    x = nodes.withColumn("katz", F.lit(1.0)).localCheckpoint(eager=True)
+    x = nodes.withColumn("katz", F.lit(1.0)).transform(_tckpt)
     try:
         for _ in range(n_iter):
             mass = (
@@ -429,7 +431,7 @@ def katz_centrality(
                         + F.lit(alpha) * F.coalesce("m", F.lit(0.0))
                     ).alias("katz"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(_tckpt)
             )
             _unpersist_checkpoint(x)
             x = nxt

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ferenda_spark.checkpoint import truncate_checkpoint as _tckpt
 from ferenda_spark.operators.graph import _unpersist_checkpoint
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -96,7 +97,7 @@ def transitive_closure(
         edges.select("sub", "sup")
         .filter(F.col("sub") != F.col("sup"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_tckpt)
     )
     n = reach.count()
     if audit is not None:
@@ -115,7 +116,7 @@ def transitive_closure(
             .select("sub", "sup")
             .filter(F.col("sub") != F.col("sup"))
         )
-        new = reach.unionByName(stepped).distinct().localCheckpoint(eager=True)
+        new = reach.unionByName(stepped).distinct().transform(_tckpt)
         m = new.count()
         if audit is not None:
             audit.append({"round": i + 1, "rows": m, "added": m - n,

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ferenda_spark.checkpoint import truncate_checkpoint as _tckpt
 from ferenda_spark.operators.graph import _unpersist_checkpoint
 
 _MAX_DOUBLINGS = 16
@@ -61,7 +62,7 @@ def resolve_redirects(
                 F.lit(True).alias("done"),
             )
         )
-        .localCheckpoint(eager=True)
+        .transform(_tckpt)
     )
 
     prev_ckpt = cur
@@ -89,7 +90,7 @@ def resolve_redirects(
                     | F.coalesce(F.col("_jdone"), F.lit(True))
                 ).alias("done"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_tckpt)
         )
         _unpersist_checkpoint(prev_ckpt)
         prev_ckpt = stepped

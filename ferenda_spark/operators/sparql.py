@@ -932,9 +932,10 @@ def _path_closure(edges: DataFrame) -> DataFrame:
     distinct, localCheckpoint-truncated like connected components. The
     closure's size is a property of the queried graph (bounded by component
     sizes), not of the algorithm."""
+    from ferenda_spark.checkpoint import truncate_checkpoint as _tckpt
     from ferenda_spark.operators.graph import _unpersist_checkpoint
 
-    reach = edges.distinct().localCheckpoint(eager=True)
+    reach = edges.distinct().transform(_tckpt)
     n = reach.count()
     for _ in range(_CLOSURE_MAX_DOUBLINGS):
         left = reach.select(
@@ -944,7 +945,7 @@ def _path_closure(edges: DataFrame) -> DataFrame:
             F.col("a").alias("_mid"), F.col("b"), F.col("b_uri")
         )
         stepped = left.join(right, "_mid").select("a", "a_uri", "b", "b_uri")
-        new = reach.unionByName(stepped).distinct().localCheckpoint(eager=True)
+        new = reach.unionByName(stepped).distinct().transform(_tckpt)
         m = new.count()
         if m == n:
             _unpersist_checkpoint(new)

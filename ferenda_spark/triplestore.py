@@ -28,6 +28,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ferenda_spark.checkpoint import truncate_checkpoint as _tckpt
 from ferenda_spark.operators.sparql import (
     sparql_ask,
     sparql_construct,
@@ -386,6 +387,9 @@ class SparkTripleStore:
             # materialize before unpersisting (data blocks are human-scale;
             # without this every update() would pin one cached frame in
             # block-manager memory for the session's lifetime)
-            return rows.localCheckpoint(eager=True)
+            # truncate with honest stats — repeated update() calls feed
+            # each checkpoint into the next plan, the compounding shape
+            # the bare localCheckpoint's inherited estimate blows up on
+            return _tckpt(rows)
         finally:
             parsed.unpersist()
