@@ -212,6 +212,7 @@ def main() -> None:
     # open(..., "w") truncates, and they read the previous file's contents
     history = history_section(ts, n_docs, n, t_n, t_4n, eff)
     curation = curation_section()
+    graph = graph_section()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — measured numbers ({ts})
 
@@ -265,7 +266,7 @@ and the skinny entity-edge dedup (see tools/kg_job.py docstring);
 everything else is map-side.
 
 {history}
-{curation}Correctness at this corpus: identical triple counts at both parallelism
+{curation}{graph}Correctness at this corpus: identical triple counts at both parallelism
 levels; triple P/R = 1.0 vs golden truth triples
 (tests/test_pipeline_pr.py); extracted text byte-identical per url
 (sha256 goldens, tests/test_extract.py). Relational/curation query wall
@@ -276,6 +277,7 @@ times at sf0.1 are in BENCH_r*.json (driver-recorded, `bench.py`).
 
 _HISTORY_HEADER = "## Cross-config / cross-session history"
 _CURATION_HEADER = "## Curation pipeline at corpus scale"
+_GRAPH_HEADER = "## Graph / KG-enrichment family at 1M-node scale"
 
 
 def curation_section() -> str:
@@ -294,6 +296,22 @@ def curation_section() -> str:
     # correctness paragraph (which the template always re-emits)
     body = block.split("\n## ", 1)[0].split("Correctness at this corpus", 1)[0]
     return _CURATION_HEADER + body.rstrip() + "\n\n"
+
+
+def graph_section() -> str:
+    """Carry the graph-family-at-1M-scale section (written by hand from
+    tools/graph_job.py output) forward across BASELINE.md rewrites."""
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    try:
+        with open(path) as f:
+            text = f.read()
+    except OSError:
+        return ""
+    if _GRAPH_HEADER not in text:
+        return ""
+    block = text.split(_GRAPH_HEADER, 1)[1]
+    body = block.split("\n## ", 1)[0].split("Correctness at this corpus", 1)[0]
+    return _GRAPH_HEADER + body.rstrip() + "\n\n"
 
 
 def history_section(ts, n_docs, n, t_n, t_4n, eff) -> str:
