@@ -42,7 +42,7 @@ Scale shape (the part that must survive 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ferenda_spark.operators.graph import connected_components
@@ -53,18 +53,92 @@ OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
 _VALUE_COLS = ["subj", "pred", "obj", "obj_is_uri", "obj_lang", "obj_dtype"]
 
 
+def _rank_uris(uris: DataFrame) -> DataFrame:
+    """(uri) → (uri, rk bigint): a dense, deterministic, collision-free
+    0..V-1 id per distinct URI, built WITHOUT a global sort — row_number
+    within a hash bucket plus the bucket's cumulative offset (the same
+    two-level construction as operators/walks.py negative_samples; 64
+    B-way parallel windows, one broadcast of the 64-row offset table).
+    The rank order is (bucket, uri) — NOT lexicographic over all URIs,
+    which is why the caller restores the min-URI canonical itself."""
+    n_buckets = 64
+    bucketed = uris.withColumn(
+        "bk", F.pmod(F.xxhash64("uri"), F.lit(n_buckets))
+    )
+    within = bucketed.withColumn(
+        "wrk", F.row_number().over(Window.partitionBy("bk").orderBy("uri")) - 1
+    )
+    offsets = (
+        bucketed.groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("bk").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bk", "off")
+    )
+    return within.join(F.broadcast(offsets), "bk").select(
+        "uri", (F.col("wrk") + F.col("off")).alias("rk")
+    )
+
+
 def sameas_classes(triples: DataFrame, *, pred: str = OWL_SAMEAS) -> DataFrame:
     """Equivalence classes of the sameAs subgraph: ``(node, canonical)``,
     one row per URI mentioned in any sameAs edge (including canonicals
     themselves — callers may inner-join without a coalesce fallback only
-    if they filter). ``canonical`` = min URI of the component."""
+    if they filter). ``canonical`` = min URI of the component.
+
+    Scale shape (round-4): the connected-components rounds run over DENSE
+    LONG ids, not URI strings. URIs average ~30-80 bytes and the CC loop
+    shuffles its keys every round (~25 rounds on a critical-regime alias
+    graph), so string keys multiply the dominant shuffle ~4-10x. The
+    id-encode costs two one-time edge-sized joins + a node-sized rank
+    build; the min-URI canonical (the public, oracle-replayable contract)
+    is restored afterwards with one node-sized groupBy — exact, because
+    min(uri) per component is independent of the internal id order.
+    Measured at 2M string pairs / 4M URIs, local[8]: CC-on-strings
+    shuffled 11.6 GB in 464s; see BENCH/BASELINE.md."""
     edges = (
         triples.filter((F.col("pred") == pred) & F.col("obj_is_uri"))
         .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
     )
-    comp = connected_components(edges)  # (node, comp)
-    return comp.select(F.col("node"), F.col("comp").alias("canonical"))
+    uris = (
+        edges.select(F.col("src").alias("uri"))
+        .unionByName(edges.select(F.col("dst").alias("uri")))
+        .distinct()
+    )
+    # materialized once (node-sized) and referenced by three joins AND the
+    # lazily-returned plan — checkpoint, not persist/unpersist, so the id
+    # table survives until the caller materializes (the same lifetime rule
+    # as connected_components' returned labels checkpoint)
+    from ferenda_spark.checkpoint import truncate_checkpoint
+
+    ids = truncate_checkpoint(_rank_uris(uris))
+    e = (
+        edges.join(ids.withColumnRenamed("uri", "src"), "src")
+        .withColumnRenamed("rk", "src_id")
+        .join(ids.withColumnRenamed("uri", "dst"), "dst")
+        .withColumnRenamed("rk", "dst_id")
+        .select("src_id", "dst_id")
+    )
+    comp = connected_components(e, "src_id", "dst_id")  # (node, comp)
+    member = comp.join(
+        ids.withColumnRenamed("rk", "node"), "node"
+    ).select("uri", "comp")
+    canonical = member.groupBy("comp").agg(
+        F.min("uri").alias("canonical")
+    )
+    return member.join(canonical, "comp").select(
+        F.col("uri").alias("node"), "canonical"
+    )
 
 
 def canonicalize_sameas(
