@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 # squares per round and stalls the driver in BigInt stats math from round
 # ~17 (see ferenda_spark/checkpoint.py for the measured failure).
 from ferenda_spark.checkpoint import (  # noqa: F401 — re-exported
+    RoundCadence as _RoundCadence,
     truncate_checkpoint as _truncate_checkpoint,
     unpersist_checkpoint as _unpersist_checkpoint,
 )
@@ -106,26 +107,24 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = _truncate_checkpoint(
+    cad = _RoundCadence()
+    labels = cad.seed(
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
     )
 
     try:
-        prev_ckpt: DataFrame | None = labels  # the initial checkpoint
         for _ in range(max_iter):
-            new = _truncate_checkpoint(_propagation_round(und, labels))
-            # free the previous round's checkpoint blocks eagerly — without
-            # this, every round's O(nodes) label table stays pinned in
-            # executor storage until driver GC happens to collect it
-            if prev_ckpt is not None:
-                _unpersist_checkpoint(prev_ckpt)
-            prev_ckpt = new
+            # the convergence probe materializes the (lazily cached) round
+            # — one job per round; the eager checkpoint only every
+            # cadence-interval rounds (see RoundCadence)
+            new = cad.step(_propagation_round(und, labels))
             labels = new.select("node", "comp")
             if new.filter(F.col("comp") != F.col("prev")).limit(1).count() == 0:
-                return labels
+                return cad.finish(labels)
     finally:
+        cad.close()
         und.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
@@ -171,6 +170,7 @@ def pagerank(
     *,
     damping: float = 0.85,
     n_iter: int = 8,
+    checkpoint_interval: int = 4,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list → (node, rank).
 
@@ -222,7 +222,7 @@ def pagerank(
     has_dangling = bool(dangling_nodes.limit(1).collect())
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    prev_ckpt: DataFrame | None = None
+    cad = _RoundCadence(interval=checkpoint_interval)
     for _ in range(n_iter):
         contribs = (
             contrib_edges.join(
@@ -241,7 +241,7 @@ def pagerank(
             dm_term = F.col("dm") / F.lit(float(n))
         else:
             dm_term = F.lit(0.0)
-        new = _truncate_checkpoint(
+        ranks = cad.step(
             new.select(
                 "node",
                 (
@@ -251,9 +251,7 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if prev_ckpt is not None:
-            _unpersist_checkpoint(prev_ckpt)
-        ranks, prev_ckpt = new, new
+    ranks = cad.finish(ranks)
     nodes.unpersist()
     contrib_edges.unpersist()
     dangling_nodes.unpersist()
@@ -266,6 +264,7 @@ def hits(
     dst: str = "dst",
     *,
     n_iter: int = 8,
+    checkpoint_interval: int = 4,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999) → (node, hub, authority).
 
@@ -314,7 +313,11 @@ def hits(
 
     hubs = nodes.select("node", F.lit(1.0).alias("hub"))
     auths = nodes.select("node", F.lit(0.0).alias("authority"))
-    prev: list[DataFrame] = []
+    # one cadence step per round carrying BOTH states: auths and hubs are
+    # interdependent (hubs_t builds on auths_t), so they must be cached —
+    # and, on cadence rounds, checkpointed — TOGETHER; checkpointing only
+    # one would free the chain the other's lineage still roots in
+    cad = _RoundCadence(interval=checkpoint_interval)
     for _ in range(n_iter):
         a_raw = (
             e.join(hubs.withColumnRenamed("node", "src"), "src")
@@ -322,31 +325,35 @@ def hits(
             .agg(F.sum("hub").alias("_v"))
             .withColumnRenamed("dst", "node")
         )
-        auths = _truncate_checkpoint(_normalize(
+        auths = _normalize(
             nodes.join(a_raw, "node", "left").select(
                 "node", F.coalesce("_v", F.lit(0.0)).alias("authority")
             ),
             "authority",
-        ))
+        )
         h_raw = (
             e.join(auths.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
             .agg(F.sum("authority").alias("_v"))
             .withColumnRenamed("src", "node")
         )
-        hubs = _truncate_checkpoint(_normalize(
+        hubs = _normalize(
             nodes.join(h_raw, "node", "left").select(
                 "node", F.coalesce("_v", F.lit(0.0)).alias("hub")
             ),
             "hub",
-        ))
-        for p in prev:
-            _unpersist_checkpoint(p)
-        prev = [auths, hubs]
-    out = nodes.join(hubs, "node").join(auths, "node")
+        )
+        auths, hubs = cad.step_many([auths, hubs])
+    # checkpoint the JOINED output (both final states feed it), so finish
+    # can free the window caches without orphaning either state's lineage
+    out = cad.finish(
+        nodes.join(hubs, "node").join(auths, "node").select(
+            "node", "hub", "authority"
+        )
+    )
     nodes.unpersist()
     e.unpersist()
-    return out.select("node", "hub", "authority")
+    return out
 
 
 def triangle_count(

@@ -35,6 +35,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ferenda_spark.checkpoint import RoundCadence as _RoundCadence
 from ferenda_spark.checkpoint import truncate_checkpoint as _tckpt
 
 from .graph import _unpersist_checkpoint
@@ -90,11 +91,11 @@ def bfs_distances(
             [(v,) for v in sources], f"node {schema_col.simpleString()}"
         )
     first = sources.columns[0]
-    settled = (
+    cad = _RoundCadence()
+    settled = cad.seed(
         sources.select(F.col(first).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0))
-        .transform(_tckpt)
     )
     frontier = settled
 
@@ -108,18 +109,20 @@ def bfs_distances(
             new = (
                 cand.join(settled.select("node"), "node", "left_anti")
                 .withColumn("dist", F.lit(h))
-                .transform(_tckpt)
             )
-            if not new.limit(1).take(1):
-                _unpersist_checkpoint(new)
-                break
-            nxt = settled.unionByName(new).transform(_tckpt)
-            _unpersist_checkpoint(settled)
-            if frontier is not settled:
-                _unpersist_checkpoint(frontier)
+            # frontier and settled stay live ACROSS rounds — one cadence
+            # step carries both (see RoundCadence.step_many); the
+            # emptiness probe materializes the round's (cached) frontier.
+            # Rebind BEFORE probing: a cadence round frees every earlier
+            # round's frame, so the pre-step `settled` may be dead by now —
+            # and on an empty frontier nxt == settled as a set anyway.
+            new, nxt = cad.step_many([new, settled.unionByName(new)])
             settled, frontier = nxt, new
-        return settled
+            if not new.limit(1).take(1):
+                break
+        return cad.finish(settled)
     finally:
+        cad.close()
         e.unpersist()
 
 
@@ -150,11 +153,11 @@ def label_propagation(
     the count (not the label) keeps string node ids working.
     """
     und = _undirected(edges, src, dst).persist()
-    labels = (
+    cad = _RoundCadence()
+    labels = cad.seed(
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .transform(_tckpt)
     )
     try:
         for _ in range(n_iter):
@@ -172,7 +175,7 @@ def label_propagation(
             # negating the COUNT (always numeric) instead of the label
             # keeps the tie-break correct for STRING node ids too (a
             # negated string column would silently cast to NULL)
-            nxt = (
+            labels = cad.step(
                 counts.groupBy("a")
                 .agg(
                     F.min(
@@ -186,12 +189,10 @@ def label_propagation(
                     F.col("a").alias("node"),
                     F.col("m.lbl").alias("label"),
                 )
-                .transform(_tckpt)
             )
-            _unpersist_checkpoint(labels)
-            labels = nxt
-        return labels
+        return cad.finish(labels)
     finally:
+        cad.close()
         und.unpersist()
 
 
@@ -218,23 +219,31 @@ def k_core(
     ``max_iter`` is a pathology guard that raises rather than returning a
     superset of the core silently.
     """
-    und = _undirected(edges, src, dst).transform(_tckpt)
-    for _ in range(max_iter):
-        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
-        bad = deg.filter(F.col("degree") < k).select("a").persist()
-        try:
-            if not bad.limit(1).take(1):
-                return deg.withColumnRenamed("a", "node")
-            nxt = (
+    cad = _RoundCadence()
+    und = cad.seed(_undirected(edges, src, dst))
+    prev_bad = None
+    try:
+        for _ in range(max_iter):
+            deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+            bad = deg.filter(F.col("degree") < k).select("a").persist()
+            # this probe's shuffle fully materializes und (and with it the
+            # previous round's lazily-cached peel) — only NOW is the
+            # previous round's bad set done feeding lineage
+            probe = bad.limit(1).take(1)
+            if prev_bad is not None:
+                prev_bad.unpersist()
+            prev_bad = bad
+            if not probe:
+                return cad.finish(deg.withColumnRenamed("a", "node"))
+            und = cad.step(
                 und.join(bad, "a", "left_anti")
                 .join(bad.withColumnRenamed("a", "b"), "b", "left_anti")
                 .select("a", "b")
-                .transform(_tckpt)
             )
-            _unpersist_checkpoint(und)
-            und = nxt
-        finally:
-            bad.unpersist()
+    finally:
+        if prev_bad is not None:
+            prev_bad.unpersist()
+        cad.close()
     raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
 
 
@@ -322,18 +331,18 @@ def wl_colors(
     (md5 / string_agg ORDER BY), which is what the oracle does.
     """
     und = _undirected(edges, src, dst).persist()
-    colors = (
+    cad = _RoundCadence()
+    colors = cad.seed(
         und.groupBy("a")
         .agg(F.count(F.lit(1)).alias("d"))
         .select(
             F.col("a").alias("node"),
             F.md5(F.col("d").cast("string")).alias("color"),
         )
-        .transform(_tckpt)
     )
     try:
         for _ in range(n_rounds):
-            nxt = (
+            colors = cad.step(
                 und.join(
                     colors.select(
                         F.col("node").alias("b"), F.col("color").alias("nc")
@@ -351,12 +360,10 @@ def wl_colors(
                     F.col("a").alias("node"),
                     F.md5(F.concat_ws("|", "color", "sig")).alias("color"),
                 )
-                .transform(_tckpt)
             )
-            _unpersist_checkpoint(colors)
-            colors = nxt
-        return colors
+        return cad.finish(colors)
     finally:
+        cad.close()
         und.unpersist()
 
 
@@ -410,7 +417,8 @@ def katz_centrality(
         .unionByName(e.select(F.col("b").alias("node")))
         .distinct()
     )
-    x = nodes.withColumn("katz", F.lit(1.0)).transform(_tckpt)
+    cad = _RoundCadence()
+    x = cad.seed(nodes.withColumn("katz", F.lit(1.0)))
     try:
         for _ in range(n_iter):
             mass = (
@@ -422,7 +430,7 @@ def katz_centrality(
                 .agg(F.sum("xa").alias("m"))
                 .withColumnRenamed("b", "node")
             )
-            nxt = (
+            x = cad.step(
                 nodes.join(mass, "node", "left")
                 .select(
                     "node",
@@ -431,12 +439,10 @@ def katz_centrality(
                         + F.lit(alpha) * F.coalesce("m", F.lit(0.0))
                     ).alias("katz"),
                 )
-                .transform(_tckpt)
             )
-            _unpersist_checkpoint(x)
-            x = nxt
-        return x.select("node", F.round("katz", 6).alias("katz"))
+        return cad.finish(x).select("node", F.round("katz", 6).alias("katz"))
     finally:
+        cad.close()
         e.unpersist()
 
 

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ferenda_spark.checkpoint import RoundCadence as _RoundCadence
 from ferenda_spark.checkpoint import truncate_checkpoint as _tckpt
 from ferenda_spark.operators.graph import _unpersist_checkpoint
 
@@ -93,11 +94,11 @@ def transitive_closure(
     the final audit entry flagged ``budget_exceeded=True``."""
     if on_budget not in ("raise", "partial"):
         raise ValueError(f"on_budget must be 'raise' or 'partial': {on_budget!r}")
-    reach = (
+    cad = _RoundCadence()
+    reach = cad.seed(
         edges.select("sub", "sup")
         .filter(F.col("sub") != F.col("sup"))
         .distinct()
-        .transform(_tckpt)
     )
     n = reach.count()
     if audit is not None:
@@ -108,7 +109,8 @@ def transitive_closure(
             if audit is not None:
                 audit[-1]["budget_exceeded"] = True
             if on_budget == "partial":
-                return reach
+                return cad.finish(reach)
+            cad.close()
             raise ClosureBudgetError(n, max_rows, i)
         stepped = (
             reach.select(F.col("sub"), F.col("sup").alias("_mid"))
@@ -116,16 +118,21 @@ def transitive_closure(
             .select("sub", "sup")
             .filter(F.col("sub") != F.col("sup"))
         )
-        new = reach.unionByName(stepped).distinct().transform(_tckpt)
+        # the count doubles as the convergence probe AND the audit row —
+        # it fully materializes the (lazily cached) round; the eager
+        # checkpoint happens only on cadence rounds
+        new = cad.step(reach.unionByName(stepped).distinct())
         m = new.count()
         if audit is not None:
             audit.append({"round": i + 1, "rows": m, "added": m - n,
                           "budget_exceeded": False})
         if m == n:
-            _unpersist_checkpoint(new)
-            return reach
-        _unpersist_checkpoint(reach)
+            # converged: new == reach as a SET (new ⊇ reach by
+            # construction, same count) — return the LIVE frame; reach's
+            # cache may already have been freed by a cadence checkpoint
+            return cad.finish(new)
         reach, n = new, m
+    cad.close()
     raise RuntimeError("transitive_closure did not converge")
 
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ferenda_spark.checkpoint import RoundCadence as _RoundCadence
 from ferenda_spark.checkpoint import truncate_checkpoint as _tckpt
 from ferenda_spark.operators.graph import _unpersist_checkpoint
 
@@ -52,6 +53,7 @@ def resolve_redirects(
     srcs = e.select(F.col("url").alias("nxt")).distinct()
 
     # state: url → (cur endpoint, exact hops so far, done?)
+    cad = _RoundCadence()
     cur = (
         e.join(srcs, "nxt", "left_semi")
         .select("url", F.col("nxt").alias("cur"), F.lit(1).alias("hops"),
@@ -62,11 +64,12 @@ def resolve_redirects(
                 F.lit(True).alias("done"),
             )
         )
-        .transform(_tckpt)
+        .transform(cad.seed)
     )
 
-    prev_ckpt = cur
     for _ in range(max_doublings):
+        # the done-probe materializes the (lazily cached) round; eager
+        # checkpoints only every cadence round (RoundCadence)
         if cur.filter(~F.col("done")).limit(1).count() == 0:
             break
         hop = cur.select(
@@ -90,13 +93,11 @@ def resolve_redirects(
                     | F.coalesce(F.col("_jdone"), F.lit(True))
                 ).alias("done"),
             )
-            .transform(_tckpt)
+            .transform(cad.step)
         )
-        _unpersist_checkpoint(prev_ckpt)
-        prev_ckpt = stepped
         cur = stepped
 
-    return cur.select(
+    return cad.finish(cur).select(
         "url",
         F.when(F.col("done"), F.col("cur")).alias("final_url"),
         F.when(F.col("done"), F.col("hops")).cast("int").alias("n_hops"),

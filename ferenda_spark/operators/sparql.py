@@ -932,10 +932,10 @@ def _path_closure(edges: DataFrame) -> DataFrame:
     distinct, localCheckpoint-truncated like connected components. The
     closure's size is a property of the queried graph (bounded by component
     sizes), not of the algorithm."""
-    from ferenda_spark.checkpoint import truncate_checkpoint as _tckpt
-    from ferenda_spark.operators.graph import _unpersist_checkpoint
+    from ferenda_spark.checkpoint import RoundCadence as _RoundCadence
 
-    reach = edges.distinct().transform(_tckpt)
+    cad = _RoundCadence()
+    reach = cad.seed(edges.distinct())
     n = reach.count()
     for _ in range(_CLOSURE_MAX_DOUBLINGS):
         left = reach.select(
@@ -945,13 +945,15 @@ def _path_closure(edges: DataFrame) -> DataFrame:
             F.col("a").alias("_mid"), F.col("b"), F.col("b_uri")
         )
         stepped = left.join(right, "_mid").select("a", "a_uri", "b", "b_uri")
-        new = reach.unionByName(stepped).distinct().transform(_tckpt)
+        # the convergence count materializes the (lazily cached) round;
+        # eager checkpoints only every cadence round (RoundCadence)
+        new = cad.step(reach.unionByName(stepped).distinct())
         m = new.count()
         if m == n:
-            _unpersist_checkpoint(new)
-            return reach
-        _unpersist_checkpoint(reach)
+            # converged: new == reach as a set — return the LIVE frame
+            return cad.finish(new)
         reach, n = new, m
+    cad.close()
     raise RuntimeError("path closure did not converge (cycle bookkeeping bug?)")
 
 

@@ -100,3 +100,112 @@ def test_deep_path_graph_converges_quickly(spark):
     rows = comp.collect()
     assert len(rows) == 300
     assert {r["comp"] for r in rows} == {0}
+
+
+# ---------------------------------------------------------------------------
+# RoundCadence — checkpoint every K rounds instead of every round
+# ---------------------------------------------------------------------------
+
+from ferenda_spark.checkpoint import RoundCadence  # noqa: E402
+
+
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_cadence_single_chain_matches_per_round(spark):
+    """A join-per-round min-label loop under interval=3 lands on the same
+    fixpoint as the interval=1 (per-round) cadence."""
+
+    def run(interval):
+        df = spark.range(64).select(
+            F.col("id").alias("node"), (F.col("id") + 1).alias("comp")
+        ).withColumn("comp", F.when(F.col("comp") >= 64, 0).otherwise(F.col("comp")))
+        cad = RoundCadence(interval=interval)
+        state = cad.seed(df)
+        for _ in range(7):
+            j = state.select(
+                F.col("comp").alias("node2"), F.col("comp").alias("jc")
+            ).groupBy("node2").agg(F.min("jc").alias("jc"))
+            state = cad.step(
+                state.join(
+                    j.withColumnRenamed("node2", "comp"), "comp", "left"
+                ).select(
+                    "node",
+                    F.least("comp", F.coalesce("jc", "comp")).alias("comp"),
+                )
+            )
+        out = cad.finish(state)
+        rows = sorted((r["node"], r["comp"]) for r in out.collect())
+        return rows
+
+    assert run(1) == run(3)
+
+
+def test_cadence_multi_state_survives_checkpoint_round(spark):
+    """step_many keeps BOTH interdependent states usable after a cadence
+    round frees the prior chain (the HITS/BFS shape)."""
+    cad = RoundCadence(interval=2)
+    a = cad.seed(spark.range(32).select(F.col("id").alias("n"), F.lit(1.0).alias("x")))
+    b = a
+    for i in range(5):  # rounds 2 and 4 are cadence checkpoints
+        a2 = a.select("n", (F.col("x") + 1.0).alias("x"))
+        b2 = a2.join(b.select("n", F.col("x").alias("y")), "n").select(
+            "n", (F.col("x") + F.col("y")).alias("x")
+        )
+        a, b = cad.step_many([a2, b2])
+    # both states must still be readable and consistent
+    out = cad.finish(a.join(b.select("n", F.col("x").alias("bx")), "n"))
+    rows = out.collect()
+    assert len(rows) == 32
+    assert all(r["x"] == 6.0 for r in rows)
+
+
+def test_cadence_frees_intermediate_caches(spark):
+    base = _n_persistent_rdds(spark)
+    cad = RoundCadence(interval=4)
+    state = cad.seed(spark.range(16).select(F.col("id").alias("n")))
+    for _ in range(6):
+        state = cad.step(state.select((F.col("n") + 1).alias("n")))
+    out = cad.finish(state)
+    out.count()
+    # only the final checkpoint may remain pinned
+    assert _n_persistent_rdds(spark) <= base + 1
+    unpersist_checkpoint(out)
+
+
+def test_cadence_checkpoint_stats_stay_data_sized(spark):
+    """The BigInt-stats stall cannot re-arise: estimates reset to the
+    measured size at every cadence checkpoint."""
+    df = spark.range(500).select(
+        F.col("id").alias("node"), F.col("id").alias("comp")
+    )
+    cad = RoundCadence(interval=4)
+    state = cad.seed(df)
+    for _ in range(16):
+        j = state.select(F.col("node").alias("comp"), F.col("comp").alias("j2"))
+        state = cad.step(
+            state.join(j, "comp", "left").select(
+                "node", F.least("comp", F.coalesce("j2", "comp")).alias("comp")
+            )
+        )
+    out = cad.finish(state)
+    assert len(str(_stats_size(out))) < 12
+    unpersist_checkpoint(out)
+
+
+def test_bfs_terminating_on_cadence_round(spark):
+    """Regression: a BFS whose frontier empties EXACTLY on a cadence round
+    must not hand a freed pre-step frame to finish()
+    (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Path graph of length 4 from node
+    0: frontier empties at hop 4 = the default interval's checkpoint
+    round; string ids mirror the diameter_estimate repro."""
+    from ferenda_spark.operators.graph_analytics import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(4)], "src string, dst string"
+    )
+    out = bfs_distances(edges, ["n0"], directed=True, max_hops=10)
+    rows = {r["node"]: r["dist"] for r in out.collect()}
+    assert rows == {"n0": 0, "n1": 1, "n2": 2, "n3": 3, "n4": 4}
+    unpersist_checkpoint(out)

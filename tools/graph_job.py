@@ -4,10 +4,16 @@ of >=10M edges and record PER-ROUND wall + shuffle bytes from the Spark
 event log, so "per-round shuffles stay edge-sized and round wall roughly
 constant" is measured, not plan-asserted.
 
-Operators measured (each under its own spark job group; every iterative
-round materializes via ``localCheckpoint(eager=True)``, so one Spark JOB
-within the group == one round, and the event log's per-job stage
-accumulables give that round's shuffle read/write bytes):
+Operators measured (each under its own spark job group). Job==round
+accounting: originally every iterative round materialized via
+``localCheckpoint(eager=True)`` so one Spark JOB within the group was one
+round. Since ``RoundCadence`` (checkpoint.py) the eager checkpoint runs
+only every interval-th round — probe-driven loops (CC, sameAs, redirects)
+still run one probe job per round, but fixed-iteration loops (pagerank,
+hits, katz) execute a whole cadence window as STAGES of one job. Per-job
+shuffle accumulables from the event log therefore give per-WINDOW bytes
+for those; the per-round claim is evidenced by windows staying
+window-sized (interval x the former round bytes) with no growth:
 
 - ``pagerank``            8 fixed iterations, directed host graph
 - ``hits``                8 fixed iterations (hub+auth double round)
