@@ -143,6 +143,22 @@ class RoundCadence:
         self._pending.extend(flat)
         return flat
 
+    def flatten(self, df: DataFrame) -> DataFrame:
+        """Flatten a frame MID-round (non-eager checkpoint, no round
+        count, never a cadence trigger): use when a later sibling state's
+        plan must build on THIS round's earlier state. Handing the sibling
+        the RAW plan would embed the subtree a second time, and non-eager
+        checkpoints don't register in the CacheManager, so the two
+        compilations share nothing — the earlier state's shuffles run
+        twice per round (measured: 2x wall / +68% shuffle write on HITS,
+        whose hub update embeds the same round's authority update). The
+        flattened frame is window-pending like any step output: it dies
+        at the next cadence round, so only the frames the latest
+        step/step_many returned may cross rounds."""
+        flat = df.localCheckpoint(eager=False)
+        self._pending.append(flat)
+        return flat
+
     def finish(self, df: DataFrame) -> DataFrame:
         """Final truncation: checkpoint ``df`` unless it already is one of
         this cadence's live checkpoints, then free every window cache and

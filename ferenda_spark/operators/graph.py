@@ -325,12 +325,15 @@ def hits(
             .agg(F.sum("hub").alias("_v"))
             .withColumnRenamed("dst", "node")
         )
-        auths = _normalize(
+        # flatten mid-round: h_raw below must reference the FLATTENED
+        # authority frame — embedding the raw subtree would compile it a
+        # second time with no sharing (see RoundCadence.flatten)
+        auths = cad.flatten(_normalize(
             nodes.join(a_raw, "node", "left").select(
                 "node", F.coalesce("_v", F.lit(0.0)).alias("authority")
             ),
             "authority",
-        )
+        ))
         h_raw = (
             e.join(auths.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")

@@ -106,7 +106,10 @@ def bfs_distances(
                 .select(F.col("b").alias("node"))
                 .distinct()
             )
-            new = (
+            # flatten mid-round: the settled-union below must reference
+            # the FLATTENED frontier, not embed its raw anti-join subtree
+            # a second time (see RoundCadence.flatten)
+            new = cad.flatten(
                 cand.join(settled.select("node"), "node", "left_anti")
                 .withColumn("dist", F.lit(h))
             )
