@@ -1860,6 +1860,142 @@ def _pagerank_oracle(n_iter: int = 6, damping: float = 0.85) -> str:
     return head + "," + ",".join(steps) + tail
 
 
+def _q_trustrank_hosts(spark, sf_dir):
+    """Personalized PageRank / TrustRank (operators/graph.py:
+    personalized_pagerank — the link-spam demotion signal: random walks
+    restart at a trusted seed set, so spam farms unreachable from seeds
+    score exactly 0.0). Same deterministic graph as pagerank_hosts
+    (doc i links to (7i + 11j) mod C, j in {1,2,3}, self-loops dropped;
+    every node has out-edges so the dangling term is exactly 0 and the
+    unrolled-SQL oracle omits it). Seeds: doc_id % 17 == 0 — the
+    "hand-vetted reputable hosts" list, ~6% of nodes. 6 fixed
+    iterations, damping 0.85, scores rounded to 6 (per-iteration engine
+    FP skew ~1e-16, far below the grain)."""
+    from ferenda_spark.operators.graph import personalized_pagerank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    c = d.count()
+    e = d.select(
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 11 * F.col("j")) % c).alias("dst"),
+    )
+    seeds = d.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    out = personalized_pagerank(e, seeds, n_iter=6)
+    return out.select(
+        F.col("node").alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
+def _trustrank_oracle(n_iter: int = 6, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration personalized PageRank in ANSI SQL
+    mirroring _q_trustrank_hosts exactly (same graph, same seed rule,
+    teleport-vector restart; no dangling term — the graph has none)."""
+    head = f"""
+        WITH cnt AS (SELECT count(*) AS c FROM documents),
+        e AS (
+            SELECT DISTINCT doc_id AS src,
+                   (doc_id * 7 + 11 * j) % (SELECT c FROM cnt) AS dst
+            FROM documents, unnest([1, 2, 3]) AS u(j)
+            WHERE (doc_id * 7 + 11 * j) % (SELECT c FROM cnt) <> doc_id
+        ),
+        nodes AS (
+            SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e
+        ),
+        ns AS (
+            SELECT CAST(count(*) AS DOUBLE) AS s FROM nodes
+            WHERE node % 17 = 0
+        ),
+        p AS (
+            SELECT node,
+                   CASE WHEN node % 17 = 0
+                        THEN 1.0 / (SELECT s FROM ns)
+                        ELSE 0.0 END AS tele
+            FROM nodes
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        r0 AS (SELECT node, tele AS score FROM p)"""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(f"""
+        r{k} AS (
+            SELECT p.node,
+                   (1.0 - {damping}) * p.tele
+                   + {damping} * COALESCE(m.mass, 0.0) AS score
+            FROM p LEFT JOIN (
+                SELECT e.dst AS node, sum(r.score / deg.deg) AS mass
+                FROM e JOIN deg USING (src)
+                JOIN r{k - 1} r ON r.node = e.src
+                GROUP BY e.dst
+            ) m ON m.node = p.node
+        )""")
+    tail = f"""
+        SELECT node AS doc_id, round(score, 6) AS score FROM r{n_iter}"""
+    return head + "," + ",".join(steps) + tail
+
+
+def _q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient (operators/graph.py:
+    clustering_coefficient — triangle closure per host, the
+    organic-vs-farm link-neighborhood diagnostic). Deterministic ring-
+    with-chords graph: doc i links to (i+1) mod C and (i+2) mod C, so
+    every consecutive triple closes a triangle (each node sits in 3,
+    degree 4, cc = 0.5 — exact, engine-FP-free integers until the one
+    final division, rounded to 6)."""
+    from ferenda_spark.operators.graph import clustering_coefficient
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    c = d.count()
+    e = d.select(
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("j"),
+    ).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") + F.col("j")) % c).alias("dst"),
+    )
+    out = clustering_coefficient(e)
+    return out.select(
+        F.col("node").alias("doc_id"),
+        F.col("degree").cast("bigint").alias("degree"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        F.round("cc", 6).alias("cc"),
+    )
+
+
+_CLUSTERING_COEFF_ORACLE = """
+    WITH cnt AS (SELECT count(*) AS c FROM documents),
+    raw AS (
+        SELECT doc_id AS a, (doc_id + j) % (SELECT c FROM cnt) AS b
+        FROM documents, unnest([1, 2]) AS u(j)
+        WHERE (doc_id + j) % (SELECT c FROM cnt) <> doc_id
+    ),
+    und AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT a, b FROM raw UNION ALL SELECT b, a FROM raw
+        )
+    ),
+    deg AS (SELECT a AS node, count(*) AS d FROM und GROUP BY a),
+    t AS (
+        SELECT u1.a AS node, count(*) AS tri
+        FROM und u1
+        JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
+        JOIN und u3 ON u3.a = u1.b AND u3.b = u2.b
+        GROUP BY u1.a
+    )
+    SELECT deg.node AS doc_id,
+           deg.d AS degree,
+           COALESCE(t.tri, 0) AS n_triangles,
+           round(CASE WHEN deg.d >= 2
+                      THEN 2.0 * COALESCE(t.tri, 0) / (deg.d * (deg.d - 1))
+                      ELSE 0.0 END, 6) AS cc
+    FROM deg LEFT JOIN t ON t.node = deg.node"""
+
+
 def _q_hits_hosts(spark, sf_dir):
     """Fixed-iteration HITS (operators/graph.py:hits — hub/authority link
     analysis, the complementary prior to pagerank for web-corpus
@@ -4587,6 +4723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_stats": _q_gopher_quality_stats,
         "domain_cap_sample": _q_domain_cap_sample,
         "pagerank_hosts": _q_pagerank_hosts,
+        "trustrank_hosts": _q_trustrank_hosts,
+        "clustering_coeff": _q_clustering_coeff,
         "hits_hosts": _q_hits_hosts,
         "lm_perplexity": _q_lm_perplexity,
         "cross_batch_dedup": _q_cross_batch_dedup,
@@ -5521,6 +5659,8 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn <= 20
         """,
         "pagerank_hosts": _pagerank_oracle(6),
+        "trustrank_hosts": _trustrank_oracle(6),
+        "clustering_coeff": _CLUSTERING_COEFF_ORACLE,
         "hits_hosts": _hits_oracle(4),
         # stupid-backoff bigram LM: train on the doc_id%11==0 slice,
         # score every doc; MATERIALIZED or DuckDB re-inlines the token

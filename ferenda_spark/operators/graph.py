@@ -258,6 +258,124 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame | list,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    damping: float = 0.85,
+    n_iter: int = 8,
+    checkpoint_interval: int = 4,
+) -> DataFrame:
+    """Fixed-iteration personalized PageRank → (node, score): random walks
+    restart at a SEED set instead of uniformly, so mass concentrates in
+    the seeds' link neighborhood.
+
+    The web-curation use is TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB 2004): seed with hand-vetted reputable hosts and the score
+    separates organic link mass from spam-farm mass that uniform PageRank
+    happily launders — the standard demotion signal next to ``pagerank``'s
+    quality prior. The same operator with an entity's URI as the single
+    seed is entity relatedness over the KG link graph.
+
+    Semantics (pinned, oracle-visible): parallel edges collapse
+    (DISTINCT), self-loops drop, node set = src ∪ dst; S = seeds that
+    occur in the node set; teleport p(v) = 1/|S| for v ∈ S else 0;
+    x_0 = p;  x' = (1−d)·p(v) + d·(Σ_{u→v} x(u)/outdeg(u) + dm·p(v))
+    where dm is the mass on dangling nodes — redistributed by the
+    TELEPORT vector, not uniformly, so unreachable nodes stay at exactly
+    0.0 and Σx = 1 every round. Fixed iterations, no convergence probe:
+    deterministic across cluster sizes, replayable by an unrolled-SQL
+    oracle.
+
+    Scale design is ``pagerank``'s: one edge-sized map-side-combined
+    shuffle per round over the cached (edges ⋈ outdeg) frame, node-sized
+    rank frames, the static teleport prior computed ONCE and joined in
+    round-free (it rides the same node-keyed shuffle as the contribution
+    join), RoundCadence lineage truncation. Seeds are a vocabulary-sized
+    frame (trusted-host lists are thousands of rows at most) but are
+    joined against nodes once, never per round.
+    """
+    sess = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    if not isinstance(seeds, DataFrame):
+        seeds = sess.createDataFrame(
+            [(v,) for v in seeds], f"node {nodes.schema['node'].dataType.simpleString()}"
+        )
+    first = seeds.columns[0]
+    seed_nodes = (
+        seeds.select(F.col(first).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .cache()
+    )
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        nodes.unpersist()
+        seed_nodes.unpersist()
+        raise ValueError("personalized_pagerank: no seed occurs in the graph")
+    # static teleport prior — node-sized, cached once, reused every round
+    prior = nodes.join(
+        seed_nodes.withColumn("tele", F.lit(1.0 / n_seeds)), "node", "left"
+    ).select("node", F.coalesce("tele", F.lit(0.0)).alias("tele")).cache()
+
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    contrib_edges = e.join(outdeg, "src").cache()
+    dangling_nodes = nodes.join(
+        outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
+    ).cache()
+    has_dangling = bool(dangling_nodes.limit(1).collect())
+
+    ranks = prior.select("node", F.col("tele").alias("score"))
+    cad = _RoundCadence(interval=checkpoint_interval)
+    for _ in range(n_iter):
+        contribs = (
+            contrib_edges.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("score") / F.col("deg")).alias("in_mass"))
+            .withColumnRenamed("dst", "node")
+        )
+        new = prior.join(contribs, "node", "left")
+        if has_dangling:
+            dangling = ranks.join(dangling_nodes, "node", "left_semi").agg(
+                F.coalesce(F.sum("score"), F.lit(0.0)).alias("dm")
+            )
+            new = new.crossJoin(F.broadcast(dangling))
+            dm_term = F.col("dm") * F.col("tele")
+        else:
+            dm_term = F.lit(0.0)
+        ranks = cad.step(
+            new.select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("tele")
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + dm_term)
+                ).alias("score"),
+            )
+        )
+    ranks = cad.finish(ranks)
+    nodes.unpersist()
+    seed_nodes.unpersist()
+    prior.unpersist()
+    contrib_edges.unpersist()
+    dangling_nodes.unpersist()
+    return ranks
+
+
 def hits(
     edges: DataFrame,
     src: str = "src",
@@ -432,6 +550,48 @@ def triangle_count(
         )
     )
     return out
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node over the undirected simple
+    graph → ``(node, degree, n_triangles, cc)`` with
+    cc = 2·T(v) / (d(v)·(d(v)−1)) for d ≥ 2, else 0.0.
+
+    The web-graph diagnostic next to ``degree_assortativity``: organic
+    link neighborhoods close triangles (communities, topical hubs), while
+    farm-generated link graphs are locally tree-like (cc ≈ 0) or
+    complete-bipartite (cc spikes without matching degree structure) —
+    a cheap per-host feature for the same curation verdicts TrustRank
+    feeds. Composition of ``triangle_count`` (degree-ordered orientation,
+    O(sqrt(m))-bounded wedge join — see its docstring for the skew story)
+    with the degree table; the symmetrize+distinct and degree exchanges
+    appear identically in both subtrees, so Spark's ReusedExchange
+    evaluates them once within the single consuming action.
+    """
+    tc = triangle_count(edges, src, dst)
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree")).withColumnRenamed(
+        "a", "node"
+    )
+    return deg.join(tc, "node").select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.when(
+            F.col("degree") >= 2,
+            2.0 * F.col("n_triangles")
+            / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cc"),
+    )
 
 
 def update_components(prev: DataFrame, new_edges: DataFrame,

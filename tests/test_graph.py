@@ -325,3 +325,143 @@ def test_update_components_chained_batches(spark):
         )
     got = {r.node: r.comp for r in cur.collect()}
     assert got == _cc_naive(b1 + b2 + b3)
+
+
+# ------------------------------------------------- personalized pagerank
+
+
+def _ppr_ref(edges, seeds, d=0.85, it=8):
+    import numpy as np
+
+    e = sorted({(a, b) for a, b in edges if a != b})
+    nodes = sorted({x for p in e for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    s = sorted(set(seeds) & set(nodes))
+    p = np.zeros(n)
+    for v in s:
+        p[idx[v]] = 1.0 / len(s)
+    out = {v: 0 for v in nodes}
+    for a, _ in e:
+        out[a] += 1
+    r = p.copy()
+    for _ in range(it):
+        nr = np.zeros(n)
+        dm = sum(r[idx[v]] for v in nodes if out[v] == 0)
+        for a, b in e:
+            nr[idx[b]] += r[idx[a]] / out[a]
+        r = (1 - d) * p + d * (nr + dm * p)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_ppr_matches_reference_with_dangling(spark):
+    from ferenda_spark.operators.graph import personalized_pagerank
+
+    # node 3 dangling; seed 5 not in the graph must be ignored;
+    # duplicate edge + self-loop dropped
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (1, 1), (0, 1), (4, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.score
+        for r in personalized_pagerank(df, [0, 4, 5], n_iter=8).collect()
+    }
+    exp = _ppr_ref(edges, [0, 4, 5])
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-12)
+    # teleport-redistributed dangling mass conserves the walk exactly
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ppr_unreachable_nodes_score_zero(spark):
+    from ferenda_spark.operators.graph import personalized_pagerank
+
+    # two disjoint cycles; seeding only the first keeps the second at 0.0
+    edges = [(0, 1), (1, 0), (10, 11), (11, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.score
+        for r in personalized_pagerank(df, [0], n_iter=6).collect()
+    }
+    assert got[10] == 0.0 and got[11] == 0.0
+    exp = _ppr_ref(edges, [0], it=6)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-12)
+    # all mass stays in the seeded component
+    assert got[0] + got[1] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ppr_no_seed_in_graph_raises(spark):
+    from ferenda_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        personalized_pagerank(df, [99], n_iter=3)
+
+
+def test_ppr_string_node_ids(spark):
+    from ferenda_spark.operators.graph import personalized_pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.node: r.score
+        for r in personalized_pagerank(df, ["a"], n_iter=5).collect()
+    }
+    exp = _ppr_ref(edges, ["a"], it=5)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-12)
+
+
+# ---------------------------------------------- clustering coefficient
+
+
+def _cc_ref(edges):
+    und = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    out = {}
+    for v, nb in und.items():
+        d = len(nb)
+        t = sum(1 for x in nb for y in nb if x < y and y in und.get(x, ()))
+        out[v] = (d, t, 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0)
+    return out
+
+
+def test_clustering_coefficient_matches_reference(spark):
+    from ferenda_spark.operators.graph import clustering_coefficient
+
+    random.seed(7)
+    edges = list({
+        (random.randrange(30), random.randrange(30)) for _ in range(120)
+    })
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.degree, r.n_triangles, r.cc)
+        for r in clustering_coefficient(df).collect()
+    }
+    exp = _cc_ref(edges)
+    assert set(got) == set(exp)
+    for v, (d, t, cc) in exp.items():
+        assert got[v][0] == d
+        assert got[v][1] == t
+        assert got[v][2] == pytest.approx(cc, abs=1e-12)
+
+
+def test_clustering_coefficient_triangle_plus_leaf(spark):
+    from ferenda_spark.operators.graph import clustering_coefficient
+
+    # triangle a-b-c plus a pendant leaf d off a: cc(a)=1/3, cc(b)=cc(c)=1,
+    # cc(d)=0 (degree 1)
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+        "src string, dst string",
+    )
+    got = {r.node: r.cc for r in clustering_coefficient(df).collect()}
+    assert got["a"] == pytest.approx(1 / 3)
+    assert got["b"] == pytest.approx(1.0)
+    assert got["c"] == pytest.approx(1.0)
+    assert got["d"] == 0.0
