@@ -484,6 +484,146 @@ def _q_dedup_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_url_canonical_dedup(spark, sf_dir):
+    """URL-level crawl dedup (functions/urls.py: canonicalize_url +
+    surt_key + registrable_domain — the identity layer that merges
+    byte-distinct fetch URLs of the same page BEFORE any text is
+    shingled). Deterministic messy-URL synthesis from doc_id: scheme
+    case, www. prefix, default ports, /./ and /../ dot segments,
+    shuffled-in tracking params (utm_source, gclid) and fragments all
+    vary by doc_id residues; the oracle constructs the CANONICAL form
+    directly from the same residues (ground truth, not a SQL
+    re-implementation — the canonicalizer is tested against what the
+    URLs MEAN). Grouped by canonical URL: collision count + first doc."""
+    from ferenda_spark.functions.urls import (
+        canonicalize_url, registrable_domain, surt_key,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+    messy = d.select(
+        "doc_id",
+        F.concat(
+            F.when(k % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+            F.lit("://"),
+            F.when(k % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.lit("Site"), (k % 7).cast("string"),
+            F.lit(".Example."),
+            F.when(k % 4 == 0, F.lit("CO.UK")).otherwise(F.lit("com")),
+            F.when(
+                k % 5 == 0,
+                F.when(k % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+            ).otherwise(F.lit("")),
+            F.lit("/s"), (k % 5).cast("string"),
+            F.lit("/./x/../p"), (k % 4).cast("string"),
+            F.lit("?utm_source=t&b="), (k % 3).cast("string"),
+            F.lit("&a=1"),
+            F.when(k % 6 == 0, F.lit("&gclid=g")).otherwise(F.lit("")),
+            F.lit("#h"), k.cast("string"),
+        ).alias("url"),
+    )
+    return (
+        messy.select(
+            "doc_id",
+            canonicalize_url(F.col("url")).alias("canonical_url"),
+            surt_key(F.col("url")).alias("surt"),
+            registrable_domain(F.col("url")).alias("domain"),
+        )
+        .groupBy("canonical_url", "surt", "domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+_URL_CANONICAL_ORACLE = """
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS sch,
+               doc_id % 7 AS k7, doc_id % 5 AS k5,
+               doc_id % 4 AS k4, doc_id % 3 AS k3,
+               CASE WHEN doc_id % 4 = 0 THEN 'co.uk' ELSE 'com' END AS tld
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               sch || '://site' || k7 || '.example.' || tld
+                   || '/s' || k5 || '/p' || k4
+                   || '?a=1&b=' || k3 AS canonical_url,
+               (CASE WHEN tld = 'co.uk' THEN 'uk,co' ELSE 'com' END)
+                   || ',example,site' || k7
+                   || ')/s' || k5 || '/p' || k4
+                   || '?a=1&b=' || k3 AS surt,
+               'example.' || tld AS domain
+        FROM g
+    )
+    SELECT canonical_url, surt, domain,
+           count(*) AS n_fetches, min(doc_id) AS first_doc
+    FROM c GROUP BY 1, 2, 3"""
+
+
+def _q_line_dedup_docs(spark, sf_dir):
+    """C4-style intra-document line dedup (operators/dedup.py:
+    dedup_lines_stats — repeated nav/banner lines dropped per page as
+    the first text filter, map-only). Multi-line docs synthesized
+    deterministically: 6 three-word lines sliced from the doc's text,
+    then lines 0, 2, 1 re-appended as the 'boilerplate repeats'; natural
+    line collisions from the word-salad corpus are kept (the oracle
+    replays them). Output: per-doc line counts + md5 of the deduped
+    body."""
+    from ferenda_spark.operators.dedup import dedup_lines_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+
+    def line(i: int):
+        return F.array_join(F.slice(words, i * 3 + 1, 3), " ")
+
+    order = [0, 1, 2, 3, 4, 5, 0, 2, 1]
+    multi = d.select(
+        "doc_id",
+        F.array_join(F.array(*[line(i) for i in order]), "\n").alias("text"),
+    )
+    out = dedup_lines_stats(multi, "text", "doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_lines",
+        "n_unique",
+        F.md5(F.col("text")).alias("text_hash"),
+    )
+
+
+_LINE_DEDUP_ORACLE = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    l AS (
+        SELECT doc_id,
+               -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+               -- array_join([]) is '' — a doc short of 18 words has empty
+               -- trailing lines that must survive the agg on both sides
+               [coalesce(
+                    array_to_string(list_slice(ws, i * 3 + 1, i * 3 + 3), ' '),
+                    '')
+                FOR i IN [0, 1, 2, 3, 4, 5, 0, 2, 1]] AS lines
+        FROM w
+    ),
+    e AS (
+        SELECT doc_id, lines[o] AS line, o
+        FROM l CROSS JOIN generate_series(1, 9) AS g(o)
+    ),
+    u AS (
+        SELECT doc_id, line, min(o) AS mo
+        FROM e GROUP BY doc_id, line
+    )
+    SELECT doc_id,
+           CAST(9 AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           md5(string_agg(line, chr(10) ORDER BY mo)) AS text_hash
+    FROM u GROUP BY doc_id"""
+
+
 def _q_corpus_hash_split(spark, sf_dir):
     """Deterministic content-hash train/val/test split (training-pipeline
     op, no reference analog): md5-prefix bucketing — pure projection, no
@@ -1994,6 +2134,92 @@ _CLUSTERING_COEFF_ORACLE = """
                       THEN 2.0 * COALESCE(t.tri, 0) / (deg.d * (deg.d - 1))
                       ELSE 0.0 END, 6) AS cc
     FROM deg LEFT JOIN t ON t.node = deg.node"""
+
+
+def _q_salsa_hosts(spark, sf_dir):
+    """SALSA link analysis (operators/graph_analytics.py:salsa — the
+    TKC-resistant HITS replacement, solved in CLOSED FORM: one
+    connected-components run + degree shares, no power iteration).
+    Deterministic blocked graph: doc i links to (i + 10j) mod C for
+    j = 1..(1 + i mod 3) — residue classes mod 10 never mix, so the
+    bipartite graph has 10 components and out/in-degrees vary 1..3;
+    the oracle replays the component structure with a recursive-CTE
+    transitive closure and the degree shares in plain aggregates."""
+    from ferenda_spark.operators.graph_analytics import salsa
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    c = d.count()
+    e = (
+        d.select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .filter(F.col("j") <= 1 + F.col("doc_id") % 3)
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") + 10 * F.col("j")) % c).alias("dst"),
+        )
+    )
+    out = salsa(e)
+    return out.select(
+        F.col("node").alias("doc_id"),
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
+_SALSA_ORACLE = """
+    WITH RECURSIVE
+    cnt AS (SELECT count(*) AS c FROM documents),
+    e AS (
+        SELECT DISTINCT doc_id AS src,
+               (doc_id + 10 * j) % (SELECT c FROM cnt) AS dst
+        FROM documents, unnest([1, 2, 3]) AS u(j)
+        WHERE j <= 1 + doc_id % 3
+          AND (doc_id + 10 * j) % (SELECT c FROM cnt) <> doc_id
+    ),
+    be AS (SELECT 'h|' || src AS a, 'a|' || dst AS b FROM e),
+    und AS (SELECT a, b FROM be UNION SELECT b, a FROM be),
+    reach(n, m) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM und)
+        UNION
+        SELECT reach.n, und.b FROM reach JOIN und ON und.a = reach.m
+    ),
+    comp AS (SELECT n, min(m) AS comp FROM reach GROUP BY n),
+    hd AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+    ad AS (SELECT dst AS node, count(*) AS deg FROM e GROUP BY dst),
+    htot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM hd),
+    atot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM ad),
+    hcomp AS (
+        SELECT comp.comp, hd.node, hd.deg
+        FROM hd JOIN comp ON comp.n = 'h|' || hd.node
+    ),
+    hagg AS (
+        SELECT comp, sum(deg) AS sdeg, count(*) AS nn
+        FROM hcomp GROUP BY comp
+    ),
+    hs AS (
+        SELECT node,
+               (nn / (SELECT t FROM htot)) * (deg / sdeg) AS hub
+        FROM hcomp JOIN hagg USING (comp)
+    ),
+    acomp AS (
+        SELECT comp.comp, ad.node, ad.deg
+        FROM ad JOIN comp ON comp.n = 'a|' || ad.node
+    ),
+    aagg AS (
+        SELECT comp, sum(deg) AS sdeg, count(*) AS nn
+        FROM acomp GROUP BY comp
+    ),
+    asc_ AS (
+        SELECT node,
+               (nn / (SELECT t FROM atot)) * (deg / sdeg) AS auth
+        FROM acomp JOIN aagg USING (comp)
+    )
+    SELECT COALESCE(hs.node, asc_.node) AS doc_id,
+           round(COALESCE(hub, 0.0), 6) AS hub,
+           round(COALESCE(auth, 0.0), 6) AS auth
+    FROM hs FULL OUTER JOIN asc_ ON hs.node = asc_.node"""
 
 
 def _q_hits_hosts(spark, sf_dir):
@@ -4684,6 +4910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_monthly": _q_orders_monthly,
         "doc_point_lookup": _q_doc_point_lookup,
         "dedup_exact_stats": _q_dedup_exact_stats,
+        "url_canonical_dedup": _q_url_canonical_dedup,
+        "line_dedup_docs": _q_line_dedup_docs,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_components": _q_dedup_components,
         "corpus_hash_split": _q_corpus_hash_split,
@@ -4724,6 +4952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_sample": _q_domain_cap_sample,
         "pagerank_hosts": _q_pagerank_hosts,
         "trustrank_hosts": _q_trustrank_hosts,
+        "salsa_hosts": _q_salsa_hosts,
         "clustering_coeff": _q_clustering_coeff,
         "hits_hosts": _q_hits_hosts,
         "lm_perplexity": _q_lm_perplexity,
@@ -5023,6 +5252,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) GROUP BY source
         """,
+        "url_canonical_dedup": _URL_CANONICAL_ORACLE,
+        "line_dedup_docs": _LINE_DEDUP_ORACLE,
         "dedup_jaccard_pairs": _JACCARD_PAIRS_CTE + """
             SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs
         """,
@@ -5660,6 +5891,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_hosts": _pagerank_oracle(6),
         "trustrank_hosts": _trustrank_oracle(6),
+        "salsa_hosts": _SALSA_ORACLE,
         "clustering_coeff": _CLUSTERING_COEFF_ORACLE,
         "hits_hosts": _hits_oracle(4),
         # stupid-backoff bigram LM: train on the doc_id%11==0 slice,

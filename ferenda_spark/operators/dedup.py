@@ -25,7 +25,7 @@ All pair emitters return (id_a, id_b, score) with id_a < id_b.
 from __future__ import annotations
 
 from pyspark.ml.feature import HashingTF, MinHashLSH
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ferenda_spark.functions.textstats import doc_fingerprint, shingle_fingerprints
@@ -58,6 +58,37 @@ def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFram
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def dedup_lines_col(text_col: Column) -> Column:
+    """C4-style INTRA-document line dedup as a pure column expression:
+    split on newline, keep the FIRST occurrence of each distinct line
+    (``array_distinct`` is order-preserving — pinned by
+    tests/test_dedup.py::test_dedup_lines_first_occurrence), rejoin.
+
+    Why first: boilerplate repeats inside a page (nav blocks, cookie
+    banners, pagination footers) inflate n-gram counts and poison
+    MinHash signatures BEFORE any cross-doc dedup runs, so C4/RefinedWeb
+    drop repeated lines per page as the very first text filter. Map-only
+    and codegen'd — at 10^12 docs this rides the ingest scan for free,
+    unlike cross-doc dedup which must shuffle."""
+    return F.array_join(F.array_distinct(F.split(text_col, "\n")), "\n")
+
+
+def dedup_lines_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc line-dedup audit rows (id, n_lines, n_unique, text):
+    the curation-verdict form of ``dedup_lines_col`` — n_lines/n_unique
+    is the repeated-line fraction (a quality signal in its own right:
+    Gopher flags docs whose duplicate-line share exceeds 30%), text is
+    the deduped body that downstream stages consume."""
+    lines = F.split(F.col(text_col), "\n")
+    uniq = F.array_distinct(lines)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(uniq).cast("long").alias("n_unique"),
+        F.array_join(uniq, "\n").alias("text"),
     )
 
 

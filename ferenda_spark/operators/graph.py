@@ -50,31 +50,26 @@ from ferenda_spark.checkpoint import (  # noqa: F401 — re-exported
 )
 
 
-def _propagation_round(und: DataFrame, labels: DataFrame) -> DataFrame:
-    """One label-propagation + pointer-jumping round: (node, prev, comp).
-    Factored out so tools/explain_kg.py can audit the per-round physical
-    plan (the shape that repeats O(log diameter) times at scale)."""
-    nmin = (
-        und.join(
-            labels.select(F.col("node").alias("b"), F.col("comp").alias("bcomp")),
-            "b",
+def _hook_round(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """One tree-hooking round → root map ``(old, new)``: for every current
+    root (distinct ``comp`` value), the minimum root reachable over any
+    edge leaving its tree, floored by itself. Factored out so
+    tools/explain_kg.py can audit the per-round physical plan (the shape
+    that repeats O(log n) times at scale): two edge-keyed equi-joins to
+    put both endpoints' roots on each edge, then a map-side-combined min
+    grouped by the ROOT key — a celebrity component's millions of edges
+    pre-reduce to one row per map partition before the shuffle."""
+    bl = labels.select(F.col("node").alias("b"), F.col("comp").alias("bcomp"))
+    al = labels.select(F.col("node").alias("a"), F.col("comp").alias("acomp"))
+    return (
+        und.join(bl, "b")
+        .join(al, "a")
+        .groupBy("acomp")
+        .agg(F.min("bcomp").alias("nbmin"))
+        .select(
+            F.col("acomp").alias("old"),
+            F.least(F.col("acomp"), F.col("nbmin")).alias("new"),
         )
-        .groupBy("a")
-        .agg(F.min("bcomp").alias("ncomp"))
-        .withColumnRenamed("a", "node")
-    )
-    stepped = labels.join(nmin, "node", "left").select(
-        "node",
-        F.col("comp").alias("prev"),
-        F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp1"),
-    )
-    # pointer jumping: look up comp1's own label through the same
-    # mapping (comp1 values are always node ids, so the join hits)
-    jump = stepped.select(F.col("node").alias("comp1"), F.col("comp1").alias("jcomp"))
-    return stepped.join(jump, "comp1", "left").select(
-        "node",
-        "prev",
-        F.least(F.col("comp1"), F.coalesce("jcomp", "comp1")).alias("comp"),
     )
 
 
@@ -116,13 +111,44 @@ def connected_components(
 
     try:
         for _ in range(max_iter):
-            # the convergence probe materializes the (lazily cached) round
-            # — one job per round; the eager checkpoint only every
-            # cadence-interval rounds (see RoundCadence)
-            new = cad.step(_propagation_round(und, labels))
-            labels = new.select("node", "comp")
-            if new.filter(F.col("comp") != F.col("prev")).limit(1).count() == 0:
+            # hook: per current root, the min root over its tree's edges.
+            # The probe materializes the (flattened) root map — one job.
+            rootmap = cad.flatten(_hook_round(und, labels))
+            if rootmap.filter(F.col("new") != F.col("old")).limit(1).count() == 0:
                 return cad.finish(labels)
+            # compress root chains (r → r' → r'') to their fixpoint before
+            # touching the node-sized labels: each composition doubles the
+            # compressed chain length, and the frames involved are
+            # ROOT-sized (≤ #components), shrinking every outer round
+            for _ in range(max_iter):
+                nxt = rootmap.select(
+                    F.col("old").alias("new"), F.col("new").alias("new2")
+                )
+                joined = cad.flatten(
+                    rootmap.join(nxt, "new", "left").select(
+                        "old", "new",
+                        F.coalesce("new2", "new").alias("cnew"),
+                    )
+                )
+                rootmap = joined.select(
+                    "old", F.col("cnew").alias("new")
+                )
+                if (
+                    joined.filter(F.col("cnew") != F.col("new"))
+                    .limit(1).count() == 0
+                ):
+                    break
+            # apply the compressed map to the members (node-sized join on
+            # the comp key; a giant component's root is a hot key, but the
+            # map side is root-sized and AQE broadcast-joins it)
+            labels = cad.step(
+                labels.withColumnRenamed("comp", "old")
+                .join(rootmap, "old", "left")
+                .select(
+                    "node",
+                    F.coalesce("new", "old").alias("comp"),
+                )
+            )
     finally:
         cad.close()
         und.unpersist()

@@ -518,3 +518,97 @@ def diameter_estimate(
         [(seed, far2["node"], far2["dist"])],
         f"seed {id_type}, far_node {id_type}, diameter_lb int",
     )
+
+
+def salsa(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """SALSA link analysis (Lempel & Moran, WWW 2000) in CLOSED FORM →
+    ``(node, hub, auth)``.
+
+    SALSA is HITS with the mutual-reinforcement replaced by two random
+    walks on the bipartite hub/authority view, and its fixed point has an
+    exact combinatorial solution — no power iteration at all: within a
+    connected component of the bipartite graph the authority chain's
+    stationary distribution is proportional to in-degree, and each
+    component holds mass proportional to its share of authority nodes
+    (the paper's uniform-over-components convention, §3.2):
+
+        auth(v) = (|A_c(v)| / |A|) · (indeg(v) / Σ_{w ∈ A_c(v)} indeg(w))
+        hub(u)  = (|H_c(u)| / |H|) · (outdeg(u) / Σ_{w ∈ H_c(u)} outdeg(w))
+
+    where A/H are all nodes with in/out edges and A_c/H_c the ones in v's
+    bipartite component. This is why SALSA displaced HITS in production
+    web ranking (it resists the tightly-knit-community effect — a dense
+    clique inflates HITS eigenvector mass but only earns SALSA its degree
+    share) and why it's the cheapest of the family here: ONE connected-
+    components run (O(log d) pointer-jumping rounds over an edge-sized
+    frame, ``graph.connected_components``) plus two degree aggregations —
+    versus a shuffle per iteration for pagerank/HITS/Katz. Scores are
+    exact rationals of integer degree counts divided once at the end, so
+    the SQL oracle replays them digit-for-digit (modulo one double
+    rounding, handled by round-6 in the driver query).
+
+    Self-loops drop, parallel edges collapse (DISTINCT) — the family's
+    pinned graph semantics. Node ids may be any orderable type; the
+    bipartite side-tag prefixes stringified ids ('h|'/'a|'), used only as
+    CC keys, never returned.
+    """
+    from ferenda_spark.operators.graph import connected_components
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    bip = e.select(
+        F.concat(F.lit("h|"), F.col("src").cast("string")).alias("src"),
+        F.concat(F.lit("a|"), F.col("dst").cast("string")).alias("dst"),
+    )
+    comp = connected_components(bip)
+
+    def _side(deg: DataFrame, tag: str, score_name: str) -> DataFrame:
+        # deg: (node, deg); weight by component share of this side
+        tagged = deg.withColumn(
+            "cc_key", F.concat(F.lit(tag), F.col("node").cast("string"))
+        ).join(comp.withColumnRenamed("node", "cc_key"), "cc_key")
+        per_comp = tagged.groupBy("comp").agg(
+            F.sum("deg").alias("sdeg"), F.count(F.lit(1)).alias("nn")
+        )
+        total = tagged.select(
+            F.count(F.lit(1)).cast("double").alias("tot")
+        )
+        # per_comp is component-keyed and can be node-sized on a
+        # fragmented graph — equi-join (AQE broadcasts it when small),
+        # never a forced broadcast
+        return (
+            tagged.join(per_comp, "comp")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                (
+                    (F.col("nn") / F.col("tot"))
+                    * (F.col("deg") / F.col("sdeg"))
+                ).alias(score_name),
+            )
+        )
+
+    hub = _side(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("src", "node"),
+        "h|", "hub",
+    )
+    auth = _side(
+        e.groupBy("dst").agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("dst", "node"),
+        "a|", "auth",
+    )
+    out = (
+        hub.join(auth, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+        )
+    )
+    e.unpersist()
+    return out

@@ -135,3 +135,29 @@ def test_embedding_lsh_is_subset_of_exact(spark):
     }
     # in-bucket verification is exact cosine, so LSH pairs ⊆ exact pairs
     assert lsh <= exact
+
+
+def test_dedup_lines_first_occurrence(spark):
+    """Pins the order-preservation contract dedup_lines_col relies on:
+    array_distinct keeps FIRST occurrences in original order."""
+    txt = "nav\nbody A\nnav\nbody B\nbody A\nfooter\nnav"
+    df = spark.createDataFrame([(1, txt)], "id long, text string")
+    out = dedup.dedup_lines_stats(df, "text", "id").collect()[0]
+    assert out["text"] == "nav\nbody A\nbody B\nfooter"
+    assert out["n_lines"] == 7 and out["n_unique"] == 4
+
+
+def test_dedup_lines_identity_when_unique(spark):
+    txt = "a\nb\nc"
+    df = spark.createDataFrame([(1, txt)], "id long, text string")
+    out = dedup.dedup_lines_stats(df, "text", "id").collect()[0]
+    assert out["text"] == txt and out["n_lines"] == out["n_unique"] == 3
+
+
+def test_dedup_lines_is_map_only(spark):
+    df = spark.createDataFrame([(1, "a\na")], "id long, text string")
+    plan = (
+        dedup.dedup_lines_stats(df, "text", "id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -404,3 +404,103 @@ def test_diameter_string_node_ids(spark):
     # second sweep starts at d.com (periphery of sweep 1) and its
     # farthest node is back at a.com on a path graph
     assert got["far_node"] == "a.com"
+
+
+# --------------------------------------------------------------- SALSA
+
+
+def _salsa_ref(edges):
+    """Independent reference: explicit bipartite components + the closed
+    form from Lempel & Moran §3.2."""
+    e = sorted({(a, b) for a, b in edges if a != b})
+    hubs = sorted({a for a, _ in e})
+    auths = sorted({b for _, b in e})
+    # bipartite union-find
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in e:
+        for n in (("h", a), ("a", b)):
+            parent.setdefault(n, n)
+    for a, b in e:
+        ra, rb = find(("h", a)), find(("a", b))
+        if ra != rb:
+            parent[ra] = rb
+    outdeg = {h: 0 for h in hubs}
+    indeg = {a: 0 for a in auths}
+    for a, b in e:
+        outdeg[a] += 1
+        indeg[b] += 1
+    scores = {}
+    for side, nodes, deg in (
+        ("h", hubs, outdeg),
+        ("a", auths, indeg),
+    ):
+        bycomp = {}
+        for v in nodes:
+            bycomp.setdefault(find((side, v)), []).append(v)
+        for comp in bycomp.values():
+            sdeg = sum(deg[v] for v in comp)
+            for v in comp:
+                scores[(side, v)] = (
+                    len(comp) / len(nodes) * deg[v] / sdeg
+                )
+    out = {}
+    for v in set(hubs) | set(auths):
+        out[v] = (scores.get(("h", v), 0.0), scores.get(("a", v), 0.0))
+    return out
+
+
+def test_salsa_matches_reference(spark):
+    from ferenda_spark.operators.graph_analytics import salsa
+
+    # two bipartite components: {1,2,3} clique-ish and {10,11} chain;
+    # node 3 is hub-only, node 12 auth-only; dup edge + self-loop dropped
+    edges = [(1, 2), (2, 1), (1, 3), (3, 2), (3, 12), (10, 11), (11, 10),
+             (1, 2), (2, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.hub, r.auth) for r in salsa(df).collect()}
+    exp = _salsa_ref(edges)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v][0] == pytest.approx(exp[v][0], abs=1e-12), v
+        assert got[v][1] == pytest.approx(exp[v][1], abs=1e-12), v
+    # each side's scores sum to 1 (it's a distribution)
+    assert sum(h for h, _ in got.values()) == pytest.approx(1.0)
+    assert sum(a for _, a in got.values()) == pytest.approx(1.0)
+
+
+def test_salsa_tkc_resistance(spark):
+    """The reason SALSA exists: a dense 3x3 community must NOT swamp a
+    higher-in-degree node outside it (HITS gives the clique everything;
+    SALSA scores by degree share)."""
+    from ferenda_spark.operators.graph_analytics import salsa
+
+    clique = [(h, a) for h in (1, 2, 3) for a in (4, 5, 6)]
+    # node 99: in-links from 4 outside hubs PLUS clique hub 1, so the
+    # whole graph is ONE bipartite component and scores are pure
+    # in-degree shares: auth(99) = 5/14 > auth(4..6) = 3/14. HITS'
+    # mutual reinforcement concentrates authority inside the clique
+    # regardless (the tightly-knit-community effect); SALSA does not.
+    popular = [(h, 99) for h in (20, 21, 22, 23)] + [(1, 99)]
+    df = spark.createDataFrame(clique + popular, "src long, dst long")
+    got = {r.node: r.auth for r in salsa(df).collect()}
+    assert got[99] == pytest.approx(5 / 14)
+    assert got[4] == pytest.approx(3 / 14)
+    assert got[99] > got[4]
+
+
+def test_salsa_string_ids(spark):
+    from ferenda_spark.operators.graph_analytics import salsa
+
+    df = spark.createDataFrame(
+        [("a.com", "b.com"), ("b.com", "a.com")], "src string, dst string"
+    )
+    got = {r.node: (r.hub, r.auth) for r in salsa(df).collect()}
+    assert got["a.com"] == pytest.approx((0.5, 0.5))
+    assert got["b.com"] == pytest.approx((0.5, 0.5))
