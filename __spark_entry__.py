@@ -624,6 +624,91 @@ _LINE_DEDUP_ORACLE = """
     FROM u GROUP BY doc_id"""
 
 
+def _q_span_dedup_docs(spark, sf_dir):
+    """Exact duplicated-substring removal (operators/spandedup.py:
+    remove_duplicate_spans — the ExactSubstr tier of Lee et al. 2022,
+    expressed relationally: L-gram posting list → global occurrence
+    count → mark duplicated windows → gaps-and-islands merge → cut).
+    L=4 on the word-salad corpus yields partial removal with multiple
+    islands per doc. The oracle replays the whole pipeline on the gram
+    TEXT where Spark groups on its xxhash64 (identical output absent a
+    64-bit collision, which the value-hash compare would expose)."""
+    from ferenda_spark.operators.spandedup import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = remove_duplicate_spans(d, "text", "doc_id", length=4)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "n_dup_windows",
+        "n_spans",
+        "n_removed",
+        F.md5(F.col("text")).alias("cleaned_md5"),
+    )
+
+
+_SPAN_DEDUP_ORACLE = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           t -> t != '') AS t
+        FROM documents
+    ),
+    posts AS (
+        SELECT doc_id, u AS pos, array_to_string(t[u+1 : u+4], ' ') AS gram
+        FROM toks, unnest(range(0, greatest(len(t) - 3, 0))) AS r(u)
+    ),
+    dupg AS (SELECT gram FROM posts GROUP BY gram HAVING count(*) >= 2),
+    marked AS (SELECT p.doc_id, p.pos FROM posts p JOIN dupg d USING (gram)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(max(pos + 4) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS brk
+        FROM marked
+    ),
+    isl2 AS (
+        SELECT doc_id, pos, sum(brk) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e,
+               count(*) AS nw
+        FROM isl2 GROUP BY doc_id, island
+    ),
+    pos_tab AS (
+        SELECT doc_id, u AS pos, t[u+1] AS tok
+        FROM toks, unnest(range(0, len(t))) AS r(u)
+    ),
+    kept AS (
+        SELECT p.doc_id, p.pos, p.tok
+        FROM pos_tab p LEFT JOIN spans sp
+          ON p.doc_id = sp.doc_id AND p.pos >= sp.s AND p.pos < sp.e
+        WHERE sp.doc_id IS NULL
+    ),
+    cleaned AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ctext
+        FROM kept GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT doc_id, sum(nw) AS n_dup_windows, count(*) AS n_spans,
+               sum(e - s) AS n_removed
+        FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(st.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(st.n_removed, 0) AS BIGINT) AS n_removed,
+           md5(coalesce(c.ctext, '')) AS cleaned_md5
+    FROM toks t
+    LEFT JOIN stats st USING (doc_id)
+    LEFT JOIN cleaned c ON t.doc_id = c.doc_id"""
+
+
 def _q_corpus_hash_split(spark, sf_dir):
     """Deterministic content-hash train/val/test split (training-pipeline
     op, no reference analog): md5-prefix bucketing — pure projection, no
@@ -4912,6 +4997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_stats": _q_dedup_exact_stats,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "line_dedup_docs": _q_line_dedup_docs,
+        "span_dedup_docs": _q_span_dedup_docs,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_components": _q_dedup_components,
         "corpus_hash_split": _q_corpus_hash_split,
@@ -5254,6 +5340,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_canonical_dedup": _URL_CANONICAL_ORACLE,
         "line_dedup_docs": _LINE_DEDUP_ORACLE,
+        "span_dedup_docs": _SPAN_DEDUP_ORACLE,
         "dedup_jaccard_pairs": _JACCARD_PAIRS_CTE + """
             SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs
         """,

@@ -157,3 +157,14 @@ def test_cms_query_broadcasts_grid(spark):
     df = entrymod.queries()["cms_frequencies"](spark, SF_DIR)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_span_dedup_no_global_shuffle(spark):
+    """ExactSubstr span removal: every Exchange is hash-partitioned (fp
+    for the gram count/mark, id for islands + rebuild) — no
+    single-partition collapse anywhere, and the doc-side rebuild joins
+    by id, not by scanning text twice through a shuffle."""
+    df = entrymod.queries()["span_dedup_docs"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
