@@ -2221,6 +2221,80 @@ _CLUSTERING_COEFF_ORACLE = """
     FROM deg LEFT JOIN t ON t.node = deg.node"""
 
 
+def _q_hyperball_centrality(spark, sf_dir):
+    """HyperBall harmonic/Lin centrality (operators/hyperball.py — the
+    Boldi & Vigna sketch algorithm, the only centrality family that
+    scales to 10^12-node graphs). Deterministic graph on 300 nodes:
+    doc i → (3i + 13j) mod 300 for j ∈ {1,2}, self-loops dropped. At
+    ≤300 distinct ids the Datasketches HLL stays in exact (coupon)
+    mode, so the ball sizes — and hence every centrality — are exact
+    integers and the recursive-CTE BFS oracle replays them VALUE-for-
+    value: the one sketch operator with a full hash-match gate (the
+    1M-scale runs exercise the estimating regime; tests pin tolerance
+    there). max_iter=25 comfortably exceeds the graph's diameter, and
+    the oracle's recursion bound mirrors it — a diameter regression
+    past 25 would desynchronize both sides and fail the compare."""
+    from ferenda_spark.operators.hyperball import hyperball
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 300
+    )
+    e = (
+        d.select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("j"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            ((3 * F.col("doc_id") + 13 * F.col("j")) % 300).alias("dst"),
+        )
+    )
+    hb = hyperball(e, max_iter=25)
+    return hb.select(
+        F.col("node").alias("doc_id"),
+        F.round("reachable_est", 6).alias("reachable"),
+        F.round("harmonic", 6).alias("harmonic"),
+        F.round("sum_dist", 6).alias("sum_dist"),
+        F.round("lin", 6).alias("lin"),
+    )
+
+
+_HYPERBALL_ORACLE = """
+    WITH RECURSIVE
+    e AS (
+        SELECT DISTINCT doc_id AS src, (3 * doc_id + 13 * j) % 300 AS dst
+        FROM documents, unnest([1, 2]) AS u(j)
+        WHERE doc_id < 300 AND (3 * doc_id + 13 * j) % 300 <> doc_id
+    ),
+    nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+    -- transpose-BFS from every v over REVERSED edges = distances of the
+    -- nodes that REACH v (harmonic centrality's direction); recursion
+    -- bounded by the Spark side's max_iter
+    r(s, n, d) AS (
+        SELECT n, n, 0 FROM nodes
+        UNION
+        SELECT r.s, e.src, r.d + 1
+        FROM r JOIN e ON e.dst = r.n
+        WHERE r.d < 25
+    ),
+    dist AS (SELECT s, n, min(d) AS d FROM r GROUP BY s, n),
+    agg AS (
+        SELECT s,
+               CAST(count(*) AS DOUBLE) AS reachable,
+               sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END) AS harmonic,
+               CAST(sum(d) AS DOUBLE) AS sum_dist
+        FROM dist GROUP BY s
+    )
+    SELECT s AS doc_id,
+           round(reachable, 6) AS reachable,
+           round(harmonic, 6) AS harmonic,
+           round(sum_dist, 6) AS sum_dist,
+           round(CASE WHEN sum_dist > 0
+                      THEN reachable * reachable / sum_dist
+                      ELSE 1.0 END, 6) AS lin
+    FROM agg"""
+
+
 def _q_salsa_hosts(spark, sf_dir):
     """SALSA link analysis (operators/graph_analytics.py:salsa — the
     TKC-resistant HITS replacement, solved in CLOSED FORM: one
@@ -5040,6 +5114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank_hosts": _q_trustrank_hosts,
         "salsa_hosts": _q_salsa_hosts,
         "clustering_coeff": _q_clustering_coeff,
+        "hyperball_centrality": _q_hyperball_centrality,
         "hits_hosts": _q_hits_hosts,
         "lm_perplexity": _q_lm_perplexity,
         "cross_batch_dedup": _q_cross_batch_dedup,
@@ -5980,6 +6055,7 @@ def oracle_sql() -> dict[str, str]:
         "trustrank_hosts": _trustrank_oracle(6),
         "salsa_hosts": _SALSA_ORACLE,
         "clustering_coeff": _CLUSTERING_COEFF_ORACLE,
+        "hyperball_centrality": _HYPERBALL_ORACLE,
         "hits_hosts": _hits_oracle(4),
         # stupid-backoff bigram LM: train on the doc_id%11==0 slice,
         # score every doc; MATERIALIZED or DuckDB re-inlines the token

@@ -214,6 +214,9 @@ def main() -> None:
     n_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else N_NODES_DEFAULT
     per_node = (int(sys.argv[2]) if len(sys.argv) > 2
                 else EDGES_PER_NODE_DEFAULT)
+    # optional comma-list of operators to run (argv[3]), for re-measuring
+    # one operator after an optimization without paying the full family
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     n_edges = n_nodes * per_node
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     out_dir = tempfile.mkdtemp(prefix="graph_job_", dir=base)
@@ -262,23 +265,28 @@ def main() -> None:
     n_edges_real = edges.count()
 
     note(f"edges done: {n_edges_real}")
-    sameas_path = os.path.join(out_dir, "sameas_triples")
-    synth_sameas_triples(
-        spark, n_pairs=n_nodes * 2, n_uris=n_nodes * 4, n_facts=n_nodes * 4
-    ).write.parquet(sameas_path)
-    sameas_triples = spark.read.parquet(sameas_path)
-
-    note("sameas input done")
-    typed_path = os.path.join(out_dir, "typed_triples")
-    synth_typed_triples(
-        spark, n_facts=n_nodes * 4, n_uris=n_nodes * 2
-    ).write.parquet(typed_path)
-    typed_triples = spark.read.parquet(typed_path)
+    sameas_triples = typed_triples = None
+    if only is None or "sameas_canonicalize" in only:
+        sameas_path = os.path.join(out_dir, "sameas_triples")
+        synth_sameas_triples(
+            spark, n_pairs=n_nodes * 2, n_uris=n_nodes * 4,
+            n_facts=n_nodes * 4,
+        ).write.parquet(sameas_path)
+        sameas_triples = spark.read.parquet(sameas_path)
+        note("sameas input done")
+    if only is None or "rdfs_closure" in only:
+        typed_path = os.path.join(out_dir, "typed_triples")
+        synth_typed_triples(
+            spark, n_facts=n_nodes * 4, n_uris=n_nodes * 2
+        ).write.parquet(typed_path)
+        typed_triples = spark.read.parquet(typed_path)
 
     wall: dict[str, float] = {}
     results: dict[str, dict] = {}
 
     def timed(name, fn):
+        if only is not None and name not in only:
+            return
         note(f"start {name}")
         spark.sparkContext.setJobGroup(name, name)
         t0 = time.monotonic()
@@ -286,6 +294,19 @@ def main() -> None:
         wall[name] = round(time.monotonic() - t0, 2)
         spark.sparkContext.setJobGroup("", "")
         note(f"done  {name} in {wall[name]}s")
+
+    # hyperball: lgk=9 (512 registers, ~4.6% rel err) keeps the per-node
+    # sketch ~256B so a 1M-node state frame is ~0.3 GB/round; harmonic
+    # needs the transpose, which hyperball() does internally
+    from ferenda_spark.operators.hyperball import hyperball
+
+    timed("hyperball", lambda: dict(zip(
+        ("n_nodes", "sum_harmonic"),
+        [(r["n"], round(r["s"], 1)) for r in
+         hyperball(edges, max_iter=16, lgk=9)
+         .agg(F.count("*").alias("n"), F.sum("harmonic").alias("s"))
+         .collect()][0],
+    )))
 
     # pagerank / hits: force full materialization with a 1-row global agg
     timed("pagerank", lambda: dict(zip(
