@@ -5040,6 +5040,578 @@ _ANCHOR_DICT_ORACLE = """
         FROM r WHERE rn <= 2"""
 
 
+def _fusion_claims_df(spark, sf_dir):
+    """Deterministic conflicting-claims table both engines can rebuild
+    from `documents` with integer arithmetic only: 9 sources assert
+    (entity, pred) facts; sources 0-2 corrupt every third doc's value.
+    Mirrors the claims CTE in _FUSION_CLAIMS_SQL exactly."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = (F.col("doc_id") * 13) % 9
+    ent = F.col("doc_id") % 40
+    true_val = ent * 10 + (F.col("doc_id") % 2)
+    wrong = (sid < 3) & (F.col("doc_id") % 3 == 0)
+    return d.select(
+        F.concat(F.lit("s"), sid.cast("string")).alias("source"),
+        F.concat(F.lit("e"), ent.cast("string")).alias("subj"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("pop"))
+         .otherwise(F.lit("area")).alias("pred"),
+        F.concat(
+            F.lit("v"),
+            F.when(wrong, true_val + 1).otherwise(true_val).cast("string"),
+        ).alias("obj"),
+    )
+
+
+_FUSION_CLAIMS_SQL = """
+    SELECT 's' || ((doc_id * 13) % 9) AS source,
+           'e' || (doc_id % 40) AS subj,
+           CASE WHEN doc_id % 2 = 0 THEN 'pop' ELSE 'area' END AS pred,
+           'v' || (CASE WHEN (doc_id * 13) % 9 < 3 AND doc_id % 3 = 0
+                        THEN (doc_id % 40) * 10 + (doc_id % 2) + 1
+                        ELSE (doc_id % 40) * 10 + (doc_id % 2) END) AS obj
+    FROM documents
+"""
+
+
+def _q_fact_fusion(spark, sf_dir):
+    """Truth-discovery fusion (operators/fusion.py:fuse_claims — the
+    conflict-resolution step between triple harvest and graph
+    materialization at Common-Crawl scale). 2 fixed fixed-point rounds;
+    the DuckDB oracle unrolls the identical update rule
+    (fusion.fusion_unrolled_sql shares the spelling). Confidence rounded
+    to 6 (per-key double sums commute to ~1e-15 ≪ grain)."""
+    from ferenda_spark.operators.fusion import fuse_claims
+
+    resolved, _ = fuse_claims(_fusion_claims_df(spark, sf_dir), n_iter=2)
+    return resolved.select(
+        "subj", "pred", "obj",
+        F.round("confidence", 6).alias("confidence"),
+        "n_sources", "n_candidates",
+    )
+
+
+def _q_fusion_source_trust(spark, sf_dir):
+    """Per-source learned reliability from the same fusion run: the
+    corrupting sources (s0-s2) must score strictly below the clean ones —
+    the signal a crawl scheduler would feed back into host priorities."""
+    from ferenda_spark.operators.fusion import fuse_claims
+
+    _, trust = fuse_claims(_fusion_claims_df(spark, sf_dir), n_iter=2)
+    return trust.select("source", F.round("trust", 6).alias("trust"))
+
+
+def _fusion_oracle_head(n_iter: int = 2) -> str:
+    from ferenda_spark.operators.fusion import fusion_unrolled_sql
+
+    return fusion_unrolled_sql(_FUSION_CLAIMS_SQL, n_iter=n_iter)
+
+
+_FACT_FUSION_ORACLE = _fusion_oracle_head() + """
+    SELECT subj, pred, obj, round(confidence, 6) AS confidence,
+           n_sources, n_candidates
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY subj, pred
+              ORDER BY confidence DESC, obj ASC) AS rn
+          FROM conf2)
+    WHERE rn = 1"""
+
+
+_FUSION_TRUST_ORACLE = _fusion_oracle_head() + """
+    SELECT source, round(trust, 6) AS trust FROM trust2"""
+
+
+def _cocite_edges_df(spark, sf_dir):
+    """Deterministic link graph for the co-citation family: doc i links
+    to (5i + 13j) mod C for j ∈ 1..4, self-loops dropped — same
+    arithmetic-edge pattern as _q_pagerank_hosts so both engines build
+    the identical graph."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    c = d.count()
+    return d.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(j) for j in (1, 2, 3, 4)])).alias("j"),
+    ).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 5 + 13 * F.col("j")) % c).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+
+
+_COCITE_EDGES_SQL = """
+    cnt AS (SELECT count(*) AS c FROM documents),
+    e AS (
+        SELECT DISTINCT doc_id AS src,
+               (doc_id * 5 + 13 * j) % (SELECT c FROM cnt) AS dst
+        FROM documents, unnest([1, 2, 3, 4]) AS u(j)
+        WHERE (doc_id * 5 + 13 * j) % (SELECT c FROM cnt) <> doc_id)
+"""
+
+
+def _q_cocitation_pairs(spark, sf_dir):
+    """Co-citation related-page pairs
+    (operators/graph_analytics.py:cocitation): targets linked by ≥2
+    common sources, hub sources above out-degree 10 dropped (the wedge
+    cap; a no-op on this outdeg-≤4 graph but exercised so the oracle
+    replays the capped plan)."""
+    from ferenda_spark.operators.graph_analytics import cocitation
+
+    return cocitation(
+        _cocite_edges_df(spark, sf_dir), min_count=2, max_out_degree=10
+    )
+
+
+def _q_bibcoupling_pairs(spark, sf_dir):
+    """Bibliographic-coupling pairs (sources sharing ≥2 common link
+    targets) over the same deterministic graph — the transpose signal."""
+    from ferenda_spark.operators.graph_analytics import (
+        bibliographic_coupling,
+    )
+
+    return bibliographic_coupling(
+        _cocite_edges_df(spark, sf_dir), min_count=2, max_in_degree=10
+    )
+
+
+_COCITATION_ORACLE = "WITH " + _COCITE_EDGES_SQL + """,
+    keep AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 10),
+    ek AS (SELECT e.src, e.dst FROM e JOIN keep USING (src))
+    SELECT l.dst AS a, r.dst AS b, count(*) AS n_common
+    FROM ek l JOIN ek r USING (src)
+    WHERE l.dst < r.dst
+    GROUP BY 1, 2
+    HAVING count(*) >= 2"""
+
+
+_BIBCOUPLING_ORACLE = "WITH " + _COCITE_EDGES_SQL + """,
+    keep AS (SELECT dst FROM e GROUP BY dst HAVING count(*) <= 10),
+    ek AS (SELECT e.src, e.dst FROM e JOIN keep USING (dst))
+    SELECT l.src AS a, r.src AS b, count(*) AS n_shared
+    FROM ek l JOIN ek r USING (dst)
+    WHERE l.src < r.src
+    GROUP BY 1, 2
+    HAVING count(*) >= 2"""
+
+
+def _q_community_modularity(spark, sf_dir):
+    """Community-quality gauge (operators/graph.py:modularity) over a
+    deterministic 40-chain graph: rank-rn doc links to rank-rn+40, so the
+    true communities are the 40 residue-class chains. Labels come from
+    the REAL connected_components run (so the oracle checks CC's
+    canonical-min election AND the modularity decomposition in one
+    query). The rank window is query-construction only — the operator
+    itself never sorts globally."""
+    from pyspark.sql import Window
+
+    from ferenda_spark.operators.graph import connected_components, modularity
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    rn = F.row_number().over(Window.orderBy("doc_id")) - 1
+    dr = d.select("doc_id", rn.alias("rn"))
+    e = (
+        dr.alias("l")
+        .join(dr.alias("r"), F.col("r.rn") == F.col("l.rn") + 40)
+        .select(
+            F.col("l.doc_id").alias("src"), F.col("r.doc_id").alias("dst")
+        )
+    )
+    labels = connected_components(e)
+    per = modularity(e, labels)
+    return per.select(
+        "comp", "n_nodes", "m_internal", "deg_total",
+        F.round("q_contrib", 6).alias("q_contrib"),
+    )
+
+
+_MODULARITY_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents),
+    e AS (
+        SELECT l.doc_id AS src, r.doc_id AS dst
+        FROM d l JOIN d r ON r.rn = l.rn + 40),
+    lab AS (
+        SELECT doc_id AS node,
+               min(doc_id) OVER (PARTITION BY rn % 40) AS comp
+        FROM d),
+    mm AS (SELECT count(*) AS m FROM e),
+    deg AS (
+        SELECT n, count(*) AS deg
+        FROM (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)
+        GROUP BY n),
+    dm AS (
+        SELECT comp, count(*) AS n_nodes,
+               sum(coalesce(deg, 0)) AS deg_total
+        FROM lab LEFT JOIN deg ON lab.node = deg.n
+        GROUP BY comp),
+    itn AS (
+        SELECT la.comp AS comp, count(*) AS m_internal
+        FROM e
+        JOIN lab la ON e.src = la.node
+        JOIN lab lb ON e.dst = lb.node
+        WHERE la.comp = lb.comp
+        GROUP BY 1)
+    SELECT dm.comp, dm.n_nodes,
+           CAST(coalesce(itn.m_internal, 0) AS BIGINT) AS m_internal,
+           CAST(dm.deg_total AS BIGINT) AS deg_total,
+           round(coalesce(itn.m_internal, 0) / (1.0 * (SELECT m FROM mm))
+                 - pow(dm.deg_total / (2.0 * (SELECT m FROM mm)), 2),
+                 6) AS q_contrib
+    FROM dm LEFT JOIN itn ON dm.comp = itn.comp"""
+
+
+def _q_url_template_mining(spark, sf_dir):
+    """Crawl-frontier URL template inventory
+    (functions/urls.py:mine_url_templates): synthesize a deterministic
+    URL per doc (Zipf-free here — section by doc_id%5, Knuth-hash id,
+    every third URL paginated), then mine per-host templates with member
+    counts and host share. The oracle replays the same regexp
+    abstraction in DuckDB ('g'-flag regexp_replace ≡ Spark's
+    replace-all)."""
+    from ferenda_spark.functions.urls import mine_url_templates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    section = F.element_at(
+        F.array(*[F.lit(s) for s in ("news", "docs", "legal", "blog", "wiki")]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        section, F.lit("/"),
+        ((F.col("doc_id") * 2654435761) % 100000).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?page="), (F.col("doc_id") % 7).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    mined = mine_url_templates(d.select(url.alias("url")), min_urls=2)
+    return mined.select(
+        "host", "template", "n_urls",
+        F.round("host_share", 6).alias("host_share"),
+    )
+
+
+_URL_TEMPLATE_ORACLE = r"""
+    WITH u AS (
+        SELECT 'https://' || source || '.example.com/' ||
+               CASE CAST(doc_id % 5 AS INT)
+                   WHEN 0 THEN 'news' WHEN 1 THEN 'docs'
+                   WHEN 2 THEN 'legal' WHEN 3 THEN 'blog'
+                   ELSE 'wiki' END || '/' ||
+               ((doc_id * 2654435761) % 100000) ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN '?page=' || (doc_id % 7) ELSE '' END AS url,
+               source
+        FROM documents),
+    t AS (
+        SELECT lower(source) || '.example.com' AS host,
+               regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(url,
+                       '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', ''),
+                       '#.*$', ''),
+                   '[0-9a-fA-F]{8,}', '{x}', 'g'),
+                   '[0-9]+', '{d}', 'g') AS template
+        FROM u),
+    per AS (
+        SELECT host, template, count(*) AS n_urls
+        FROM t GROUP BY 1, 2),
+    tot AS (SELECT host, sum(n_urls) AS tot FROM per GROUP BY host)
+    SELECT per.host, per.template, per.n_urls,
+           round(per.n_urls / (1.0 * tot.tot), 6) AS host_share
+    FROM per JOIN tot USING (host)
+    WHERE per.n_urls >= 2"""
+
+
+def _q_betweenness_pivots(spark, sf_dir):
+    """Pivot-sampled betweenness
+    (operators/graph_analytics.py:betweenness_sample) over the 40-chain
+    rank graph with seeds = docs with doc_id % 50 == 0, depth cap 6.
+    Chains make every shortest path UNIQUE (σ ≡ 1), so Brandes'
+    dependency telescopes to "count of nodes strictly beyond v within the
+    cap" — a closed form the SQL oracle computes with one positional
+    3-way join, while the Spark side runs the REAL forward/backward
+    accumulation. Any σ bookkeeping error, off-by-one in the level walk,
+    or cap leak breaks the match."""
+    from pyspark.sql import Window
+
+    from ferenda_spark.operators.graph_analytics import betweenness_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    rn = F.row_number().over(Window.orderBy("doc_id")) - 1
+    dr = d.select("doc_id", rn.alias("rn"))
+    e = (
+        dr.alias("l")
+        .join(dr.alias("r"), F.col("r.rn") == F.col("l.rn") + 40)
+        .select(
+            F.col("l.doc_id").alias("src"), F.col("r.doc_id").alias("dst")
+        )
+    )
+    seeds = d.where(F.col("doc_id") % 50 == 0)
+    bt = betweenness_sample(e, seeds, max_depth=6)
+    return bt.select("node", F.round("delta_sum", 6).alias("delta_sum"))
+
+
+_BETWEENNESS_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents),
+    pos AS (SELECT doc_id, rn % 40 AS chain, rn // 40 AS p FROM d),
+    seeds AS (SELECT doc_id, chain, p FROM pos WHERE doc_id % 50 = 0),
+    reach AS (
+        SELECT DISTINCT v.doc_id AS node
+        FROM seeds s JOIN pos v ON v.chain = s.chain
+        WHERE v.doc_id <> s.doc_id AND abs(v.p - s.p) <= 6),
+    dep AS (
+        SELECT v.doc_id AS node, count(*) AS cnt
+        FROM seeds s
+        JOIN pos v ON v.chain = s.chain
+        JOIN pos w ON w.chain = s.chain
+        WHERE abs(w.p - s.p) <= 6
+          AND ((s.p < v.p AND v.p < w.p) OR (s.p > v.p AND v.p > w.p))
+        GROUP BY 1)
+    SELECT reach.node,
+           round(coalesce(dep.cnt, 0) * 1.0, 6) AS delta_sum
+    FROM reach LEFT JOIN dep ON reach.node = dep.node"""
+
+
+def _q_host_report(spark, sf_dir):
+    """Per-host corpus report card (operators/profiling.py:host_report):
+    doc counts, language diversity + mode, exact-duplicate share via md5
+    fingerprints, mean heuristic quality — the host-level prior that
+    sampling/crawl/trust weights key on."""
+    from ferenda_spark.operators.profiling import host_report
+
+    return host_report(_t(spark, sf_dir, "documents"))
+
+
+_HOST_REPORT_ORACLE = f"""
+    WITH per AS (
+        SELECT source AS host, lang,
+               length(text) AS nchar,
+               md5(trim(text)) AS fp,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> t != '') AS toks,
+               length(text) - length(regexp_replace(text, '[.,;:!?]', '',
+                                                    'g')) AS npunct
+        FROM documents),
+    scored AS (
+        SELECT host, lang, nchar, fp,
+               0.3 * (CASE WHEN len(toks) BETWEEN 10 AND 100000
+                           THEN 1.0 ELSE 0.0 END)
+             + 0.3 * (CASE WHEN len(toks) > 0 AND
+                           CAST(list_sum(list_transform(toks,
+                                t -> length(t))) AS DOUBLE) / len(toks)
+                           BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+             + 0.2 * (CASE WHEN nchar > 0 AND
+                           CAST(npunct AS DOUBLE) / nchar > 0.0005
+                           THEN 1.0 ELSE 0.0 END)
+             + 0.2 * (CASE WHEN len(toks) > 0 AND
+                           CAST(len(list_filter(toks,
+                                t -> list_contains({STOP_SQL}, lower(t))))
+                                AS DOUBLE) / len(toks) > 0.02
+                           THEN 1.0 ELSE 0.0 END) AS q
+        FROM per),
+    base AS (
+        SELECT host, count(*) AS n_docs,
+               CAST(sum(nchar) AS BIGINT) AS total_chars,
+               count(DISTINCT lang) AS n_langs,
+               count(DISTINCT fp) AS n_distinct_texts,
+               avg(q) AS mq
+        FROM scored GROUP BY host),
+    mode AS (
+        SELECT host, lang AS top_lang FROM (
+            SELECT host, lang, row_number() OVER (
+                PARTITION BY host
+                ORDER BY count(*) DESC, lang ASC) AS rn
+            FROM scored GROUP BY host, lang)
+        WHERE rn = 1)
+    SELECT base.host, base.n_docs, base.total_chars,
+           CAST(base.n_langs AS BIGINT) AS n_langs, mode.top_lang,
+           CAST(base.n_distinct_texts AS BIGINT) AS n_distinct_texts,
+           round(1.0 - base.n_distinct_texts / (1.0 * base.n_docs), 6)
+               AS exact_dup_share,
+           round(base.mq, 6) AS mean_quality
+    FROM base JOIN mode ON base.host = mode.host"""
+
+
+def _q_label_spreading(spark, sf_dir):
+    """Semi-supervised label spreading
+    (operators/labelspread.py:spread_labels — the multi-class seed
+    expansion for spam/topic host classification): seeds are docs with
+    doc_id % 83 == 0 labeled spam/ham by parity, graph is the 7i+11j
+    family, 3 fixed rounds at α=0.85. Returns the SPARSE score table
+    (not the argmax — near-ties under 1e-6 would make a hard assignment
+    engine-dependent); the oracle unrolls the identical update
+    (labelspread.spread_unrolled_sql shares the spelling)."""
+    from ferenda_spark.operators.labelspread import spread_labels
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    c = d.count()
+    e = d.select(
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 11 * F.col("j")) % c).alias("dst"),
+    )
+    seeds = d.where(F.col("doc_id") % 83 == 0).select(
+        F.col("doc_id").alias("node"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("spam"))
+         .otherwise(F.lit("ham")).alias("label"),
+    )
+    scores = spread_labels(e, seeds, alpha=0.85, n_iter=3)
+    return scores.select(
+        "node", "label", F.round("score", 6).alias("score")
+    )
+
+
+def _label_spread_oracle() -> str:
+    from ferenda_spark.operators.labelspread import spread_unrolled_sql
+
+    edges = """
+        SELECT doc_id AS src,
+               (doc_id * 7 + 11 * j) % (SELECT count(*) FROM documents)
+                   AS dst
+        FROM documents, unnest([1, 2, 3]) AS u(j)"""
+    seeds = """
+        SELECT doc_id AS node,
+               CASE WHEN doc_id % 2 = 0 THEN 'spam' ELSE 'ham' END AS label
+        FROM documents WHERE doc_id % 83 = 0"""
+    return spread_unrolled_sql(edges, seeds, alpha=0.85, n_iter=3) + """
+    SELECT node, label, round(score, 6) AS score FROM f3"""
+
+
+_LABEL_SPREAD_ORACLE = _label_spread_oracle()
+
+
+def _dsir_frames(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    target = d.where(F.col("doc_id") % 11 == 0)
+    return d, target
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (functions/dsir.py:dsir_log_weights — the
+    hashed-n-gram data-selection step of Xie et al. 2023): target = the
+    doc_id % 11 == 0 in-domain sample, raw = the whole table, 256 hashed
+    unigram buckets with add-one smoothing. The oracle replays the
+    bucket hash (md5-hash60 mod 256), both histograms, and the per-doc
+    log-ratio sum."""
+    from ferenda_spark.functions.dsir import dsir_log_weights
+
+    raw, target = _dsir_frames(spark, sf_dir)
+    w = dsir_log_weights(raw, target, n_buckets=256)
+    return w.select(
+        F.col("id").alias("doc_id"),
+        F.round("log_weight", 6).alias("log_weight"),
+    )
+
+
+def _q_dsir_resample(spark, sf_dir):
+    """Gumbel top-25 without-replacement resample ∝ w (T=1) from the
+    same weights — deterministic hash-uniform race, replayed digit-for-
+    digit by the oracle (selection happens on unrounded keys whose
+    engine skew is ~1e-15, far below the race's key gaps)."""
+    from ferenda_spark.functions.dsir import dsir_log_weights, dsir_resample
+
+    raw, target = _dsir_frames(spark, sf_dir)
+    w = dsir_log_weights(raw, target, n_buckets=256)
+    top = dsir_resample(w, 25, temperature=1.0, salt="dsir")
+    return top.select(
+        F.col("id").alias("doc_id"),
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("key", 6).alias("key"),
+    )
+
+
+_DSIR_CORE_SQL = r"""
+    tokt AS (
+        SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  t -> t != '')) AS t
+        FROM documents WHERE doc_id % 11 = 0),
+    tcnt AS (
+        SELECT (try_cast('0x' || substr(md5(t), 1, 15) AS BIGINT)) % 256
+                   AS bucket,
+               count(*) AS tc
+        FROM tokt GROUP BY 1),
+    tokr AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  t -> t != '')) AS t
+        FROM documents),
+    pdoc AS (
+        SELECT doc_id,
+               (try_cast('0x' || substr(md5(t), 1, 15) AS BIGINT)) % 256
+                   AS bucket,
+               count(*) AS cnt
+        FROM tokr GROUP BY 1, 2),
+    rcnt AS (SELECT bucket, sum(cnt) AS rc FROM pdoc GROUP BY 1),
+    tt AS (SELECT sum(tc) AS v FROM tcnt),
+    rt AS (SELECT sum(rc) AS v FROM rcnt),
+    ratio AS (
+        SELECT r.bucket,
+               ln((coalesce(t.tc, 0) + 1.0) / ((SELECT v FROM tt) + 256.0))
+             - ln((r.rc + 1.0) / ((SELECT v FROM rt) + 256.0)) AS lr
+        FROM rcnt r LEFT JOIN tcnt t ON r.bucket = t.bucket),
+    w AS (
+        SELECT doc_id, sum(cnt * lr) AS log_weight
+        FROM pdoc JOIN ratio USING (bucket) GROUP BY 1)
+"""
+
+_DSIR_WEIGHTS_ORACLE = "WITH " + _DSIR_CORE_SQL + """
+    SELECT doc_id, round(log_weight, 6) AS log_weight FROM w"""
+
+_DSIR_RESAMPLE_ORACLE = "WITH " + _DSIR_CORE_SQL + f""",
+    keyed AS (
+        SELECT doc_id, log_weight,
+               log_weight - ln(-ln(
+                   (try_cast('0x' || substr(md5(doc_id || ':dsir'), 1, 15)
+                             AS BIGINT) + 1.0) / {float(1 << 60) + 1.0!r}
+               )) AS key
+        FROM w)
+    SELECT doc_id, round(log_weight, 6) AS log_weight,
+           round(key, 6) AS key
+    FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 25"""
+
+
+def _q_ktruss_edges(spark, sf_dir):
+    """k-truss dense-subgraph peel (graph_analytics.py:k_truss — the
+    strictly-stronger-than-k-core cohesion filter for link-farm
+    forensics) at k=4 over the shared md5 hash graph (k=5 is empty here; k=4 peels 1000+ edges down to a 38-edge truss through a multi-round cascade). Peeling is
+    monotone with a unique fixed point, so the oracle unrolls 8
+    support-count/filter rounds (extra rounds no-op once converged) and
+    must land on the identical edge set WITH identical within-truss
+    support counts."""
+    from ferenda_spark.operators.graph_analytics import k_truss
+
+    return k_truss(_hash_graph(spark, sf_dir, "truss"), k=4)
+
+
+def _ktruss_oracle(k: int = 4, n_rounds: int = 8) -> str:
+    head = f"""
+        WITH {_hash_graph_sql('truss')},
+        t0 AS (SELECT a, b FROM und WHERE a < b)"""
+    steps = []
+    for r in range(1, n_rounds + 1):
+        steps.append(f"""
+        tri{r} AS MATERIALIZED (
+            SELECT l.a AS x, l.b AS y, r.b AS z
+            FROM t{r - 1} l JOIN t{r - 1} r
+              ON l.a = r.a AND l.b < r.b
+            WHERE EXISTS (SELECT 1 FROM t{r - 1} m
+                          WHERE m.a = l.b AND m.b = r.b))""")
+        steps.append(f"""
+        t{r} AS MATERIALIZED (
+            SELECT t.a, t.b, s.support FROM t{r - 1} t
+            JOIN (SELECT a, b, count(*) AS support FROM (
+                      SELECT x AS a, y AS b FROM tri{r}
+                      UNION ALL SELECT x, z FROM tri{r}
+                      UNION ALL SELECT y, z FROM tri{r})
+                  GROUP BY 1, 2) s
+              ON t.a = s.a AND t.b = s.b
+            WHERE s.support >= {k - 2})""")
+    return head + "," + ",".join(steps) + f"""
+        SELECT a, b, support FROM t{n_rounds}"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -5178,6 +5750,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_alias_dict": _q_anchor_alias_dict,
         "streaming_components": _q_streaming_components,
         "incremental_void": _q_incremental_void,
+        "fact_fusion": _q_fact_fusion,
+        "fusion_source_trust": _q_fusion_source_trust,
+        "cocitation_pairs": _q_cocitation_pairs,
+        "bibcoupling_pairs": _q_bibcoupling_pairs,
+        "community_modularity": _q_community_modularity,
+        "url_template_mining": _q_url_template_mining,
+        "betweenness_pivots": _q_betweenness_pivots,
+        "host_report": _q_host_report,
+        "label_spreading": _q_label_spreading,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_resample": _q_dsir_resample,
+        "ktruss_edges": _q_ktruss_edges,
         # rows-only (non-SQL-expressible) below
         "generate_html": _q_generate_html,
         "curation_report": _q_curation_report,
@@ -7076,4 +7660,16 @@ def oracle_sql() -> dict[str, str]:
         "anchor_alias_dict": _ANCHOR_DICT_ORACLE,
         "streaming_components": _STREAMING_COMPONENTS_ORACLE,
         "incremental_void": _INCREMENTAL_VOID_ORACLE,
+        "fact_fusion": _FACT_FUSION_ORACLE,
+        "fusion_source_trust": _FUSION_TRUST_ORACLE,
+        "cocitation_pairs": _COCITATION_ORACLE,
+        "bibcoupling_pairs": _BIBCOUPLING_ORACLE,
+        "community_modularity": _MODULARITY_ORACLE,
+        "url_template_mining": _URL_TEMPLATE_ORACLE,
+        "betweenness_pivots": _BETWEENNESS_ORACLE,
+        "host_report": _HOST_REPORT_ORACLE,
+        "label_spreading": _LABEL_SPREAD_ORACLE,
+        "dsir_weights": _DSIR_WEIGHTS_ORACLE,
+        "dsir_resample": _DSIR_RESAMPLE_ORACLE,
+        "ktruss_edges": _ktruss_oracle(),
     }

@@ -103,6 +103,16 @@ BENCH_QUERIES = [
     "degree_assortativity",
     "turtle_serialize",
     "anchor_alias_dict",
+    # round-4 additions (each oracle-backed)
+    "fact_fusion",
+    "cocitation_pairs",
+    "community_modularity",
+    "url_template_mining",
+    "betweenness_pivots",
+    "host_report",
+    "label_spreading",
+    "dsir_weights",
+    "ktruss_edges",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs

@@ -249,3 +249,70 @@ def registrable_domain_py(host_or_url: str) -> str:
     if len(labels) >= 3 and ".".join(labels[-2:]) in MULTI_SUFFIXES:
         return ".".join(labels[-3:])
     return ".".join(labels[-2:])
+
+
+# --- URL template mining -----------------------------------------------
+# Order matters: hex-ids first (else their digit runs decay to '{d}'
+# fragments), then digit runs. Both patterns are in the RE2 ∩ java.util
+# .regex common subset so the DuckDB oracle replays them verbatim.
+_TEMPLATE_HEX_RE = r"[0-9a-fA-F]{8,}"
+_TEMPLATE_NUM_RE = r"[0-9]+"
+
+
+def url_template(url: Column) -> Column:
+    """URL → structural template: the path+query with opaque identifiers
+    abstracted — long hex runs (content hashes, UUIDs with dashes decay
+    to hex+'-'+hex) → ``{x}``, digit runs → ``{d}``.
+
+    The crawl-frontier use (no ferenda analog — a curated corpus has a
+    known URL space): at 10^12 docs a frontier cannot score URLs
+    individually; it scores TEMPLATES. ``/news/{d}/page`` having 10^7
+    members with stable quality tells the scheduler everything the
+    individual URLs would, in 10^-7 the state — and a template whose
+    member count explodes combinatorially (``/cal/{d}/{d}/{d}``) is the
+    classic spider-trap signature to de-prioritize. Pure Column regexps,
+    codegen'd, map-only."""
+    path = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", "")
+    path = F.regexp_replace(path, r"#.*$", "")
+    t = F.regexp_replace(path, _TEMPLATE_HEX_RE, "{x}")
+    t = F.regexp_replace(t, _TEMPLATE_NUM_RE, "{d}")
+    return F.when(t == "", F.lit("/")).otherwise(t)
+
+
+def mine_url_templates(
+    df,
+    url_col: str = "url",
+    min_urls: int = 2,
+):
+    """Per-host template inventory → (host, template, n_urls, host_share).
+
+    host_share is the template's fraction of its host's URLs — the
+    quantity a scheduler thresholds ("this one template is 60% of the
+    host's known space"). One distinct on (host, url) is deliberately
+    NOT applied (callers dedupe upstream via canonicalize_url; re-crawls
+    of one URL legitimately re-weight its template here). Shape: map-only
+    template derivation, one (host, template) map-side-combined count,
+    one host-keyed window for the share — two exchanges total, both on
+    keys that AQE can split if one host dominates the crawl (it will:
+    the corpus generator's Zipf head is 30% of pages)."""
+    from pyspark.sql import Window
+
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), _SPLIT_RE, 2)
+    )
+    host = F.regexp_replace(host, r":\d+$", "")
+    per = (
+        df.select(
+            host.alias("host"),
+            url_template(F.col(url_col)).alias("template"),
+        )
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+    w = Window.partitionBy("host")
+    return (
+        per.withColumn(
+            "host_share", F.col("n_urls") / F.sum("n_urls").over(w)
+        )
+        .where(F.col("n_urls") >= min_urls)
+    )

@@ -1,0 +1,151 @@
+"""Truth discovery / fact fusion over conflicting (source, subj, pred, obj)
+claims — resolve each (subj, pred) to one value, weighting sources by an
+iteratively-estimated reliability.
+
+Reference analog: none directly — ferenda ingests one authoritative
+publisher per repo, so its triples never conflict. At the north_rule's
+Common-Crawl scale the SAME fact is asserted by many independent hosts
+(schema.org markup, infobox-style prose, microdata — see
+operators/structured.py), and they disagree: stale mirrors, scraped
+copies, vandalism. A web-scale KG-construction pipeline therefore needs a
+fusion step between triple harvest and graph materialization. The
+algorithm below is the public "Sums/TruthFinder-lite" fixed-point (Yin et
+al., "Truth Discovery with Multiple Conflicting Information Providers on
+the Web", KDD'07; Pasternack & Roth's Sums baseline), restricted to a
+deterministic, fully-relational form:
+
+    trust⁰(s)            = 1.0 for every source
+    belief_k(f)          = Σ_{s asserts f} trust_{k-1}(s)
+    conf_k(f)            = belief_k(f) / Σ_{f' same (subj,pred)} belief_k(f')
+    trust_k(s)           = avg_{f asserted by s} conf_k(f)
+
+After ``n_iter`` rounds the resolved value per (subj, pred) is the
+candidate with the highest confidence (ties broken by minimum ``obj`` —
+deterministic, re-run- and partitioning-stable).
+
+Scale shape (claims ≫ sources ≫ facts-per-key):
+
+- claims are deduped once up front ((source, subj, pred, obj) distinct —
+  one shuffle) and cached; every round reuses the same frame.
+- each round is three claim-keyed shuffles: (subj,pred,obj) belief sum,
+  (subj,pred) normalizer sum, and source trust avg — ALL map-side
+  combined, so a celebrity fact (millions of asserting hosts) or a giant
+  source (a host with billions of claims) reduces to one row per map
+  partition before the exchange.
+- trust is source-sized and belief is fact-sized: both skinny; the
+  claims×trust join is a plain equi-join on ``source`` (hash-partitioned;
+  at 10^8 hosts trust is NOT broadcast-able and we never hint it).
+- ``truncate_checkpoint`` truncates trust's lineage per round (same
+  driver-stall rationale as graph.py).
+
+Float determinism: per-key double sums commute up to ~1e-15 regardless of
+partition order; consumers that need cross-engine equality round to 6
+decimals (the same grain every iterative operator in this repo uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ferenda_spark.checkpoint import (
+    truncate_checkpoint as _truncate_checkpoint,
+)
+
+
+def fuse_claims(
+    claims: DataFrame,
+    n_iter: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the fusion fixed-point.
+
+    claims: (source, subj, pred, obj) — extra columns are dropped;
+    duplicate assertions of the same fact by the same source count once.
+
+    Returns ``(resolved, trust)``:
+
+    - resolved: (subj, pred, obj, confidence, n_sources, n_candidates) —
+      exactly one row per (subj, pred); ``confidence`` is the final-round
+      normalized belief of the winning value, ``n_sources`` how many
+      sources assert it, ``n_candidates`` how many distinct values
+      competed.
+    - trust: (source, trust) — final per-source reliability in [0, 1].
+    """
+    c = claims.select("source", "subj", "pred", "obj").distinct()
+    c = c.persist()
+    c.count()  # materialize once; every round reuses this frame
+
+    trust = c.select("source").distinct().withColumn("trust", F.lit(1.0))
+    conf = None
+    for _ in range(n_iter):
+        supported = c.join(trust, "source")
+        belief = supported.groupBy("subj", "pred", "obj").agg(
+            F.sum("trust").alias("belief"),
+            F.count("*").alias("n_sources"),
+        )
+        norm = belief.groupBy("subj", "pred").agg(
+            F.sum("belief").alias("total"),
+            F.count("*").alias("n_candidates"),
+        )
+        conf = belief.join(norm, ["subj", "pred"]).select(
+            "subj", "pred", "obj", "n_sources", "n_candidates",
+            (F.col("belief") / F.col("total")).alias("confidence"),
+        )
+        new_trust = (
+            c.join(conf, ["subj", "pred", "obj"])
+            .groupBy("source")
+            .agg(F.avg("confidence").alias("trust"))
+        )
+        trust = _truncate_checkpoint(new_trust)
+
+    w = Window.partitionBy("subj", "pred").orderBy(
+        F.col("confidence").desc(), F.col("obj").asc()
+    )
+    resolved = (
+        conf.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .select("subj", "pred", "obj", "confidence", "n_sources",
+                "n_candidates")
+    )
+    c.unpersist()
+    return resolved, trust
+
+
+def fusion_unrolled_sql(claims_cte: str, n_iter: int = 2) -> str:
+    """ANSI-SQL oracle mirroring :func:`fuse_claims` exactly for a fixed
+    iteration count: ``claims_cte`` must be the body of a CTE producing
+    (source, subj, pred, obj). Returns a WITH-chain whose final SELECT is
+    left to the caller (it ends with the CTEs ``conf{n_iter}`` and
+    ``trust{n_iter}`` defined). Used by __spark_entry__'s oracles so the
+    DuckDB replay and the Spark operator share one update-rule spelling.
+    """
+    parts = [
+        f"claims_raw AS ({claims_cte})",
+        "claims AS (SELECT DISTINCT source, subj, pred, obj FROM claims_raw)",
+        "trust0 AS (SELECT DISTINCT source, 1.0 AS trust FROM claims)",
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(f"""
+        belief{k} AS (
+            SELECT c.subj, c.pred, c.obj,
+                   sum(t.trust) AS belief, count(*) AS n_sources
+            FROM claims c JOIN trust{k - 1} t USING (source)
+            GROUP BY c.subj, c.pred, c.obj)""")
+        parts.append(f"""
+        norm{k} AS (
+            SELECT subj, pred, sum(belief) AS total,
+                   count(*) AS n_candidates
+            FROM belief{k} GROUP BY subj, pred)""")
+        parts.append(f"""
+        conf{k} AS (
+            SELECT b.subj, b.pred, b.obj, b.n_sources, n.n_candidates,
+                   b.belief / n.total AS confidence
+            FROM belief{k} b JOIN norm{k} n USING (subj, pred))""")
+        parts.append(f"""
+        trust{k} AS (
+            SELECT c.source, avg(f.confidence) AS trust
+            FROM claims c
+            JOIN conf{k} f USING (subj, pred, obj)
+            GROUP BY c.source)""")
+    return "WITH " + ",\n".join(parts)

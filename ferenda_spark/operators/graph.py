@@ -653,3 +653,100 @@ def update_components(prev: DataFrame, new_edges: DataFrame,
     # touches it either it is absent from `merged`: restore its old label
     untouched = prev.join(merged.select("node"), "node", "left_anti")
     return merged.unionByName(untouched)
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    label: str = "comp",
+) -> DataFrame:
+    """Newman modularity decomposition of a community assignment over an
+    undirected simple graph → one row per community:
+
+        (comp, n_nodes, m_internal, deg_total, q_contrib)
+        with  q_contrib = m_c/m − (d_c/(2m))²   and   Q = Σ_c q_contrib.
+
+    The quality gauge for every clustering this repo produces (LPA
+    communities, connected components, MinHash entity clusters): Q ≈ 0
+    means the partition is no better than random wiring with the same
+    degree sequence, Q ≳ 0.3 means real structure (Newman & Girvan 2004).
+    Running it after `label_propagation` is the standard acceptance check
+    before a community map is allowed to drive host grouping or crawl
+    scheduling.
+
+    Semantics: edges are symmetrized to canonical ``a < b`` pairs and
+    deduped (simple graph, self-loops dropped); degree counts each
+    incident canonical edge once per endpoint. Nodes missing from
+    ``labels`` are dropped (with their incident edges' endpoint degree
+    still counted in m via the edge count — i.e. labels are expected to
+    cover the edge set; components/LPA output always does).
+
+    Scale shape: two skinny equi-joins of the edge list against the
+    node-sized label map (no broadcast hint — at web scale the label map
+    is corpus-sized), then two map-side-combined aggregations keyed by
+    community; the scalar m arrives via a one-row cross join (annotated
+    single-partition reduction, same pattern as SALSA's totals). A
+    celebrity community reduces map-side; nothing collects.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    lab = labels.select(F.col(node).alias("_n"), F.col(label).alias("_c"))
+    both = (
+        e.join(lab.withColumnRenamed("_n", "a"), "a")
+        .withColumnRenamed("_c", "ca")
+        .join(lab.withColumnRenamed("_n", "b"), "b")
+        .withColumnRenamed("_c", "cb")
+    )
+    m_row = e.agg(F.count(F.lit(1)).alias("_m"))
+    # degree of each labeled node, then community degree mass
+    deg = (
+        e.select(F.col("a").alias("_n"))
+        .unionAll(e.select(F.col("b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    dmass = (
+        lab.join(deg, "_n", "left")
+        .groupBy("_c")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.coalesce("_deg", F.lit(0))).alias("deg_total"),
+        )
+    )
+    internal = (
+        both.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("_c"))
+        .agg(F.count(F.lit(1)).alias("m_internal"))
+    )
+    return (
+        dmass.join(internal, "_c", "left")
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            F.col("_c").alias("comp"),
+            "n_nodes",
+            F.coalesce("m_internal", F.lit(0)).alias("m_internal"),
+            "deg_total",
+            (
+                F.coalesce("m_internal", F.lit(0)) / F.col("_m")
+                - F.pow(F.col("deg_total") / (2.0 * F.col("_m")), F.lit(2.0))
+            ).alias("q_contrib"),
+        )
+    )
+
+
+def modularity_score(per_community: DataFrame) -> DataFrame:
+    """Collapse :func:`modularity`'s decomposition to the scalar Q —
+    one row ``(modularity, n_communities)``."""
+    return per_community.agg(
+        F.sum("q_contrib").alias("modularity"),
+        F.count(F.lit(1)).alias("n_communities"),
+    )

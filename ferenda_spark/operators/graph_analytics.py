@@ -612,3 +612,295 @@ def salsa(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     )
     e.unpersist()
     return out
+
+
+def cocitation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_count: int = 1,
+    max_out_degree: int | None = None,
+) -> DataFrame:
+    """Co-citation similarity (Small 1973; the web-graph variant is the
+    classic related-page signal: two URLs are similar if many pages link
+    to BOTH) → ``(a, b, n_common)`` with ``a < b``, one row per unordered
+    pair of co-cited targets.
+
+    Reference analog: none in ferenda — its citation graph is resolved
+    exactly by grammar. At Common-Crawl scale co-citation over the
+    harvested link graph (operators/weblinks.py) is the cheap
+    related-entity candidate generator that complements Adamic-Adar
+    (which scores EXISTING candidate pairs; this ENUMERATES them).
+
+    Scale shape — the wedge explosion is the whole game: a source with
+    out-degree k contributes k·(k-1)/2 pairs, so one hub page with 10^4
+    outlinks yields 5·10^7 rows before aggregation. ``max_out_degree``
+    drops sources above the cap BEFORE the self-join (the same
+    degree-capped wedge strategy as graph.triangle_count). Capped sources
+    are excluded, not sampled — counts are exact over the kept sources;
+    callers needing the number of dropped hubs recompute the degree
+    aggregate (one cheap map-side-combined groupBy). Distinct-ified
+    edges, one equi-join on ``src``, one map-side-combined count keyed by
+    the pair. AQE splits a residual hot pair.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).where(F.col(src).isNotNull() & F.col(dst).isNotNull()).distinct()
+    if max_out_degree is not None:
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        e = e.join(deg.where(F.col("_d") <= max_out_degree), "src").drop("_d")
+    l = e.select("src", F.col("dst").alias("a"))
+    r = e.select("src", F.col("dst").alias("b"))
+    return (
+        l.join(r, "src")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_count)
+    )
+
+
+def bibliographic_coupling(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_count: int = 1,
+    max_in_degree: int | None = None,
+) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963): two pages are similar if
+    they link to many COMMON targets → ``(a, b, n_shared)`` with
+    ``a < b``. The transpose of :func:`cocitation`; the wedge cap is on
+    target IN-degree (a target cited by k pages contributes k·(k-1)/2
+    pairs — for the web that is every page linking to a homepage, so the
+    cap is not optional at scale)."""
+    t = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    out = cocitation(
+        t, min_count=min_count, max_out_degree=max_in_degree
+    )
+    return out.withColumnRenamed("n_common", "n_shared")
+
+
+def betweenness_sample(
+    edges: DataFrame,
+    seeds: DataFrame | Iterable,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_depth: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """Pivot-sampled betweenness centrality (Brandes 2001 dependency
+    accumulation; Brandes & Pich 2007 for the sampling estimator) →
+    ``(node, delta_sum)``.
+
+    ``delta_sum(v) = Σ_{s ∈ seeds} δ_s(v)`` is the RAW accumulated
+    dependency over the sampled pivots; the unbiased estimate of full
+    betweenness is ``(n / k) · delta_sum`` (k pivots, n nodes), and for
+    undirected graphs the conventional figure halves that (each unordered
+    pair is counted from both endpoints when summing over ALL sources).
+    Scaling is left to the caller — the ranking, which is what link-spam
+    triage and router-page detection actually consume, is scale-invariant.
+
+    Why sampled: exact betweenness is one SSSP per NODE — 10^12 BFS
+    traversals at corpus scale is not a plan. K pivots bound the work to
+    K frontier sweeps + K backward passes (all K run TOGETHER, vectorized
+    over the seed column), and Brandes-Pich show pivot sampling preserves
+    the high-centrality ranking long before k approaches n.
+
+    Shape: the forward phase is :func:`bfs_distances`' frontier-only
+    relaxation with a path-count column — per round one edge-keyed
+    equi-join + map-side-combined sigma sum + anti-join, all bounded by
+    frontier size. Path counts ``sigma`` are doubles by design (they grow
+    combinatorially; exact integers would overflow long on dense graphs —
+    standard practice, and δ only ever needs their ratio). The backward
+    phase re-derives the shortest-path-DAG edges with one
+    state-edge-state join (cheaper than carrying predecessor lists
+    through the loop), then walks levels deepest-first: one filtered
+    join + aggregation per level. Both loops run under ``RoundCadence``.
+    Depth capped at ``max_depth``: dependencies through paths longer than
+    the cap are dropped (documented truncation — web graphs' effective
+    diameter is ~6-8, see hyperball.py).
+    """
+    sess = edges.sparkSession
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    if not directed:
+        e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.distinct().persist()
+
+    if not isinstance(seeds, DataFrame):
+        schema_col = e.schema["a"].dataType
+        seeds = sess.createDataFrame(
+            [(v,) for v in seeds], f"seed {schema_col.simpleString()}"
+        )
+    first = seeds.columns[0]
+
+    cad = _RoundCadence()
+    state = cad.seed(
+        seeds.select(F.col(first).alias("seed")).distinct()
+        .select("seed", F.col("seed").alias("node"),
+                F.lit(0).alias("dist"), F.lit(1.0).alias("sigma"))
+    )
+    frontier = state
+    max_d = 0
+    try:
+        for h in range(1, max_depth + 1):
+            cand = (
+                frontier.join(e, frontier["node"] == e["a"])
+                .groupBy("seed", F.col("b").alias("node"))
+                .agg(F.sum("sigma").alias("sigma"))
+            )
+            new = cad.flatten(
+                cand.join(state.select("seed", "node"), ["seed", "node"],
+                          "left_anti")
+                .select("seed", "node", F.lit(h).alias("dist"), "sigma")
+            )
+            # rebind BEFORE probing (cadence lifetime contract — see
+            # bfs_distances): on an empty frontier nxt == state as a set
+            new, nxt = cad.step_many([new, state.unionByName(new)])
+            state, frontier = nxt, new
+            if not new.limit(1).take(1):
+                break
+            max_d = h
+        state = cad.finish(state)
+    finally:
+        cad.close()
+
+    # shortest-path-DAG edges (v -> w with dist_w = dist_v + 1), per seed
+    sv = state.select("seed", F.col("node").alias("v"),
+                      F.col("dist").alias("dv"),
+                      F.col("sigma").alias("sigma_v"))
+    sw = state.select(F.col("seed").alias("seed_w"),
+                      F.col("node").alias("w"),
+                      F.col("dist").alias("dw"),
+                      F.col("sigma").alias("sigma_w"))
+    p = (
+        sv.join(e, sv["v"] == e["a"])
+        .join(sw, (F.col("seed") == F.col("seed_w")) & (e["b"] == sw["w"]))
+        .where(F.col("dw") == F.col("dv") + 1)
+        .select("seed", "v", "w", "dv", "sigma_v", "sigma_w")
+        .persist()
+    )
+    p.count()
+
+    bcad = _RoundCadence()
+    delta = bcad.seed(
+        state.where(F.col("dist") == max_d)
+        .select("seed", "node", F.lit(0.0).alias("delta"))
+    )
+    try:
+        for d in range(max_d - 1, -1, -1):
+            lvl = bcad.flatten(
+                p.where(F.col("dv") == d)
+                .join(
+                    delta.select("seed", F.col("node").alias("w"),
+                                 F.col("delta").alias("dw_delta")),
+                    ["seed", "w"], "left",
+                )
+                .groupBy("seed", F.col("v").alias("node"))
+                .agg(
+                    F.sum(
+                        (F.col("sigma_v") / F.col("sigma_w"))
+                        * (1.0 + F.coalesce("dw_delta", F.lit(0.0)))
+                    ).alias("delta")
+                )
+            )
+            # nodes at level d with no DAG successors (dead ends) carry 0
+            zero = (
+                state.where(F.col("dist") == d)
+                .join(lvl.select("seed", "node"), ["seed", "node"],
+                      "left_anti")
+                .select("seed", "node", F.lit(0.0).alias("delta"))
+            )
+            delta = bcad.step(delta.unionByName(lvl).unionByName(zero))
+        out = bcad.finish(
+            delta.where(F.col("node") != F.col("seed"))
+            .groupBy("node")
+            .agg(F.sum("delta").alias("delta_sum"))
+        )
+    finally:
+        bcad.close()
+        e.unpersist()
+        p.unpersist()
+    return out
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 50,
+) -> DataFrame:
+    """The k-truss of an undirected graph: the maximal subgraph where
+    every EDGE sits in ≥ k−2 triangles. Returns the surviving canonical
+    edges ``(a, b, support)`` with ``a < b``, support counted WITHIN the
+    truss.
+
+    Why alongside k-core: trusses are the standard strictly-stronger
+    cohesion filter (every k-truss ⊆ (k−1)-core) — for link-spam
+    forensics the 4-truss keeps only edges embedded in overlapping
+    triangles, which organic navigation rarely produces but paid link
+    farms always do (Cohen 2008, the National-Security-Agency tech
+    report that named the concept; production graph systems ship it as
+    the dense-subgraph primitive).
+
+    Peel loop: per round, count each edge's triangle support with the
+    a<b<c oriented wedge join (one self-join on the lower endpoint + one
+    existence semi-join — every triangle found exactly once, each round
+    bounded by the CURRENT wedge count, which only shrinks), drop edges
+    below k−2, stop when nothing drops. Peeling is monotone with a
+    unique fixed point → unrolled fixed-round SQL replay lands on the
+    same set (same argument as k_core). The oriented join bounds wedge
+    fan-out by min-endpoint degree, the same O(√m) discipline as
+    triangle_count; ``RoundCadence`` truncates the shrinking edge set;
+    ``max_iter`` raises rather than silently returning a superset.
+    """
+    cad = _RoundCadence()
+    e = cad.seed(
+        _undirected(edges, src, dst).where(F.col("a") < F.col("b"))
+    )
+    try:
+        for _ in range(max_iter):
+            # oriented wedges from the shared LOW endpoint x: (x<y), (x<z),
+            # y<z; the wedge closes iff (y,z) is an edge
+            w1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+            w2 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+            tri = (
+                w1.join(w2, "x")
+                .where(F.col("y") < F.col("z"))
+                .join(
+                    e.select(F.col("a").alias("y"), F.col("b").alias("z")),
+                    ["y", "z"],
+                    "left_semi",
+                )
+            )
+            sup = (
+                tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+                .unionAll(tri.select(F.col("x").alias("a"),
+                                     F.col("z").alias("b")))
+                .unionAll(tri.select(F.col("y").alias("a"),
+                                     F.col("z").alias("b")))
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("support"))
+            )
+            kept = cad.flatten(
+                e.join(sup, ["a", "b"], "left")
+                .select(
+                    "a", "b",
+                    F.coalesce("support", F.lit(0)).alias("support"),
+                )
+                .where(F.col("support") >= k - 2)
+            )
+            dropped = e.join(kept.select("a", "b"), ["a", "b"], "left_anti")
+            kept2, probe = cad.step_many([kept, dropped.limit(1)])
+            if not probe.take(1):
+                return cad.finish(kept2)
+            e = cad.step(kept2.select("a", "b"))
+        raise RuntimeError(
+            f"k_truss did not converge within {max_iter} rounds"
+        )
+    finally:
+        cad.close()

@@ -108,3 +108,64 @@ def profile_keys(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
         "cnt",
         F.round(F.col("cnt") / F.col("_total"), 6).alias("frac"),
     )
+
+
+def host_report(
+    docs: DataFrame,
+    host_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-host corpus report card → one row per host:
+
+        (host, n_docs, total_chars, n_langs, top_lang,
+         n_distinct_texts, exact_dup_share, mean_quality)
+
+    The triage table a crawl/curation operator actually reads: which
+    hosts dominate the corpus, which are single-language, which are
+    mostly duplicated boilerplate (exact_dup_share = 1 − distinct
+    fingerprints / docs), and the mean heuristic quality
+    (functions/textstats.quality_score). In the reference's world this
+    is the per-repo status report (ferenda's status/TOC summaries); at
+    Common-Crawl scale it is the host-level prior every downstream
+    weight (sampling, crawl budget, trust) keys on.
+
+    Shape: one map-only projection (md5 fingerprint + codegen'd quality
+    terms), one (host, lang) count for the language mode, one host-keyed
+    aggregation — two shuffles, both map-side combined, both on the host
+    key (Zipf-skewed by construction: AQE splits the head host). The
+    language mode's argmax is a min(struct(-cnt, lang)) aggregation, not
+    a window — no per-host sorted candidate list materializes."""
+    from ferenda_spark.functions.textstats import quality_score
+
+    per = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(lang_col).alias("lang"),
+        F.length(F.col(text_col)).alias("nchar"),
+        F.md5(F.trim(F.col(text_col))).alias("fp"),
+        quality_score(F.col(text_col)).alias("q"),
+    )
+    base = per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nchar").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("fp").alias("n_distinct_texts"),
+        F.avg("q").alias("_mq"),
+    )
+    mode = (
+        per.groupBy("host", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("host")
+        .agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"),
+                           F.col("lang").alias("lang"))).alias("_m")
+        )
+        .select("host", F.col("_m.lang").alias("top_lang"))
+    )
+    return base.join(mode, "host").select(
+        "host", "n_docs", "total_chars", "n_langs", "top_lang",
+        "n_distinct_texts",
+        F.round(1.0 - F.col("n_distinct_texts") / F.col("n_docs"), 6)
+        .alias("exact_dup_share"),
+        F.round("_mq", 6).alias("mean_quality"),
+    )

@@ -168,3 +168,63 @@ def test_span_dedup_no_global_shuffle(spark):
     plan = _plan(df)
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_cocitation_no_cartesian_and_mapside_combine(spark):
+    """Co-citation's pair join must be an equi-join on src (never a
+    nested-loop product) and the pair count must partially aggregate
+    map-side."""
+    from ferenda_spark.operators.graph_analytics import cocitation
+
+    e = spark.createDataFrame(
+        [(i, (i * 3 + j) % 40) for i in range(40) for j in (1, 2)],
+        "src bigint, dst bigint",
+    )
+    plan = _plan(cocitation(e, min_count=2, max_out_degree=10))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan  # map-side combine before the exchange
+
+
+def test_url_template_mining_two_exchanges(spark):
+    """Template mining is map-only derivation + one (host, template)
+    aggregation + one host-keyed window — nothing may inflate into a
+    per-row shuffle chain or a single-partition exchange."""
+    from ferenda_spark.functions.urls import mine_url_templates
+
+    df = spark.createDataFrame(
+        [(f"https://h{i % 3}.com/p/{i}",) for i in range(30)], "url string"
+    )
+    plan = _plan(mine_url_templates(df))
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange") <= 3  # agg + window (+AQE reuse slack)
+
+
+def test_fusion_trust_join_not_broadcast(spark):
+    """The claims x trust join must stay a shuffle join: trust is
+    source-sized (10^8 hosts at scale) and the operator must not hint it
+    broadcast — Spark may still pick BHJ from tiny TEST stats, so assert
+    on the operator's logical plan, not the physical choice: no broadcast
+    HINT nodes."""
+    from ferenda_spark.operators.fusion import fuse_claims
+
+    claims = spark.createDataFrame(
+        [(f"s{i % 5}", f"e{i % 7}", "p", f"v{i % 2}") for i in range(40)],
+        "source string, subj string, pred string, obj string",
+    )
+    resolved, trust = fuse_claims(claims, n_iter=1)
+    assert "ResolvedHint" not in resolved._jdf.queryExecution().logical().toString()
+
+
+def test_host_report_no_window_for_mode(spark):
+    """The language mode is a struct-min aggregation, not a window — a
+    window would materialize per-host sorted candidate lists."""
+    from ferenda_spark.operators.profiling import host_report
+
+    df = spark.createDataFrame(
+        [(i, "a b c", "en", f"h{i % 4}") for i in range(20)],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    plan = _plan(host_report(df))
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan

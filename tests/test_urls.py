@@ -152,3 +152,44 @@ def test_canonical_plan_is_scan_side(spark):
         canonicalize_url(F.col("u")).alias("c")
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- URL template mining ------------------------------------------------
+
+def test_url_template_basic(spark):
+    from ferenda_spark.functions.urls import url_template
+
+    cases = [
+        ("https://a.com/news/2024/05/story-12345", "/news/{d}/{d}/story-{d}"),
+        ("https://a.com/doc/deadbeefcafe1234/view", "/doc/{x}/view"),
+        # uuid: hex runs survive as {x} with dashes between
+        ("https://a.com/u/123e4567-e89b-42d3-a456-426614174000",
+         "/u/{x}-e{d}b-{d}d{d}-a{d}-{x}"),
+        ("https://a.com/", "/"),
+        ("https://a.com", "/"),
+        ("https://a.com/p?id=99&x=abc", "/p?id={d}&x=abc"),
+        ("https://a.com/p#frag42", "/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.t for r in df.select(url_template(F.col("url")).alias("t")).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_mine_url_templates(spark):
+    from ferenda_spark.functions.urls import mine_url_templates
+
+    urls = (
+        [f"https://h1.com/news/{i}" for i in range(6)]
+        + [f"https://h1.com/about" for _ in range(2)]
+        + ["https://h1.com/contact"]            # singleton -> filtered
+        + [f"https://h2.com/item/{i}/buy" for i in range(4)]
+    )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = mine_url_templates(df).collect()
+    got = {(r.host, r.template): (r.n_urls, round(r.host_share, 6))
+           for r in rows}
+    assert got == {
+        ("h1.com", "/news/{d}"): (6, round(6 / 9, 6)),
+        ("h1.com", "/about"): (2, round(2 / 9, 6)),
+        ("h2.com", "/item/{d}/buy"): (4, 1.0),
+    }
