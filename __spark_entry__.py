@@ -5252,9 +5252,10 @@ _MODULARITY_ORACLE = """
     SELECT dm.comp, dm.n_nodes,
            CAST(coalesce(itn.m_internal, 0) AS BIGINT) AS m_internal,
            CAST(dm.deg_total AS BIGINT) AS deg_total,
-           round(coalesce(itn.m_internal, 0) / (1.0 * (SELECT m FROM mm))
+           CAST(round(CAST(coalesce(itn.m_internal, 0) AS DOUBLE)
+                      / (SELECT m FROM mm)
                  - pow(dm.deg_total / (2.0 * (SELECT m FROM mm)), 2),
-                 6) AS q_contrib
+                 6) AS DOUBLE) AS q_contrib
     FROM dm LEFT JOIN itn ON dm.comp = itn.comp"""
 
 
@@ -5315,7 +5316,7 @@ _URL_TEMPLATE_ORACLE = r"""
         FROM t GROUP BY 1, 2),
     tot AS (SELECT host, sum(n_urls) AS tot FROM per GROUP BY host)
     SELECT per.host, per.template, per.n_urls,
-           round(per.n_urls / (1.0 * tot.tot), 6) AS host_share
+           CAST(round(CAST(per.n_urls AS DOUBLE) / tot.tot, 6) AS DOUBLE) AS host_share
     FROM per JOIN tot USING (host)
     WHERE per.n_urls >= 2"""
 
@@ -5368,7 +5369,7 @@ _BETWEENNESS_ORACLE = """
           AND ((s.p < v.p AND v.p < w.p) OR (s.p > v.p AND v.p > w.p))
         GROUP BY 1)
     SELECT reach.node,
-           round(coalesce(dep.cnt, 0) * 1.0, 6) AS delta_sum
+           CAST(round(CAST(coalesce(dep.cnt, 0) AS DOUBLE), 6) AS DOUBLE) AS delta_sum
     FROM reach LEFT JOIN dep ON reach.node = dep.node"""
 
 
@@ -5426,9 +5427,9 @@ _HOST_REPORT_ORACLE = f"""
     SELECT base.host, base.n_docs, base.total_chars,
            CAST(base.n_langs AS BIGINT) AS n_langs, mode.top_lang,
            CAST(base.n_distinct_texts AS BIGINT) AS n_distinct_texts,
-           round(1.0 - base.n_distinct_texts / (1.0 * base.n_docs), 6)
-               AS exact_dup_share,
-           round(base.mq, 6) AS mean_quality
+           CAST(round(1.0 - CAST(base.n_distinct_texts AS DOUBLE)
+                      / base.n_docs, 6) AS DOUBLE) AS exact_dup_share,
+           CAST(round(base.mq, 6) AS DOUBLE) AS mean_quality
     FROM base JOIN mode ON base.host = mode.host"""
 
 
@@ -5612,6 +5613,136 @@ def _ktruss_oracle(k: int = 4, n_rounds: int = 8) -> str:
         SELECT a, b, support FROM t{n_rounds}"""
 
 
+def _q_pagerank_warm(spark, sf_dir):
+    """Incremental PageRank (operators/graph.py:pagerank init_ranks —
+    the nightly-crawl-delta re-rank): cold 3-iteration ranks on the
+    7i+11j graph become the warm-start vector for 3 iterations on the
+    graph plus a delta arm (doc_id % 10 == 0 gains a 4th out-edge). The
+    oracle unrolls BOTH phases — cold rounds, the renormalization, and
+    the warm rounds over the delta graph — so a drift in either the
+    warm-start plumbing or the delta edge handling breaks the match."""
+    from ferenda_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    c = d.count()
+    e1 = d.select(
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 11 * F.col("j")) % c).alias("dst"),
+    )
+    delta = d.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 44) % c).alias("dst"),
+    )
+    old = pagerank(e1, n_iter=3)
+    warm = pagerank(e1.unionByName(delta), n_iter=3, init_ranks=old)
+    return warm.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _pagerank_warm_oracle(damping: float = 0.85) -> str:
+    def unroll(prefix: str, e: str, deg: str, r0: str, n_iter: int) -> str:
+        steps = []
+        for k in range(1, n_iter + 1):
+            prev = r0 if k == 1 else f"{prefix}{k - 1}"
+            steps.append(f"""
+        {prefix}{k} AS (
+            SELECT nd.node,
+                   (1.0 - {damping}) / (SELECT n FROM nn)
+                   + {damping} * COALESCE(m.mass, 0.0) AS rank
+            FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank / d.deg) AS mass
+                FROM {e} e JOIN {deg} d USING (src)
+                JOIN {prev} r ON r.node = e.src
+                GROUP BY e.dst
+            ) m ON m.node = nd.node)""")
+        return ",".join(steps)
+
+    head = """
+        WITH cnt AS (SELECT count(*) AS c FROM documents),
+        e1 AS (
+            SELECT DISTINCT doc_id AS src,
+                   (doc_id * 7 + 11 * j) % (SELECT c FROM cnt) AS dst
+            FROM documents, unnest([1, 2, 3]) AS u(j)
+            WHERE (doc_id * 7 + 11 * j) % (SELECT c FROM cnt) <> doc_id),
+        e2 AS (
+            SELECT src, dst FROM e1
+            UNION
+            SELECT doc_id, (doc_id * 7 + 44) % (SELECT c FROM cnt)
+            FROM documents
+            WHERE doc_id % 10 = 0
+              AND (doc_id * 7 + 44) % (SELECT c FROM cnt) <> doc_id),
+        nodes AS (
+            SELECT DISTINCT src AS node FROM e2
+            UNION SELECT DISTINCT dst FROM e2),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        deg1 AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src),
+        deg2 AS (SELECT src, count(*) AS deg FROM e2 GROUP BY src),
+        c0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    cold = unroll("c", "e1", "deg1", "c0", 3)
+    norm = """
+        s AS (SELECT sum(rank) AS t FROM c3),
+        w0 AS (SELECT node, rank / (SELECT t FROM s) AS rank FROM c3)"""
+    warmed = unroll("w", "e2", "deg2", "w0", 3)
+    return (head + "," + cold + "," + norm + "," + warmed + """
+        SELECT node AS doc_id, round(rank, 6) AS rank FROM w3""")
+
+
+def _q_interval_coalesce(spark, sf_dir):
+    """Attestation-window union (operators/temporal.py:
+    coalesce_intervals — merge overlapping validity intervals from
+    independent sources into disjoint canonical spans): deterministic
+    integer intervals derived from doc_id, merged per (subj, pred,
+    value). The oracle replays the identical running-max/running-sum
+    gaps-and-islands windows."""
+    from ferenda_spark.operators.temporal import coalesce_intervals
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    start = (F.col("doc_id") * 37) % 400
+    iv = d.select(
+        F.concat(F.lit("e"), (F.col("doc_id") % 25).cast("string"))
+        .alias("subj"),
+        F.lit("p").alias("pred"),
+        F.concat(F.lit("v"), (F.col("doc_id") % 2).cast("string"))
+        .alias("value"),
+        start.alias("valid_from"),
+        (start + 20 + F.col("doc_id") % 30).alias("valid_to"),
+    )
+    return coalesce_intervals(iv)
+
+
+_INTERVAL_COALESCE_ORACLE = """
+    WITH iv AS (
+        SELECT 'e' || (doc_id % 25) AS subj, 'p' AS pred,
+               'v' || (doc_id % 2) AS value,
+               (doc_id * 37) % 400 AS valid_from,
+               (doc_id * 37) % 400 + 20 + doc_id % 30 AS valid_to
+        FROM documents),
+    m AS (
+        SELECT *, max(valid_to) OVER (
+            PARTITION BY subj, pred, value
+            ORDER BY valid_from, valid_to
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM iv),
+    b AS (
+        SELECT *, CASE WHEN pm IS NULL OR valid_from > pm
+                       THEN 1 ELSE 0 END AS brk
+        FROM m),
+    i AS (
+        SELECT *, sum(brk) OVER (
+            PARTITION BY subj, pred, value
+            ORDER BY valid_from, valid_to
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM b)
+    SELECT subj, pred, value,
+           min(valid_from) AS valid_from, max(valid_to) AS valid_to,
+           count(*) AS n_merged
+    FROM i GROUP BY subj, pred, value, isl"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -5762,6 +5893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "dsir_resample": _q_dsir_resample,
         "ktruss_edges": _q_ktruss_edges,
+        "pagerank_warm": _q_pagerank_warm,
+        "interval_coalesce": _q_interval_coalesce,
         # rows-only (non-SQL-expressible) below
         "generate_html": _q_generate_html,
         "curation_report": _q_curation_report,
@@ -7672,4 +7805,6 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _DSIR_WEIGHTS_ORACLE,
         "dsir_resample": _DSIR_RESAMPLE_ORACLE,
         "ktruss_edges": _ktruss_oracle(),
+        "pagerank_warm": _pagerank_warm_oracle(),
+        "interval_coalesce": _INTERVAL_COALESCE_ORACLE,
     }

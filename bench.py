@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "label_spreading",
     "dsir_weights",
     "ktruss_edges",
+    "pagerank_warm",
+    "interval_coalesce",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs

@@ -101,13 +101,15 @@ def fuse_claims(
     w = Window.partitionBy("subj", "pred").orderBy(
         F.col("confidence").desc(), F.col("obj").asc()
     )
-    resolved = (
+    resolved = _truncate_checkpoint(
         conf.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
         .select("subj", "pred", "obj", "confidence", "n_sources",
                 "n_candidates")
     )
+    # safe to free only AFTER resolved is materialized: a lazy return
+    # would silently recompute the claims distinct on first action
     c.unpersist()
     return resolved, trust
 
@@ -123,7 +125,7 @@ def fusion_unrolled_sql(claims_cte: str, n_iter: int = 2) -> str:
     parts = [
         f"claims_raw AS ({claims_cte})",
         "claims AS (SELECT DISTINCT source, subj, pred, obj FROM claims_raw)",
-        "trust0 AS (SELECT DISTINCT source, 1.0 AS trust FROM claims)",
+        "trust0 AS (SELECT DISTINCT source, CAST(1.0 AS DOUBLE) AS trust FROM claims)",
     ]
     for k in range(1, n_iter + 1):
         parts.append(f"""

@@ -197,6 +197,7 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 8,
     checkpoint_interval: int = 4,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list → (node, rank).
 
@@ -220,6 +221,20 @@ def pagerank(
     frames are node-sized (skinny). ``localCheckpoint`` truncates lineage per
     round exactly as in ``connected_components`` above — without it Catalyst
     analysis cost doubles per iteration.
+
+    Incremental maintenance (``init_ranks``): PageRank's fixed point
+    depends only on the edge set, not the starting vector — so a nightly
+    crawl delta re-ranks by WARM-STARTING from yesterday's (node, rank)
+    map instead of 1/N. Convergence is geometric in the damping factor
+    from the distance of the start vector to the fixed point; a small
+    edge delta leaves that distance tiny, so materially fewer iterations
+    reach the same tolerance (tests/test_pagerank_warm.py pins >5x lower
+    error at equal rounds and >=2 rounds saved on a ~1% delta).
+    New nodes (absent from ``init_ranks``) enter at 1/N; departed nodes'
+    stale rows are ignored (left-joined on the CURRENT node set); the
+    vector is renormalized to sum 1 so the dangling/teleport arithmetic
+    keeps its mass-conservation invariant. Still oracle-replayable: same
+    update rule, custom r0.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -247,7 +262,17 @@ def pagerank(
     ).cache()
     has_dangling = bool(dangling_nodes.limit(1).collect())
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    if init_ranks is None:
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    else:
+        prev = init_ranks.select("node", F.col("rank").alias("r0"))
+        joined = nodes.join(prev, "node", "left").select(
+            "node", F.coalesce("r0", F.lit(1.0 / n)).alias("r0")
+        ).cache()
+        total = joined.agg(F.sum("r0").alias("t"))
+        ranks = joined.crossJoin(F.broadcast(total)).select(
+            "node", (F.col("r0") / F.col("t")).alias("rank")
+        )
     cad = _RoundCadence(interval=checkpoint_interval)
     for _ in range(n_iter):
         contribs = (

@@ -161,7 +161,7 @@ def spread_unrolled_sql(
             FROM und
             JOIN deg da ON und.a = da.a
             JOIN deg db ON und.b = db.a)""",
-        f"y AS (SELECT node, label, 1.0 AS y FROM (SELECT DISTINCT node, label FROM ({seeds_cte})))",
+        f"y AS (SELECT node, label, CAST(1.0 AS DOUBLE) AS y FROM (SELECT DISTINCT node, label FROM ({seeds_cte})))",
         "f0 AS (SELECT node, label, y AS score FROM y)",
     ]
     for k in range(1, n_iter + 1):

@@ -85,3 +85,54 @@ def facts_as_of(versions: DataFrame, ts, *, ts_col_from: str = "valid_from",
 
 # the name SPARQL/SQL users reach for; one implementation, two entries
 as_of = facts_as_of
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("subj", "pred", "value"),
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    gap: int = 0,
+) -> DataFrame:
+    """Merge overlapping/adjacent validity intervals per key →
+    ``(*key_cols, valid_from, valid_to, n_merged)``.
+
+    The multi-source union step :func:`fact_versions` deliberately does
+    not do: when SEVERAL independent sources (mirrors, crawls,
+    alternate-language editions) each assert the same fact over their own
+    observation windows, the canonical KG wants the union of those
+    windows as disjoint intervals — "this triple was attested
+    continuously from A to B" — not one version chain per source.
+    Classic gaps-and-islands: per key, order by start, an interval opens
+    a new island iff its start exceeds the running max end (+ ``gap``,
+    for treat-near-adjacent-as-continuous semantics, e.g. re-crawl
+    cadence jitter); islands aggregate to (min start, max end).
+
+    Everything rides ONE window partitioning on the key columns (running
+    max + running sum compile to a single shuffle + sort per key — hot
+    facts spread across keys) and one map-side-combined final
+    aggregation; type-generic over any orderable from/to (ints,
+    timestamps). ``to_col`` must be non-NULL — open-ended intervals are
+    a versioning concept (fact_versions' is_current), not an attestation
+    window. Oracle-replayable: the SQL spelling is identical windows.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(from_col, to_col)
+    prev_max = F.max(to_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_max.isNull() | (F.col(from_col) > prev_max + gap), 1
+    ).otherwise(0)
+    island = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.withColumn("_island", island)
+        .groupBy(*keys, "_island")
+        .agg(
+            F.min(from_col).alias("valid_from"),
+            F.max(to_col).alias("valid_to"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("_island")
+    )

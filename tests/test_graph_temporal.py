@@ -144,3 +144,72 @@ def test_versions_random_matches_naive(spark, seed):
             _ts(rnd.randint(1, 20), rnd.randint(0, 23)),
         ))
     assert _run_versions(spark, rows) == _naive_versions(rows)
+
+
+# --- interval coalescing -------------------------------------------------
+
+def _coalesce_rows(spark, rows, gap=0):
+    from ferenda_spark.operators.temporal import coalesce_intervals
+
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, value string, "
+              "valid_from bigint, valid_to bigint")
+    out = coalesce_intervals(df, gap=gap).collect()
+    return sorted((r.subj, r.pred, r.value, r.valid_from, r.valid_to,
+                   r.n_merged) for r in out)
+
+
+def _brute(rows, gap=0):
+    per = {}
+    for s, p, v, a, b in rows:
+        per.setdefault((s, p, v), []).append((a, b))
+    out = []
+    for k, iv in per.items():
+        iv.sort()
+        cur_a, cur_b, n = iv[0][0], iv[0][1], 1
+        for a, b in iv[1:]:
+            if a > cur_b + gap:
+                out.append((*k, cur_a, cur_b, n))
+                cur_a, cur_b, n = a, b, 1
+            else:
+                cur_b = max(cur_b, b)
+                n += 1
+        out.append((*k, cur_a, cur_b, n))
+    return sorted(out)
+
+
+def test_coalesce_overlap_and_gap(spark):
+    rows = [
+        ("e1", "p", "v", 0, 10),
+        ("e1", "p", "v", 5, 20),    # overlaps -> merge
+        ("e1", "p", "v", 25, 30),   # gap of 5 -> separate at gap=0
+        ("e1", "p", "w", 0, 100),   # different value: own island
+        ("e2", "p", "v", 3, 4),
+    ]
+    assert _coalesce_rows(spark, rows) == _brute(rows)
+    # gap=5 bridges the 20->25 hole
+    assert _coalesce_rows(spark, rows, gap=5) == _brute(rows, gap=5)
+
+
+def test_coalesce_contained_and_touching(spark):
+    rows = [
+        ("e", "p", "v", 0, 50),
+        ("e", "p", "v", 10, 20),   # fully contained
+        ("e", "p", "v", 50, 60),   # touching endpoint merges (not >)
+        ("e", "p", "v", 61, 70),   # gap 1 -> separate
+    ]
+    assert _coalesce_rows(spark, rows) == _brute(rows)
+
+
+def test_coalesce_random_vs_brute(spark):
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for _ in range(300):
+        a = rng.randrange(100)
+        rows.append((f"e{rng.randrange(6)}", "p", f"v{rng.randrange(3)}",
+                     a, a + rng.randrange(1, 15)))
+    rows = list(set(rows))
+    assert _coalesce_rows(spark, rows) == _brute(rows)
+    assert _coalesce_rows(spark, rows, gap=3) == _brute(rows, gap=3)

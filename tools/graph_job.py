@@ -355,6 +355,74 @@ def main() -> None:
         "n_input": typed_triples.count(),
     })
 
+    # ---- round-4 family: fusion / label spreading / betweenness / truss
+    from ferenda_spark.operators.fusion import fuse_claims
+    from ferenda_spark.operators.graph_analytics import (
+        betweenness_sample,
+        k_truss,
+    )
+    from ferenda_spark.operators.labelspread import spread_labels
+
+    if only is None or "fact_fusion" in only:
+        # claims: 8 per node over n/2 facts from n/64 sources, ~20%
+        # contradicted — the conflict profile a multi-host harvest has
+        claims_path = os.path.join(out_dir, "claims")
+        nsrc, nfact = max(n_nodes // 64, 9), max(n_nodes // 2, 40)
+        spark.range(n_nodes * 8).select(
+            F.concat(F.lit("s"), F.pmod(
+                F.xxhash64("id", F.lit("cs")), F.lit(nsrc)).cast("string")
+            ).alias("source"),
+            F.concat(F.lit("e"), F.pmod(
+                F.xxhash64("id", F.lit("cf")), F.lit(nfact)).cast("string")
+            ).alias("subj"),
+            F.lit("p").alias("pred"),
+            F.concat(F.lit("v"), F.when(
+                F.pmod(F.xxhash64("id", F.lit("cw")), F.lit(5)) == 0,
+                F.pmod(F.xxhash64("id", F.lit("cv")), F.lit(3)) + 1,
+            ).otherwise(F.lit(0)).cast("string")).alias("obj"),
+        ).write.parquet(claims_path)
+        claims = spark.read.parquet(claims_path)
+        note("claims input done")
+        timed("fact_fusion", lambda: dict(zip(
+            ("n_facts", "sum_conf"),
+            [(r["n"], round(r["s"], 3)) for r in
+             fuse_claims(claims, n_iter=3)[0]
+             .agg(F.count("*").alias("n"),
+                  F.sum("confidence").alias("s")).collect()][0],
+        )))
+
+    def run_spread():
+        seeds = (
+            edges.select(F.col("src").alias("node")).distinct()
+            .filter(F.pmod("node", F.lit(1000)) == 0)
+            .select(
+                "node",
+                F.when(F.pmod("node", F.lit(2)) == 0, F.lit("spam"))
+                 .otherwise(F.lit("ham")).alias("label"),
+            )
+        )
+        out = spread_labels(edges, seeds, alpha=0.85, n_iter=5)
+        r = out.agg(F.count("*").alias("n"),
+                    F.sum("score").alias("s")).collect()[0]
+        return {"n_pairs": r["n"], "sum_score": round(r["s"], 3)}
+
+    timed("label_spreading", run_spread)
+
+    timed("betweenness", lambda: dict(zip(
+        ("n_nodes", "sum_delta"),
+        [(r["n"], round(r["s"], 1)) for r in
+         betweenness_sample(edges, list(range(8)), max_depth=6)
+         .agg(F.count("*").alias("n"),
+              F.sum("delta_sum").alias("s")).collect()][0],
+    )))
+
+    timed("k_truss", lambda: dict(zip(
+        ("n_edges", "sum_support"),
+        [(r["n"], r["s"]) for r in k_truss(edges, k=4)
+         .agg(F.count("*").alias("n"),
+              F.sum("support").alias("s")).collect()][0],
+    )))
+
     total_s = round(sum(wall.values()), 2)
     app_id = spark.sparkContext.applicationId
     cores = spark.sparkContext.defaultParallelism
