@@ -5743,6 +5743,305 @@ _INTERVAL_COALESCE_ORACLE = """
     FROM i GROUP BY subj, pred, value, isl"""
 
 
+
+def _q_vocab_alignment(spark, sf_dir):
+    """Vocabulary alignment (operators/alignment.py:align_vocabularies —
+    the schema.org-vs-house-vocab matching pass of a multi-publisher
+    harvest): two deterministic vocabularies built from the shared WORD
+    wheel (left camelCase, right snake_case with permuted token order),
+    matched by token-Jaccard over inverted-index blocking. The oracle
+    replays localname split, camel-boundary regexp, blocking df-cap,
+    Jaccard, and the argmax/tiebreak."""
+    from ferenda_spark.operators.alignment import align_vocabularies
+
+    words = ["query", "scan", "filter", "merge", "batch", "stream",
+             "window", "column"]
+    warr = F.array(*[F.lit(w) for w in words])
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 40)
+    w1 = F.element_at(warr, (F.col("doc_id") % 8 + 1).cast("int"))
+    w2 = F.element_at(warr, ((F.col("doc_id") * 3) % 8 + 1).cast("int"))
+    left = d.select(
+        F.concat(
+            F.lit("https://a.example/"), w1,
+            F.concat(F.upper(F.substring(w2, 1, 1)), F.substring(w2, 2, 99)),
+        ).alias("iri"))
+    w3 = F.element_at(warr, ((F.col("doc_id") * 3) % 8 + 1).cast("int"))
+    w4 = F.element_at(warr, ((F.col("doc_id") * 5) % 8 + 1).cast("int"))
+    right = d.select(
+        F.concat(F.lit("https://b.example/v#"), w3, F.lit("_"), w4)
+        .alias("iri"))
+    out = align_vocabularies(left, right, min_score=0.3)
+    return out.select(
+        "left_iri", "right_iri", "n_shared", "n_left", "n_right",
+        F.round("score", 6).alias("score"))
+
+
+def _q_graph_summary_stats(spark, sf_dir):
+    """Whole-graph structural profile (operators/profiling.py:
+    graph_summary) of the 7i+11j family PLUS deliberate self-loops and
+    reciprocal pairs (doc_id % 9 == 0 adds the reverse edge), so every
+    gauge — reciprocity, out-degree Gini with analytic mid-ranks,
+    dangling share — exercises a non-trivial value the SQL replays."""
+    from ferenda_spark.operators.profiling import graph_summary
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    c = d.count()
+    base = d.select(
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 11 * F.col("j")) % c).alias("dst"),
+    )
+    recip = base.where(F.col("src") % 9 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"))
+    loops = d.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
+    g = graph_summary(base.unionByName(recip).unionByName(loops))
+    return g.select(
+        "n_nodes", "n_edges", "n_self_loops",
+        F.round("reciprocity", 6).alias("reciprocity"),
+        F.round("out_gini", 6).alias("out_gini"),
+        F.round("max_out_share", 6).alias("max_out_share"),
+        F.round("dangling_share", 6).alias("dangling_share"))
+
+
+_VOCAB_ALIGNMENT_ORACLE = r"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+    words(i, w) AS (VALUES (0, 'query'), (1, 'scan'), (2, 'filter'),
+                           (3, 'merge'), (4, 'batch'), (5, 'stream'),
+                           (6, 'window'), (7, 'column')),
+    lterm AS (
+        SELECT DISTINCT 'https://a.example/' || w1.w ||
+               upper(substr(w2.w, 1, 1)) || substr(w2.w, 2) AS iri
+        FROM d
+        JOIN words w1 ON w1.i = doc_id % 8
+        JOIN words w2 ON w2.i = (doc_id * 3) % 8),
+    rterm AS (
+        SELECT DISTINCT 'https://b.example/v#' || w3.w || '_' || w4.w AS iri
+        FROM d
+        JOIN words w3 ON w3.i = (doc_id * 3) % 8
+        JOIN words w4 ON w4.i = (doc_id * 5) % 8),
+    ltok0 AS (
+        SELECT DISTINCT iri AS left_iri, tok FROM (
+            SELECT iri, unnest(list_filter(string_split_regex(
+                lower(regexp_replace(
+                    list_extract(string_split_regex(iri, '[#/]'),
+                        len(string_split_regex(iri, '[#/]'))),
+                    '([a-z0-9])([A-Z])', '\1 \2', 'g')),
+                '[^a-z0-9]+'), t -> t != '')) AS tok
+            FROM lterm)),
+    rtok0 AS (
+        SELECT DISTINCT iri AS right_iri, tok FROM (
+            SELECT iri, unnest(list_filter(string_split_regex(
+                lower(regexp_replace(
+                    list_extract(string_split_regex(iri, '[#/]'),
+                        len(string_split_regex(iri, '[#/]'))),
+                    '([a-z0-9])([A-Z])', '\1 \2', 'g')),
+                '[^a-z0-9]+'), t -> t != '')) AS tok
+            FROM rterm)),
+    lsize AS (SELECT left_iri, count(*) AS n_left FROM ltok0 GROUP BY 1),
+    rsize AS (SELECT right_iri, count(*) AS n_right FROM rtok0 GROUP BY 1),
+    ltok AS (
+        SELECT l.* FROM ltok0 l JOIN (
+            SELECT tok FROM ltok0 GROUP BY tok HAVING count(*) <= 100) c
+        USING (tok)),
+    rtok AS (
+        SELECT r.* FROM rtok0 r JOIN (
+            SELECT tok FROM rtok0 GROUP BY tok HAVING count(*) <= 100) c
+        USING (tok)),
+    shared AS (
+        SELECT left_iri, right_iri, count(*) AS n_shared
+        FROM ltok JOIN rtok USING (tok) GROUP BY 1, 2),
+    scored AS (
+        SELECT s.left_iri, s.right_iri, s.n_shared, l.n_left, r.n_right,
+               CAST(s.n_shared AS DOUBLE)
+                   / (l.n_left + r.n_right - s.n_shared) AS score
+        FROM shared s JOIN lsize l USING (left_iri)
+        JOIN rsize r USING (right_iri)
+        WHERE CAST(s.n_shared AS DOUBLE)
+                  / (l.n_left + r.n_right - s.n_shared) >= 0.3),
+    best AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY left_iri ORDER BY score DESC, right_iri ASC) AS rn
+        FROM scored)
+    SELECT left_iri, right_iri, n_shared, n_left, n_right,
+           CAST(round(score, 6) AS DOUBLE) AS score
+    FROM best WHERE rn = 1"""
+
+
+_GRAPH_SUMMARY_ORACLE = r"""
+    WITH cnt AS (SELECT count(*) AS c FROM documents),
+    base AS (
+        SELECT doc_id AS src,
+               (doc_id * 7 + 11 * j) % (SELECT c FROM cnt) AS dst
+        FROM documents, unnest([1, 2, 3]) AS u(j)),
+    e AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM base
+            UNION ALL
+            SELECT dst, src FROM base WHERE src % 9 = 0
+            UNION ALL
+            SELECT doc_id, doc_id FROM documents WHERE doc_id % 50 = 0)),
+    loops AS (SELECT count(*) AS n_self FROM e WHERE src = dst),
+    clean AS (SELECT src, dst FROM e WHERE src <> dst),
+    nodes AS (SELECT DISTINCT src AS n FROM clean
+              UNION SELECT DISTINCT dst FROM clean),
+    recip AS (
+        SELECT count(*) AS n_recip FROM clean c
+        WHERE EXISTS (SELECT 1 FROM clean r
+                      WHERE r.src = c.dst AND r.dst = c.src)),
+    outdeg AS (SELECT src, count(*) AS deg FROM clean GROUP BY src),
+    ddist AS (
+        SELECT deg, count(*) AS cnt FROM (
+            SELECT coalesce(o.deg, 0) AS deg
+            FROM nodes LEFT JOIN outdeg o ON nodes.n = o.src)
+        GROUP BY deg),
+    ranked AS (
+        SELECT deg, cnt,
+               coalesce(sum(cnt) OVER (ORDER BY deg
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (cnt + 1) / 2.0 AS midrank
+        FROM ddist),
+    tot AS (
+        SELECT sum(cnt) AS n, sum(deg * cnt) AS sdeg,
+               sum(deg * cnt * 2.0 * midrank) AS wsum
+        FROM ranked),
+    scal AS (
+        SELECT (SELECT count(*) FROM clean) AS n_edges,
+               (SELECT n_self FROM loops) AS n_self_loops,
+               (SELECT n_recip FROM recip) AS n_recip,
+               (SELECT max(deg) FROM outdeg) AS max_out,
+               (SELECT count(*) FROM outdeg) AS n_sources,
+               (SELECT n FROM tot) AS n,
+               (SELECT sdeg FROM tot) AS sdeg,
+               (SELECT wsum FROM tot) AS wsum)
+    SELECT CAST(n AS BIGINT) AS n_nodes, n_edges, n_self_loops,
+           CAST(round(CAST(n_recip AS DOUBLE) / n_edges, 6) AS DOUBLE)
+               AS reciprocity,
+           CAST(round((wsum - (n + 1) * sdeg) / (n * CAST(sdeg AS DOUBLE)),
+                      6) AS DOUBLE) AS out_gini,
+           CAST(round(CAST(max_out AS DOUBLE) / n_edges, 6) AS DOUBLE)
+               AS max_out_share,
+           CAST(round(CAST(n - n_sources AS DOUBLE) / n, 6) AS DOUBLE)
+               AS dangling_share
+    FROM scal"""
+
+
+def _q_fusion_fold_state(spark, sf_dir):
+    """Incremental fusion (operators/fusion.py:fold_claims — fold crawl
+    deltas into persistent trust/fact state, history never rescanned):
+    the claims family split into two batches by doc parity, folded in
+    sequence; returns the final fact_state. Batch-2 beliefs use the
+    trust LEARNED from batch 1 (sources shared across batches), so the
+    oracle — which unrolls both folds in SQL — breaks if the trust
+    carry-over, the full_outer fact merge, or the unseen-source default
+    drifts."""
+    from ferenda_spark.functions.sketches import hash60
+    from ferenda_spark.operators.fusion import fold_claims
+
+    claims = _fusion_claims_df(spark, sf_dir)
+    split = hash60(F.concat_ws("|", "source", "subj", "pred", "obj")) % 2
+    b1 = claims.where(split == 0)
+    b2 = claims.where(split == 1)
+    ts, fs, _ = fold_claims(b1)
+    _, fs2, _ = fold_claims(b2, ts, fs)
+    return fs2.select(
+        "subj", "pred", "obj",
+        F.round("belief", 6).alias("belief"),
+        "n_sources",
+    )
+
+
+def _fusion_fold_oracle() -> str:
+    return f"""
+    WITH claims_all AS ({_FUSION_CLAIMS_SQL}),
+    b1 AS (
+        SELECT DISTINCT source, subj, pred, obj FROM claims_all
+        WHERE try_cast('0x' || substr(md5(source || '|' || subj || '|' || pred
+              || '|' || obj), 1, 15) AS BIGINT) % 2 = 0),
+    b2 AS (
+        SELECT DISTINCT source, subj, pred, obj FROM claims_all
+        WHERE try_cast('0x' || substr(md5(source || '|' || subj || '|' || pred
+              || '|' || obj), 1, 15) AS BIGINT) % 2 = 1),
+    fact1 AS (
+        SELECT subj, pred, obj,
+               CAST(count(*) AS DOUBLE) AS belief,
+               count(*) AS n_sources
+        FROM b1 GROUP BY 1, 2, 3),
+    norm1 AS (
+        SELECT subj, pred, sum(belief) AS total
+        FROM fact1 GROUP BY 1, 2),
+    conf1 AS (
+        SELECT f.subj, f.pred, f.obj, f.belief / n.total AS confidence
+        FROM fact1 f JOIN norm1 n USING (subj, pred)),
+    trust1 AS (
+        SELECT b.source, count(*) AS n_claims,
+               sum(c.confidence) AS sum_conf
+        FROM b1 b JOIN conf1 c USING (subj, pred, obj)
+        GROUP BY b.source),
+    bt2 AS (
+        SELECT b.subj, b.pred, b.obj,
+               coalesce(t.sum_conf / t.n_claims, 1.0) AS trust
+        FROM b2 b LEFT JOIN trust1 t USING (source)),
+    delta2 AS (
+        SELECT subj, pred, obj, sum(trust) AS d_belief,
+               count(*) AS d_sources
+        FROM bt2 GROUP BY 1, 2, 3)
+    SELECT coalesce(f.subj, d.subj) AS subj,
+           coalesce(f.pred, d.pred) AS pred,
+           coalesce(f.obj, d.obj) AS obj,
+           CAST(round(coalesce(f.belief, 0.0) + coalesce(d.d_belief, 0.0),
+                      6) AS DOUBLE) AS belief,
+           coalesce(f.n_sources, 0) + coalesce(d.d_sources, 0)
+               AS n_sources
+    FROM fact1 f FULL OUTER JOIN delta2 d
+      ON f.subj = d.subj AND f.pred = d.pred AND f.obj = d.obj"""
+
+
+def _q_streaming_fusion(spark, sf_dir):
+    """Streaming fusion-state maintenance
+    (streaming/fusion.py:run_stream_to_fusion): the SAME two md5-parity
+    claim batches as fusion_fold_state, but drained through
+    Trigger.AvailableNow foreachBatch folds into the snapshot-backed
+    state (replay-guarded, exactly-once). Returns the facts table from
+    the final snapshot — the oracle is fusion_fold_state's two-fold SQL
+    verbatim, so the streaming plumbing (snapshot round-trips, batch
+    ordering, upsert wiring) gets the same value-hash check as the
+    direct fold."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+
+    from ferenda_spark.functions.sketches import hash60
+    from ferenda_spark.sources.snapshots import read_snapshot
+    from ferenda_spark.streaming.fusion import run_stream_to_fusion
+
+    claims = _fusion_claims_df(spark, sf_dir)
+    split = hash60(F.concat_ws("|", "source", "subj", "pred", "obj")) % 2
+    b1, b2 = claims.where(split == 0), claims.where(split == 1)
+
+    _dirtag = _hashlib.sha256(
+        _os.path.abspath(sf_dir.rstrip("/")).encode()).hexdigest()[:16]
+    base = f"/tmp/ferenda_spark_streamfuse_q_{_dirtag}"
+    _shutil.rmtree(base, ignore_errors=True)
+    src_dir, root, ckpt = f"{base}/src", f"{base}/state", f"{base}/ckpt"
+    schema = "source string, subj string, pred string, obj string"
+
+    b1.write.mode("append").parquet(src_dir)
+    run_stream_to_fusion(
+        spark.readStream.schema(schema).parquet(src_dir), root, ckpt)
+    b2.write.mode("append").parquet(src_dir)
+    run_stream_to_fusion(
+        spark.readStream.schema(schema).parquet(src_dir), root, ckpt)
+    facts = read_snapshot(spark, _os.path.join(root, "facts"))
+    return facts.select(
+        "subj", "pred", "obj",
+        F.round("belief", 6).alias("belief"), "n_sources",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -5895,6 +6194,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_edges": _q_ktruss_edges,
         "pagerank_warm": _q_pagerank_warm,
         "interval_coalesce": _q_interval_coalesce,
+        "vocab_alignment": _q_vocab_alignment,
+        "graph_summary_stats": _q_graph_summary_stats,
+        "fusion_fold_state": _q_fusion_fold_state,
+        "streaming_fusion": _q_streaming_fusion,
         # rows-only (non-SQL-expressible) below
         "generate_html": _q_generate_html,
         "curation_report": _q_curation_report,
@@ -7807,4 +8110,8 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_edges": _ktruss_oracle(),
         "pagerank_warm": _pagerank_warm_oracle(),
         "interval_coalesce": _INTERVAL_COALESCE_ORACLE,
+        "vocab_alignment": _VOCAB_ALIGNMENT_ORACLE,
+        "graph_summary_stats": _GRAPH_SUMMARY_ORACLE,
+        "fusion_fold_state": _fusion_fold_oracle(),
+        "streaming_fusion": _fusion_fold_oracle(),
     }

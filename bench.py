@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     "ktruss_edges",
     "pagerank_warm",
     "interval_coalesce",
+    "vocab_alignment",
+    "graph_summary_stats",
+    "fusion_fold_state",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs

@@ -169,3 +169,110 @@ def host_report(
         .alias("exact_dup_share"),
         F.round("_mq", 6).alias("mean_quality"),
     )
+
+
+def graph_summary(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One-row structural profile of a directed graph:
+
+        (n_nodes, n_edges, n_self_loops, reciprocity, out_gini,
+         max_out_share, dangling_share)
+
+    The cheap whole-graph health gauges a crawl operator reads before
+    spending on the iterative family: ``reciprocity`` (share of directed
+    edges whose reverse also exists — organic link neighborhoods are
+    partially reciprocal, link farms are near-1.0, feed aggregators
+    near-0.0), ``out_gini`` (Gini coefficient of the out-degree
+    distribution — how hub-dominated the graph is; drives the
+    salting/cap decisions the skew profiler makes per-key),
+    ``max_out_share`` (largest single source's share of all edges) and
+    ``dangling_share`` (nodes with no out-edges — sizes pagerank's
+    dangling-mass term).
+
+    Shape: edges deduped once; reciprocity is ONE self-equi-join on the
+    swapped key; the Gini is computed from the out-degree table with a
+    rank window over DEGREE VALUES (degree-distinct rows, not nodes —
+    the window input is bounded by the number of DISTINCT degrees, never
+    corpus-sized, because equal degrees share a mean rank analytically:
+    Gini = Σ deg·(2·midrank − n − 1) / (n·Σ deg) computed per degree
+    GROUP). Everything else is map-side-combined aggregates; the final
+    assembly is scalar one-row joins (annotated single-partition)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .distinct()
+        .persist()
+    )
+    loops = e.where(F.col("a") == F.col("b"))
+    clean = e.where(F.col("a") != F.col("b"))
+    nodes = (
+        clean.select(F.col("a").alias("n"))
+        .unionAll(clean.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    recip = clean.join(
+        clean.select(F.col("b").alias("a"), F.col("a").alias("b")),
+        ["a", "b"], "left_semi",
+    )
+    outdeg = clean.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # Gini over node out-degrees, dangling nodes counted as degree 0.
+    # Per-degree-VALUE groups with analytic mid-ranks keep the window
+    # input |distinct degrees|-sized.
+    from pyspark.sql import Window
+
+    ddist = (
+        nodes.join(outdeg.withColumnRenamed("a", "n"), "n", "left")
+        .select(F.coalesce("deg", F.lit(0)).alias("deg"))
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wd = Window.orderBy("deg").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = ddist.select(
+        "deg", "cnt",
+        (F.coalesce(F.sum("cnt").over(wd), F.lit(0)) + (F.col("cnt") + 1) / 2.0
+         ).alias("midrank"),
+    )
+    totals = ranked.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("deg") * F.col("cnt")).alias("sdeg"),
+        F.sum(F.col("deg") * F.col("cnt") * (2.0 * F.col("midrank")))
+        .alias("wsum"),
+    )
+    gini = totals.select(
+        "n",
+        F.when(
+            F.col("sdeg") > 0,
+            (F.col("wsum") - (F.col("n") + 1) * F.col("sdeg"))
+            / (F.col("n") * F.col("sdeg")),
+        ).otherwise(F.lit(0.0)).alias("out_gini"),
+    )
+    counts = (
+        clean.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(F.broadcast(loops.agg(
+            F.count(F.lit(1)).alias("n_self_loops"))))
+        .crossJoin(F.broadcast(recip.agg(
+            F.count(F.lit(1)).alias("n_recip"))))
+        .crossJoin(F.broadcast(outdeg.agg(
+            F.coalesce(F.max("deg"), F.lit(0)).alias("max_out"))))
+        .crossJoin(F.broadcast(outdeg.agg(
+            F.count(F.lit(1)).alias("n_sources"))))
+        .crossJoin(F.broadcast(gini))
+    )
+    out = counts.select(
+        F.col("n").alias("n_nodes"),
+        "n_edges",
+        "n_self_loops",
+        F.when(F.col("n_edges") > 0,
+               F.col("n_recip") / F.col("n_edges"))
+         .otherwise(F.lit(0.0)).alias("reciprocity"),
+        F.col("out_gini"),
+        F.when(F.col("n_edges") > 0,
+               F.col("max_out") / F.col("n_edges"))
+         .otherwise(F.lit(0.0)).alias("max_out_share"),
+        ((F.col("n") - F.col("n_sources")) / F.col("n"))
+        .alias("dangling_share"),
+    )
+    e.unpersist()
+    return out
