@@ -6015,8 +6015,10 @@ def _q_streaming_fusion(spark, sf_dir):
     import shutil as _shutil
 
     from ferenda_spark.functions.sketches import hash60
-    from ferenda_spark.sources.snapshots import read_snapshot
-    from ferenda_spark.streaming.fusion import run_stream_to_fusion
+    from ferenda_spark.streaming.fusion import (
+        read_fusion_state,
+        run_stream_to_fusion,
+    )
 
     claims = _fusion_claims_df(spark, sf_dir)
     split = hash60(F.concat_ws("|", "source", "subj", "pred", "obj")) % 2
@@ -6035,7 +6037,7 @@ def _q_streaming_fusion(spark, sf_dir):
     b2.write.mode("append").parquet(src_dir)
     run_stream_to_fusion(
         spark.readStream.schema(schema).parquet(src_dir), root, ckpt)
-    facts = read_snapshot(spark, _os.path.join(root, "facts"))
+    _, facts, _ = read_fusion_state(spark, root)
     return facts.select(
         "subj", "pred", "obj",
         F.round("belief", 6).alias("belief"), "n_sources",

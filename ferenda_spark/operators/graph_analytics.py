@@ -745,6 +745,8 @@ def betweenness_sample(
     frontier = state
     max_d = 0
     try:
+        # on a forward-phase failure the edge cache must not leak (the
+        # normal path frees it after the backward phase)
         for h in range(1, max_depth + 1):
             cand = (
                 frontier.join(e, frontier["node"] == e["a"])
@@ -764,6 +766,9 @@ def betweenness_sample(
                 break
             max_d = h
         state = cad.finish(state)
+    except BaseException:
+        e.unpersist()
+        raise
     finally:
         cad.close()
 

@@ -113,9 +113,12 @@ def coalesce_intervals(
     max + running sum compile to a single shuffle + sort per key — hot
     facts spread across keys) and one map-side-combined final
     aggregation; type-generic over any orderable from/to (ints,
-    timestamps). ``to_col`` must be non-NULL — open-ended intervals are
-    a versioning concept (fact_versions' is_current), not an attestation
-    window. Oracle-replayable: the SQL spelling is identical windows.
+    timestamps — though a non-zero ``gap`` needs NUMERIC bounds, since
+    it is added to the running max end; pre-cast timestamps to epoch
+    seconds to use gap semantics on them). ``to_col`` must be non-NULL —
+    open-ended intervals are a versioning concept (fact_versions'
+    is_current), not an attestation window. Oracle-replayable: the SQL
+    spelling is identical windows.
     """
     keys = list(key_cols)
     w = Window.partitionBy(*keys).orderBy(from_col, to_col)

@@ -7,8 +7,12 @@ from __future__ import annotations
 import pytest
 
 from ferenda_spark.operators.fusion import fold_claims
-from ferenda_spark.sources.snapshots import current_version, read_snapshot
-from ferenda_spark.streaming.fusion import fusion_sink, run_stream_to_fusion
+from ferenda_spark.sources.snapshots import current_version
+from ferenda_spark.streaming.fusion import (
+    fusion_sink,
+    read_fusion_state,
+    run_stream_to_fusion,
+)
 
 SCHEMA = "source string, subj string, pred string, obj string"
 
@@ -28,9 +32,10 @@ def _claims(spark, rows):
 
 
 def _facts(spark, root):
+    _, facts, _ = read_fusion_state(spark, root)
     return {
         (r.subj, r.pred, r.obj): (round(r.belief, 9), r.n_sources)
-        for r in read_snapshot(spark, root + "/facts").collect()
+        for r in facts.collect()
     }
 
 
@@ -50,8 +55,9 @@ def test_stream_folds_equal_direct_chaining(spark, dirs):
     want_facts = {(r.subj, r.pred, r.obj): (round(r.belief, 9), r.n_sources)
                   for r in fs2.collect()}
     assert _facts(spark, root) == want_facts
+    trust_tab, _, _ = read_fusion_state(spark, root)
     got_trust = {r.source: (r.n_claims, round(r.sum_conf, 9))
-                 for r in read_snapshot(spark, root + "/trust").collect()}
+                 for r in trust_tab.collect()}
     want_trust = {r.source: (r.n_claims, round(r.sum_conf, 9))
                   for r in ts2.collect()}
     assert got_trust == want_trust
@@ -61,12 +67,12 @@ def test_resolved_upsert_keeps_untouched_keys(spark, dirs):
     _, root, _ = dirs
     sink = fusion_sink(root)
     sink(_claims(spark, B1), batch_id=0)
-    r1 = {(r.subj, r.pred): r.obj
-          for r in read_snapshot(spark, root + "/resolved").collect()}
+    _, _, res1 = read_fusion_state(spark, root)
+    r1 = {(r.subj, r.pred): r.obj for r in res1.collect()}
     assert r1[("e1", "p")] == "x"  # majority
     sink(_claims(spark, B2), batch_id=1)
-    r2 = {(r.subj, r.pred): r.obj
-          for r in read_snapshot(spark, root + "/resolved").collect()}
+    _, _, res2 = read_fusion_state(spark, root)
+    r2 = {(r.subj, r.pred): r.obj for r in res2.collect()}
     assert r2[("e1", "p")] == "x"       # untouched key carried forward
     assert ("e3", "p") in r2            # new key upserted
     # e2 now has two candidates; winner deterministic (min obj on tie
@@ -78,8 +84,8 @@ def test_replayed_batch_is_skipped(spark, dirs):
     _, root, _ = dirs
     sink = fusion_sink(root)
     sink(_claims(spark, B1), batch_id=0)
-    v1 = current_version(spark, root + "/trust")
+    v1 = current_version(spark, root)
     before = _facts(spark, root)
     sink(_claims(spark, B1), batch_id=0)  # replay must not double-count
-    assert current_version(spark, root + "/trust") == v1
+    assert current_version(spark, root) == v1
     assert _facts(spark, root) == before

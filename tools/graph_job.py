@@ -363,7 +363,7 @@ def main() -> None:
     )
     from ferenda_spark.operators.labelspread import spread_labels
 
-    if only is None or "fact_fusion" in only:
+    if only is None or {"fact_fusion", "fusion_fold"} & only:
         # claims: 8 per node over n/2 facts from n/64 sources, ~20%
         # contradicted — the conflict profile a multi-host harvest has
         claims_path = os.path.join(out_dir, "claims")
@@ -390,6 +390,30 @@ def main() -> None:
              .agg(F.count("*").alias("n"),
                   F.sum("confidence").alias("s")).collect()][0],
         )))
+
+        # incremental fold: 99% of claims as prior state, +1% delta batch
+        # (the nightly-crawl shape update_components measures for CC)
+        from ferenda_spark.operators.fusion import fold_claims
+
+        is_new_c = F.pmod(
+            F.xxhash64("source", "subj", "obj", F.lit("cb")), F.lit(100)
+        ) == 0
+        c_hist = claims.filter(~is_new_c)
+        c_batch = claims.filter(is_new_c)
+        # bootstrap fold of the 99% history is SETUP (fold_claims returns
+        # eagerly-checkpointed frames, so the work happens here) — the
+        # measured leg is the +1% delta fold alone, the nightly shape
+        note("bootstrapping fusion state (untimed)")
+        ts0, fs0, _ = fold_claims(c_hist)
+
+        def run_fold():
+            ts2, fs2, delta = fold_claims(c_batch, ts0, fs0)
+            n_delta = delta.count()
+            return {"n_state_facts": fs2.count(),
+                    "n_batch_claims": c_batch.count(),
+                    "n_touched_keys": n_delta}
+
+        timed("fusion_fold", run_fold)
 
     def run_spread():
         seeds = (
