@@ -203,29 +203,54 @@ def main() -> None:
     qtimes["kg_pipeline"] = round(kg_secs, 3)
     total += kg_secs
 
-    print(
-        json.dumps(
-            {
-                "metric": "kg_construct+relational bench wall time",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": qtimes,
-                "sf": sf,
-                "kg_docs": KG_DOCS,
-                "kg_triples": n_triples,
-                "kg_docs_per_sec": round(KG_DOCS / kg_secs, 1),
-                "kg_triples_per_sec": round(n_triples / kg_secs, 1),
-                "cpus": CPUS,
-                "best_of": BEST_OF,
-                "note": (
-                    f"kg_docs_per_sec is the {KG_DOCS}-doc fixed-cost-"
-                    "dominated bench figure; steady-state throughput is the "
-                    "1M-doc run in BENCH/BASELINE.md (e.g. 7432 docs/s at "
-                    "local[8] on the round-1 box)"
-                ),
-            }
-        )
-    )
+    full = {
+        "metric": "kg_construct+relational bench wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "kg_docs": KG_DOCS,
+        "kg_triples": n_triples,
+        "kg_docs_per_sec": round(KG_DOCS / kg_secs, 1),
+        "kg_triples_per_sec": round(n_triples / kg_secs, 1),
+        "cpus": CPUS,
+        "best_of": BEST_OF,
+        "note": (
+            f"kg_docs_per_sec is the {KG_DOCS}-doc fixed-cost-"
+            "dominated bench figure; steady-state throughput is the "
+            "1M-doc run in BENCH/BASELINE.md (e.g. 7432 docs/s at "
+            "local[8] on the round-1 box); full per-query record in "
+            "BENCH/local_latest.json"
+        ),
+    }
+    # the driver captures only the LAST 2000 chars of stdout and parses
+    # the JSON line out of that tail — round 3's 65-query line overflowed
+    # it and the driver recorded parsed=null. Keep the full record as a
+    # committed artifact, and shrink the PRINTED line to fit: 2-decimal
+    # walls, then drop the fastest sub-second queries (counted in
+    # queries_omitted) until the line fits the capture window.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "local_latest.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+    out = dict(full)
+    out["queries"] = {k: round(v, 2) for k, v in qtimes.items()}
+    out["note"] = "full per-query record in BENCH/local_latest.json"
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        omitted = 0
+        for k in sorted(qtimes, key=lambda k: qtimes[k]):
+            if len(line) <= 1900:
+                break
+            if qtimes[k] >= 1.0:
+                break  # never drop a >=1s query from the printed record
+            del out["queries"][k]
+            omitted += 1
+            out["queries_omitted_subsecond"] = omitted
+            line = json.dumps(out, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

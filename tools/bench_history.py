@@ -21,7 +21,11 @@ def load_run(path: str) -> dict | None:
         d = json.load(f)
     if "parsed" in d:  # driver wrapper shape (BENCH_r*.json)
         d = d["parsed"]
-    if "queries" not in d:
+    # r03's driver record has parsed=null: the 65-query JSON line
+    # overflowed the driver's 2000-char stdout tail capture (bench.py
+    # now shrinks its printed line to fit; the local_*.json files carry
+    # the full per-query record for such rounds)
+    if not isinstance(d, dict) or "queries" not in d:
         return None
     return d
 
