@@ -6044,6 +6044,113 @@ def _q_streaming_fusion(spark, sf_dir):
     )
 
 
+def _q_entity_disambiguation(spark, sf_dir):
+    """Context NED scoring (operators/disambig.py:disambiguate — the
+    stage between alias blocking and linking that breaks homonym ties):
+    entity profiles are docs 0-19's text, mentions are docs 100-199's
+    text, each mention carries three arithmetic candidates. The oracle
+    replays the whole tf-idf cosine — profile tf, smoothed idf, both L2
+    norms, the argmax and the top-2 margin."""
+    from ferenda_spark.operators.disambig import disambiguate
+
+    d = _t(spark, sf_dir, "documents")
+    profiles = d.where(F.col("doc_id") < 20).select(
+        F.concat(F.lit("E"), F.col("doc_id").cast("string")).alias("entity"),
+        F.col("text").alias("profile"),
+    )
+    ment = d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    mentions = ment.select(
+        F.col("doc_id").alias("mention_id"), F.col("text").alias("context")
+    )
+    cands = None
+    for mult in (1, 7, 13):
+        c = ment.select(
+            F.col("doc_id").alias("mention_id"),
+            F.concat(F.lit("E"),
+                     ((F.col("doc_id") * mult) % 20).cast("string"))
+            .alias("entity"),
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    out = disambiguate(mentions, cands, profiles)
+    return out.select(
+        "mention_id", "entity",
+        F.round("score", 6).alias("score"),
+        F.round("margin", 6).alias("margin"),
+        "n_candidates",
+    )
+
+
+_DISAMBIG_ORACLE = r"""
+    WITH prof AS (
+        SELECT 'E' || doc_id AS entity, text FROM documents
+        WHERE doc_id < 20),
+    ment AS (
+        SELECT doc_id AS mention_id, text FROM documents
+        WHERE doc_id >= 100 AND doc_id < 200),
+    cand AS (
+        SELECT DISTINCT mention_id, 'E' || ((mention_id * m) % 20) AS entity
+        FROM ment, unnest([1, 7, 13]) AS u(m)),
+    ptok AS (
+        SELECT entity, unnest(list_filter(
+            string_split_regex(trim(lower(text)), '\s+'),
+            t -> t != '')) AS tok
+        FROM prof),
+    tf AS (SELECT entity, tok, count(*) AS tf FROM ptok GROUP BY 1, 2),
+    nent AS (SELECT count(DISTINCT entity) AS n FROM prof),
+    dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    idf AS (
+        SELECT tok,
+               ln(((SELECT n FROM nent) + 1.0) / (df + 1.0)) + 1.0 AS idf
+        FROM dfq),
+    w AS (SELECT entity, tok, tf * idf AS w FROM tf JOIN idf USING (tok)),
+    pnorm AS (SELECT entity, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1),
+    ctok AS (
+        SELECT mention_id, unnest(list_filter(
+            string_split_regex(trim(lower(text)), '\s+'),
+            t -> t != '')) AS tok
+        FROM ment),
+    ctf AS (SELECT mention_id, tok, count(*) AS ctf FROM ctok GROUP BY 1, 2),
+    cw AS (SELECT mention_id, tok, ctf * idf AS cw
+           FROM ctf JOIN idf USING (tok)),
+    cnorm AS (SELECT mention_id, sqrt(sum(cw * cw)) AS cnorm
+              FROM cw GROUP BY 1),
+    pairs AS (
+        SELECT c.mention_id, c.entity, sum(cw.cw * w.w) AS dot
+        FROM cand c
+        JOIN cw ON cw.mention_id = c.mention_id
+        JOIN w ON w.entity = c.entity AND w.tok = cw.tok
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT c.mention_id, c.entity,
+               CASE WHEN p.dot IS NOT NULL AND cn.cnorm > 0 AND pn.norm > 0
+                    THEN p.dot / (cn.cnorm * pn.norm)
+                    ELSE 0.0 END AS score
+        FROM cand c
+        LEFT JOIN pairs p
+          ON p.mention_id = c.mention_id AND p.entity = c.entity
+        LEFT JOIN cnorm cn ON cn.mention_id = c.mention_id
+        LEFT JOIN pnorm pn ON pn.entity = c.entity),
+    best AS (
+        SELECT mention_id, entity, score, n_candidates FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY mention_id
+                ORDER BY score DESC, entity ASC) AS rn,
+                count(*) OVER (PARTITION BY mention_id) AS n_candidates
+            FROM scored)
+        WHERE rn = 1),
+    sec AS (
+        SELECT s.mention_id, max(s.score) AS second
+        FROM scored s JOIN best b
+          ON b.mention_id = s.mention_id AND s.entity <> b.entity
+        GROUP BY 1)
+    SELECT b.mention_id, b.entity,
+           CAST(round(b.score, 6) AS DOUBLE) AS score,
+           CAST(round(b.score - coalesce(sec.second, b.score), 6)
+                AS DOUBLE) AS margin,
+           CAST(b.n_candidates AS BIGINT) AS n_candidates
+    FROM best b LEFT JOIN sec USING (mention_id)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -6200,6 +6307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary_stats": _q_graph_summary_stats,
         "fusion_fold_state": _q_fusion_fold_state,
         "streaming_fusion": _q_streaming_fusion,
+        "entity_disambiguation": _q_entity_disambiguation,
         # rows-only (non-SQL-expressible) below
         "generate_html": _q_generate_html,
         "curation_report": _q_curation_report,
@@ -8116,4 +8224,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_summary_stats": _GRAPH_SUMMARY_ORACLE,
         "fusion_fold_state": _fusion_fold_oracle(),
         "streaming_fusion": _fusion_fold_oracle(),
+        "entity_disambiguation": _DISAMBIG_ORACLE,
     }

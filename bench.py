@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "vocab_alignment",
     "graph_summary_stats",
     "fusion_fold_state",
+    "entity_disambiguation",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs
