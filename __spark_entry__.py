@@ -6151,6 +6151,73 @@ _DISAMBIG_ORACLE = r"""
     FROM best b LEFT JOIN sec USING (mention_id)"""
 
 
+def _q_dedup_cluster_audit(spark, sf_dir):
+    """Near-dup cluster-quality audit (operators/dedup.py:audit_clusters
+    — exact shingle Jaccard over capped intra-cluster pairs, the
+    false-merge detector for the blocking family): synthetic clusters
+    comp = doc_id % 60, 5 audited members each. The oracle recomputes
+    exact Jaccard over shingle STRINGS (64-bit fingerprint injectivity,
+    same argument as shingle_fingerprint_stats), so a drift in the
+    member cap, the pair enumeration, or the set arithmetic breaks it."""
+    from ferenda_spark.operators.dedup import audit_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    comps = d.select(
+        F.col("doc_id").alias("node"),
+        (F.col("doc_id") % 60).alias("comp"),
+    )
+    out = audit_clusters(comps, d, max_members=5)
+    return out.select(
+        "comp", "n_members", "n_pairs",
+        F.round("mean_jaccard", 6).alias("mean_jaccard"),
+        F.round("min_jaccard", 6).alias("min_jaccard"),
+    )
+
+
+_DEDUP_AUDIT_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id, doc_id % 60 AS comp,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x != '') AS toks
+        FROM documents),
+    g AS (
+        SELECT doc_id, comp,
+               CASE
+                 WHEN len(toks) >= 3 THEN list_distinct(
+                      list_transform(generate_series(1, len(toks) - 2),
+                          i -> concat_ws(' ', toks[i], toks[i+1],
+                                         toks[i+2])))
+                 WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                 ELSE [] END AS sh
+        FROM t),
+    sizes AS (SELECT comp, count(*) AS n_members FROM g GROUP BY comp),
+    capped AS (
+        SELECT * FROM (
+            SELECT doc_id, comp, sh, row_number() OVER (
+                PARTITION BY comp ORDER BY doc_id) AS rn
+            FROM g)
+        WHERE rn <= 5),
+    pairs AS (
+        SELECT l.comp,
+               len(list_intersect(l.sh, r.sh)) AS inter,
+               len(l.sh) + len(r.sh)
+                   - len(list_intersect(l.sh, r.sh)) AS un
+        FROM capped l JOIN capped r
+          ON l.comp = r.comp AND l.rn < r.rn),
+    scored AS (
+        SELECT comp,
+               CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un
+                    ELSE 1.0 END AS j
+        FROM pairs),
+    agg AS (
+        SELECT comp, count(*) AS n_pairs, avg(j) AS mj, min(j) AS mnj
+        FROM scored GROUP BY comp)
+    SELECT agg.comp, sizes.n_members, agg.n_pairs,
+           CAST(round(agg.mj, 6) AS DOUBLE) AS mean_jaccard,
+           CAST(round(agg.mnj, 6) AS DOUBLE) AS min_jaccard
+    FROM agg JOIN sizes ON agg.comp = sizes.comp"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -6308,6 +6375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fusion_fold_state": _q_fusion_fold_state,
         "streaming_fusion": _q_streaming_fusion,
         "entity_disambiguation": _q_entity_disambiguation,
+        "dedup_cluster_audit": _q_dedup_cluster_audit,
         # rows-only (non-SQL-expressible) below
         "generate_html": _q_generate_html,
         "curation_report": _q_curation_report,
@@ -8225,4 +8293,5 @@ def oracle_sql() -> dict[str, str]:
         "fusion_fold_state": _fusion_fold_oracle(),
         "streaming_fusion": _fusion_fold_oracle(),
         "entity_disambiguation": _DISAMBIG_ORACLE,
+        "dedup_cluster_audit": _DEDUP_AUDIT_ORACLE,
     }

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "graph_summary_stats",
     "fusion_fold_state",
     "entity_disambiguation",
+    "dedup_cluster_audit",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs

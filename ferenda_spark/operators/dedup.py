@@ -534,3 +534,91 @@ def dedup_clean_text(
             "n_kept_chunks", F.coalesce("n_kept_chunks", F.lit(0))
         )
     )
+
+
+def audit_clusters(
+    components: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    comp_node_col: str = "node",
+    comp_col: str = "comp",
+    *,
+    k_shingle: int = 3,
+    max_members: int = 6,
+) -> DataFrame:
+    """Measure near-dup CLUSTER quality with exact shingle Jaccard over
+    sampled intra-cluster pairs → one row per audited cluster:
+
+        (comp, n_members, n_pairs, mean_jaccard, min_jaccard)
+
+    The "measure, don't guess" companion to the MinHash/LSH/SimHash
+    blocking family: blocking is probabilistic, and its clusters are
+    consumed as if every member were a duplicate of every other. This
+    audit computes the EXACT k-gram Jaccard on up to ``max_members``
+    members per cluster (the smallest ids — deterministic) and reports
+    the mean and the MINIMUM pairwise similarity; a cluster whose min is
+    far below the blocking threshold is a false merge about to delete a
+    non-duplicate document. At 10^12 docs the full quadratic check is
+    impossible — the cap bounds audited pairs at
+    clusters · C(max_members, 2) while still catching degenerate merges
+    (a bad cluster's WORST pair is what the min surfaces, and sampling
+    the smallest ids is unbiased w.r.t. content because ids are
+    crawl-order, not similarity-order).
+
+    Shape: one membership join, one per-cluster rank window (keyed by
+    cluster — no global sort), one capped self-join on the cluster key
+    (fan-out ≤ C(max_members, 2) per cluster BY CONSTRUCTION), exact
+    set ops JVM-side (array_intersect on distinct fingerprint arrays).
+    Pairs where both shingle sets are empty score 1.0 (two empty texts
+    are duplicates); one-sided-empty pairs score 0.0. Clusters with
+    fewer than 2 members after the cap produce no row (nothing to
+    audit). Oracle-replayable via the shingle-STRING form (64-bit
+    fingerprint injectivity — same argument as shingle_fingerprint_stats).
+    """
+    from pyspark.sql import Window
+
+    from ferenda_spark.functions.textstats import shingle_fingerprints
+
+    members = components.select(
+        F.col(comp_col).alias("comp"), F.col(comp_node_col).alias("node")
+    ).join(
+        docs.select(F.col(id_col).alias("node"),
+                    F.array_distinct(
+                        shingle_fingerprints(F.col(text_col), k_shingle)
+                    ).alias("sh")),
+        "node",
+    )
+    sizes = members.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    w = Window.partitionBy("comp").orderBy("node")
+    capped = (
+        members.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_members)
+    )
+    l = capped.select("comp", F.col("node").alias("a"),
+                      F.col("sh").alias("sha"), F.col("rn").alias("ra"))
+    r = capped.select("comp", F.col("node").alias("b"),
+                      F.col("sh").alias("shb"), F.col("rn").alias("rb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    pairs = (
+        l.join(r, "comp")
+        .where(F.col("ra") < F.col("rb"))
+        .select(
+            "comp",
+            F.when(union > 0, inter / union)
+             .otherwise(F.lit(1.0)).alias("j"),
+        )
+    )
+    return (
+        pairs.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.avg("j").alias("mean_jaccard"),
+            F.min("j").alias("min_jaccard"),
+        )
+        .join(sizes, "comp")
+        .select("comp", "n_members", "n_pairs", "mean_jaccard",
+                "min_jaccard")
+    )
