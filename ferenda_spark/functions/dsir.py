@@ -74,6 +74,7 @@ def dsir_log_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 1024,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Per-raw-document importance estimate → ``(id, log_weight)``.
 
@@ -112,6 +113,10 @@ def dsir_log_weights(
         .groupBy("id")
         .agg(F.sum(F.col("cnt") * F.col("lr")).alias("log_weight"))
     )
+    if not checkpoint:
+        # composition/plan-audit path: caller keeps the raw plan (and
+        # with it the per_doc cache lifetime responsibility)
+        return out
     from ferenda_spark.checkpoint import truncate_checkpoint
 
     out = truncate_checkpoint(out)

@@ -228,3 +228,64 @@ def test_host_report_no_window_for_mode(spark):
     plan = _plan(host_report(df))
     assert "Window" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_dsir_ratio_join_is_broadcast(spark):
+    """The bucket-ratio table (n_buckets rows) must reach the per-doc
+    scoring join as a broadcast — a shuffled join there would hash the
+    whole corpus's bucket counts for a 1024-row build side."""
+    from ferenda_spark.functions.dsir import dsir_log_weights
+
+    raw = spark.createDataFrame(
+        [(i, f"w{i % 7} common text tokens here") for i in range(40)],
+        "doc_id bigint, text string")
+    tgt = raw.limit(5)
+    plan = _plan(dsir_log_weights(raw, tgt, n_buckets=64, checkpoint=False))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_disambig_no_window_no_cartesian(spark):
+    """Disambiguation's argmax is a struct-min aggregation and every
+    join is candidate- or token-keyed — no window over candidate lists,
+    no cross product."""
+    from ferenda_spark.operators.disambig import disambiguate
+
+    m = spark.createDataFrame([(1, "a b c")], "mention_id bigint, context string")
+    c = spark.createDataFrame([(1, "e1"), (1, "e2")],
+                              "mention_id bigint, entity string")
+    p = spark.createDataFrame([("e1", "a b"), ("e2", "c d")],
+                              "entity string, profile string")
+    plan = _plan(disambiguate(m, c, p))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_audit_clusters_pair_join_is_keyed(spark):
+    """The audit's pair enumeration must be an equi-join on the cluster
+    key (fan-out bounded by the member cap), never a nested-loop."""
+    from ferenda_spark.operators.dedup import audit_clusters
+
+    comps = spark.createDataFrame([(i, i % 3) for i in range(12)],
+                                  "node bigint, comp bigint")
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with words") for i in range(12)],
+        "doc_id bigint, text string")
+    plan = _plan(audit_clusters(comps, docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_coalesce_intervals_single_exchange(spark):
+    """Both gaps-and-islands windows plus the island aggregate must ride
+    ONE key-partitioned exchange (plus at most AQE reads) — a second
+    corpus shuffle would double the operator's cost for nothing."""
+    from ferenda_spark.operators.temporal import coalesce_intervals
+
+    df = spark.createDataFrame(
+        [("s", "p", "v", i * 3, i * 3 + 5) for i in range(20)],
+        "subj string, pred string, value string, "
+        "valid_from bigint, valid_to bigint")
+    plan = _plan(coalesce_intervals(df))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Exchange SinglePartition" not in plan
