@@ -6218,6 +6218,56 @@ _DEDUP_AUDIT_ORACLE = r"""
     FROM agg JOIN sizes ON agg.comp = sizes.comp"""
 
 
+def _q_feature_propagation(spark, sf_dir):
+    """k-hop feature smoothing
+    (operators/graph_analytics.py:propagate_features — the SGC primitive
+    that densifies sparse per-host signals over the link graph): the
+    7i+11j family, every third doc seeded with value (doc_id % 13), two
+    hops, self-inclusive. The oracle unrolls both hops (symmetrized
+    edges + featured self-loops + per-hop mean)."""
+    from ferenda_spark.operators.graph_analytics import propagate_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    c = d.count()
+    e = d.select(
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 11 * F.col("j")) % c).alias("dst"),
+    )
+    feats = d.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("node"),
+        (F.col("doc_id") % 13).cast("double").alias("value"),
+    )
+    out = propagate_features(e, feats, hops=2)
+    return out.select("node", F.round("value", 6).alias("value"))
+
+
+_FEATURE_PROP_ORACLE = """
+    WITH cnt AS (SELECT count(*) AS c FROM documents),
+    e0 AS (
+        SELECT doc_id AS src,
+               (doc_id * 7 + 11 * j) % (SELECT c FROM cnt) AS dst
+        FROM documents, unnest([1, 2, 3]) AS u(j)
+        WHERE (doc_id * 7 + 11 * j) % (SELECT c FROM cnt) <> doc_id),
+    f0 AS (
+        SELECT doc_id AS node, CAST(doc_id % 13 AS DOUBLE) AS value
+        FROM documents WHERE doc_id % 3 = 0),
+    es AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM e0
+            UNION ALL SELECT dst, src FROM e0
+            UNION ALL SELECT node, node FROM f0)),
+    h1 AS (
+        SELECT es.b AS node, avg(f.value) AS value
+        FROM es JOIN f0 f ON f.node = es.a GROUP BY 1),
+    h2 AS (
+        SELECT es.b AS node, avg(f.value) AS value
+        FROM es JOIN h1 f ON f.node = es.a GROUP BY 1)
+    SELECT node, CAST(round(value, 6) AS DOUBLE) AS value FROM h2"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -6376,6 +6426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_fusion": _q_streaming_fusion,
         "entity_disambiguation": _q_entity_disambiguation,
         "dedup_cluster_audit": _q_dedup_cluster_audit,
+        "feature_propagation": _q_feature_propagation,
         # rows-only (non-SQL-expressible) below
         "generate_html": _q_generate_html,
         "curation_report": _q_curation_report,
@@ -8294,4 +8345,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_fusion": _fusion_fold_oracle(),
         "entity_disambiguation": _DISAMBIG_ORACLE,
         "dedup_cluster_audit": _DEDUP_AUDIT_ORACLE,
+        "feature_propagation": _FEATURE_PROP_ORACLE,
     }

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "fusion_fold_state",
     "entity_disambiguation",
     "dedup_cluster_audit",
+    "feature_propagation",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs

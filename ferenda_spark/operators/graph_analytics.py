@@ -909,3 +909,70 @@ def k_truss(
         )
     finally:
         cad.close()
+
+
+def propagate_features(
+    edges: DataFrame,
+    features: DataFrame,
+    node_col: str = "node",
+    value_col: str = "value",
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    hops: int = 2,
+    include_self: bool = True,
+    directed: bool = False,
+) -> DataFrame:
+    """k-hop neighborhood feature smoothing → ``(node, value)``: each hop
+    replaces a node's value with the MEAN over its (optionally
+    self-inclusive) neighborhood — the SGC/feature-propagation primitive
+    (Wu et al. 2019 showed k rounds of this plus a linear model matches
+    a GCN; the data-pipeline use is densifying sparse per-host signals:
+    a freshly-crawled host inherits the smoothed quality/spam score of
+    its link neighborhood).
+
+    Distinct from this module's other spreaders: label_propagation is a
+    discrete argmax, spread_labels is seed-anchored multi-class with a
+    retention term; this is plain dense-signal smoothing — every node
+    starts with a value and drifts toward its neighborhood mean.
+
+    Semantics (oracle-replayable): symmetrized (unless ``directed``)
+    deduped edges; ``include_self`` adds a self-loop to every FEATURED
+    node, so isolated nodes keep their value instead of vanishing; nodes
+    with no feature row contribute nothing and acquire the mean of their
+    featured neighbors (standard missing-feature treatment). Fixed
+    ``hops``, no convergence probe.
+
+    Shape: one edge-keyed equi-join + one map-side-combined (node) mean
+    per hop, cadence-checkpointed — identical per-round cost profile to
+    pagerank's contribution shuffle (edge-sized, no growth across hops).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    if not directed:
+        e = e.unionByName(e.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+    e = e.distinct()
+    state0 = features.select(
+        F.col(node_col).alias("node"), F.col(value_col).alias("value")
+    )
+    if include_self:
+        e = e.unionByName(
+            state0.select(F.col("node").alias("a"),
+                          F.col("node").alias("b"))
+        ).distinct()
+    e = e.persist()
+    cad = _RoundCadence()
+    state = cad.seed(state0)
+    try:
+        for _ in range(hops):
+            state = cad.step(
+                state.join(e, state["node"] == e["a"])
+                .groupBy(F.col("b").alias("node"))
+                .agg(F.avg("value").alias("value"))
+            )
+        return cad.finish(state)
+    finally:
+        cad.close()
+        e.unpersist()
