@@ -6268,6 +6268,72 @@ _FEATURE_PROP_ORACLE = """
     SELECT node, CAST(round(value, 6) AS DOUBLE) AS value FROM h2"""
 
 
+def _q_crawl_budget(spark, sf_dir):
+    """Crawl budget allocation (operators/scheduler.py:
+    allocate_crawl_budget — the capstone composition: link-graph rank ×
+    content quality → per-host budget): host rank is the 7i+11j
+    pagerank rolled up doc→source (doc ranks rounded to the shared
+    6-decimal grain BEFORE the rollup so both engines sum identical
+    quantities), host quality is host_report's mean_quality; 1M-fetch
+    budget, 10% head cap. The oracle composes the unrolled pagerank
+    chain and the host-report SQL."""
+    from ferenda_spark.operators.graph import pagerank
+    from ferenda_spark.operators.profiling import host_report
+    from ferenda_spark.operators.scheduler import allocate_crawl_budget
+
+    d = _t(spark, sf_dir, "documents")
+    c = d.count()
+    e = d.select(
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 11 * F.col("j")) % c).alias("dst"),
+    )
+    pr = pagerank(e, n_iter=6).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+    host_rank = (
+        d.select("doc_id", "source")
+        .join(pr, d["doc_id"] == pr["node"])
+        .groupBy("source")
+        .agg(F.sum("rank").alias("rank"))
+        .withColumnRenamed("source", "host")
+    )
+    hq = host_report(d).select("host", "mean_quality")
+    out = allocate_crawl_budget(
+        host_rank, hq, total_budget=1_000_000, max_share=0.10
+    )
+    return out.select(
+        "host", F.round("score", 6).alias("score"),
+        F.round("share", 6).alias("share"), "budget",
+    )
+
+
+def _crawl_budget_oracle() -> str:
+    pr_sql = _pagerank_oracle(n_iter=6)
+    return f"""
+    WITH pr AS (SELECT * FROM ({pr_sql}) q),
+    hr AS (SELECT doc_id AS d_id, source FROM documents),
+    host_rank AS (
+        SELECT source AS host, sum(rank) AS rank
+        FROM hr JOIN pr ON pr.doc_id = hr.d_id
+        GROUP BY source),
+    hq AS (SELECT host, mean_quality FROM ({_HOST_REPORT_ORACLE}) h),
+    j AS (
+        SELECT host_rank.host, host_rank.rank * hq.mean_quality AS score
+        FROM host_rank JOIN hq USING (host)),
+    tot AS (SELECT sum(score) AS t FROM j),
+    sh AS (
+        SELECT host, score,
+               round(least(score / (SELECT t FROM tot), 0.10), 6) AS share
+        FROM j)
+    SELECT host, CAST(round(score, 6) AS DOUBLE) AS score,
+           CAST(round(share, 6) AS DOUBLE) AS share,
+           CAST(floor(share * 1000000) AS BIGINT) AS budget
+    FROM sh"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "toc_rollup_docs": _q_toc_rollup_docs,
@@ -6427,6 +6493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_disambiguation": _q_entity_disambiguation,
         "dedup_cluster_audit": _q_dedup_cluster_audit,
         "feature_propagation": _q_feature_propagation,
+        "crawl_budget": _q_crawl_budget,
         # rows-only (non-SQL-expressible) below
         "generate_html": _q_generate_html,
         "curation_report": _q_curation_report,
@@ -8346,4 +8413,5 @@ def oracle_sql() -> dict[str, str]:
         "entity_disambiguation": _DISAMBIG_ORACLE,
         "dedup_cluster_audit": _DEDUP_AUDIT_ORACLE,
         "feature_propagation": _FEATURE_PROP_ORACLE,
+        "crawl_budget": _crawl_budget_oracle(),
     }

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "entity_disambiguation",
     "dedup_cluster_audit",
     "feature_propagation",
+    "crawl_budget",
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs

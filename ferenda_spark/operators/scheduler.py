@@ -56,3 +56,71 @@ def schedule_fetches(
             "not_before_ms", F.col("seq").cast("bigint") * F.lit(delay_ms)
         )
     )
+
+
+def allocate_crawl_budget(
+    ranks: DataFrame,
+    quality: DataFrame,
+    total_budget: int,
+    host_col: str = "host",
+    rank_col: str = "rank",
+    quality_col: str = "mean_quality",
+    *,
+    max_share: float = 0.10,
+) -> DataFrame:
+    """Turn the two host-level priors this repo computes — link-graph
+    rank (pagerank/trustrank) and content quality (host_report) — into
+    per-host crawl budgets → ``(host, score, share, budget)``.
+
+    The allocation rule (deterministic, one pass, oracle-replayable):
+
+        score(h) = rank(h) · quality(h)          (inner join; a host
+                                                  missing either prior
+                                                  gets no budget — both
+                                                  signals are cheap and
+                                                  a host without them
+                                                  is a host not yet
+                                                  worth budget)
+        share(h) = round(min(score / Σ score, max_share), 6)
+        budget(h) = floor(share · total_budget)
+
+    The share is rounded to the repo-wide 6-decimal grain BEFORE the
+    floor so budgets are bit-identical across engines, re-runs and
+    cluster sizes (an unrounded share differs at ~1e-15 between
+    aggregation orders, which a floor at an integer boundary would
+    amplify into a whole budget unit).
+
+    ``max_share`` caps any single host (the Zipf head would otherwise
+    absorb the crawl); the clipped excess is deliberately NOT
+    redistributed — re-normalizing would re-concentrate it on the next
+    head host, and the conservative under-allocation (Σ budget ≤ total)
+    is the behavior a polite crawler wants anyway. Shape: one equi-join
+    + one scalar total broadcast + map-only arithmetic; the output is
+    host-sized. Pairs with crawl_schedule (which orders WITHIN a host);
+    this decides HOW MUCH each host gets.
+    """
+    j = ranks.select(
+        F.col(host_col).alias("host"), F.col(rank_col).alias("rank")
+    ).join(
+        quality.select(
+            F.col(host_col).alias("host"),
+            F.col(quality_col).alias("q"),
+        ),
+        "host",
+    ).select("host", (F.col("rank") * F.col("q")).alias("score"))
+    tot = j.agg(F.sum("score").alias("t"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "host",
+            "score",
+            F.round(
+                F.least(F.col("score") / F.col("t"), F.lit(max_share)), 6
+            ).alias("share"),
+        )
+        .select(
+            "host", "score", "share",
+            F.floor(F.col("share") * total_budget).cast("bigint")
+            .alias("budget"),
+        )
+    )

@@ -131,3 +131,32 @@ def test_as_of_view(spark):
     assert {(r["subj"], r["value"]) for r in apr.collect()} == {
         ("e1", "v2"), ("e2", "w"),
     }
+
+
+# --- crawl budget allocation --------------------------------------------
+
+def test_allocate_crawl_budget(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ferenda_spark.operators.scheduler import allocate_crawl_budget
+
+    ranks = spark.createDataFrame(
+        [("h1", 0.5), ("h2", 0.3), ("h3", 0.2), ("h4", 0.9)],
+        "host string, rank double")
+    quality = spark.createDataFrame(
+        [("h1", 0.8), ("h2", 0.5), ("h3", 0.0), ("h5", 1.0)],
+        "host string, mean_quality double")
+    out = {r.host: (r.score, r.share, r.budget)
+           for r in allocate_crawl_budget(
+               ranks, quality, 10000, max_share=0.6).collect()}
+    # h4 (no quality) and h5 (no rank) get nothing; h3 scores 0
+    assert set(out) == {"h1", "h2", "h3"}
+    tot = 0.5 * 0.8 + 0.3 * 0.5 + 0.0
+    assert out["h1"][0] == pytest.approx(0.4)
+    assert out["h1"][1] == pytest.approx(min(0.4 / tot, 0.6))
+    assert out["h1"][2] == int((min(0.4 / tot, 0.6)) * 10000)
+    # the cap binds for h1 (raw share 0.727 > 0.6)
+    assert out["h1"][1] == pytest.approx(0.6)
+    # budgets never exceed total even with the head host capped
+    assert sum(b for _, _, b in out.values()) <= 10000
