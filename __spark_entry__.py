@@ -6321,12 +6321,15 @@ def _crawl_budget_oracle() -> str:
         GROUP BY source),
     hq AS (SELECT host, mean_quality FROM ({_HOST_REPORT_ORACLE}) h),
     j AS (
-        SELECT host_rank.host, host_rank.rank * hq.mean_quality AS score
+        SELECT host_rank.host,
+               greatest(0.0, host_rank.rank * hq.mean_quality) AS score
         FROM host_rank JOIN hq USING (host)),
     tot AS (SELECT sum(score) AS t FROM j),
     sh AS (
         SELECT host, score,
-               round(least(score / (SELECT t FROM tot), 0.10), 6) AS share
+               CASE WHEN (SELECT t FROM tot) > 0
+                    THEN round(least(score / (SELECT t FROM tot), 0.10), 6)
+                    ELSE 0.0 END AS share
         FROM j)
     SELECT host, CAST(round(score, 6) AS DOUBLE) AS score,
            CAST(round(share, 6) AS DOUBLE) AS share,

@@ -84,8 +84,13 @@ def dsir_log_weights(
     """
     tgt = bucket_counts(target, text_col, None, n_buckets)
     # one tokenize pass over the raw corpus: the global histogram is the
-    # per-doc counts re-aggregated (map-side combined), not a second scan
-    per_doc = bucket_counts(raw, text_col, id_col, n_buckets).persist()
+    # per-doc counts re-aggregated (map-side combined), not a second scan.
+    # Persist only on the checkpoint path — with checkpoint=False we hand
+    # the caller an unmaterialized plan and must not leave an orphan cache
+    # the caller has no handle to release.
+    per_doc = bucket_counts(raw, text_col, id_col, n_buckets)
+    if checkpoint:
+        per_doc = per_doc.persist()
     rawg = per_doc.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
     t_tot = tgt.agg(F.sum("cnt").alias("tt"))
     r_tot = rawg.agg(F.sum("cnt").alias("rt"))
@@ -114,8 +119,10 @@ def dsir_log_weights(
         .agg(F.sum(F.col("cnt") * F.col("lr")).alias("log_weight"))
     )
     if not checkpoint:
-        # composition/plan-audit path: caller keeps the raw plan (and
-        # with it the per_doc cache lifetime responsibility)
+        # composition/plan-audit path: caller gets the raw plan; per_doc
+        # is NOT persisted on this path (Spark recomputes the tokenize
+        # pass twice in one job — acceptable for plan audits, and there
+        # is no dangling cache nobody can unpersist)
         return out
     from ferenda_spark.checkpoint import truncate_checkpoint
 

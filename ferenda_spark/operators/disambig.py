@@ -45,10 +45,14 @@ def profile_index(
     profiles: DataFrame,
     entity_col: str = "entity",
     text_col: str = "profile",
-) -> DataFrame:
-    """Entity profiles → idf-weighted token index
-    ``(entity, tok, w, norm)`` with ``norm`` the entity's L2 norm over
-    its weighted tokens. Token weight = tf · idf (tf = in-profile count).
+) -> tuple[DataFrame, DataFrame]:
+    """Entity profiles → ``(index, idf)`` pair of DataFrames:
+    ``index`` is the idf-weighted token index ``(entity, tok, w, norm)``
+    with ``norm`` the entity's L2 norm over its weighted tokens (token
+    weight = tf · idf, tf = in-profile count); ``idf`` is the
+    ``(tok, idf)`` table, returned so :func:`disambiguate` can weight
+    mention-context tokens with the SAME idf the profiles were built
+    under.
     """
     tok = profiles.select(
         F.col(entity_col).alias("entity"),

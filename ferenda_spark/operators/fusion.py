@@ -72,8 +72,10 @@ def fuse_claims(
     - trust: (source, trust) — final per-source reliability in [0, 1].
     """
     c = claims.select("source", "subj", "pred", "obj").distinct()
+    # persist without priming: round 1's belief aggregate materializes the
+    # cache as a side effect — an explicit count() here would be a whole
+    # extra pass over the claims whose only purpose is cache warming
     c = c.persist()
-    c.count()  # materialize once; every round reuses this frame
 
     trust = c.select("source").distinct().withColumn("trust", F.lit(1.0))
     conf = None

@@ -262,10 +262,15 @@ def pagerank(
     ).cache()
     has_dangling = bool(dangling_nodes.limit(1).collect())
 
+    joined = None
     if init_ranks is None:
         ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     else:
-        prev = init_ranks.select("node", F.col("rank").alias("r0"))
+        # dedupe the prior on node: duplicate rows in init_ranks would
+        # otherwise fan out through the join and silently inflate the
+        # warm-start vector (averaging conflicting priors is the neutral
+        # merge; renormalization below absorbs any residual scale)
+        prev = init_ranks.groupBy("node").agg(F.avg("rank").alias("r0"))
         joined = nodes.join(prev, "node", "left").select(
             "node", F.coalesce("r0", F.lit(1.0 / n)).alias("r0")
         ).cache()
@@ -306,6 +311,8 @@ def pagerank(
     nodes.unpersist()
     contrib_edges.unpersist()
     dangling_nodes.unpersist()
+    if joined is not None:
+        joined.unpersist()  # warm-start prior — release after final ranks
     return ranks
 
 

@@ -107,16 +107,28 @@ def allocate_crawl_budget(
             F.col(quality_col).alias("q"),
         ),
         "host",
-    ).select("host", (F.col("rank") * F.col("q")).alias("score"))
+    ).select(
+        "host",
+        # clamp: a negative rank or quality (caller bug / adversarial
+        # input) must not produce a negative score that silently eats
+        # other hosts' shares through the total
+        F.greatest(F.lit(0.0), F.col("rank") * F.col("q")).alias("score"),
+    )
     tot = j.agg(F.sum("score").alias("t"))
     return (
         j.crossJoin(F.broadcast(tot))
         .select(
             "host",
             "score",
-            F.round(
-                F.least(F.col("score") / F.col("t"), F.lit(max_share)), 6
-            ).alias("share"),
+            # guard the division: all-zero scores (empty crawl, quality
+            # floor) → every share 0, not NULL/NaN propagating into floor()
+            F.when(
+                F.col("t") > 0,
+                F.round(
+                    F.least(F.col("score") / F.col("t"), F.lit(max_share)),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("share"),
         )
         .select(
             "host", "score", "share",

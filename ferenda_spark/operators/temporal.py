@@ -125,8 +125,12 @@ def coalesce_intervals(
     prev_max = F.max(to_col).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
+    # gap=0 must not synthesize a `prev_max + 0` addition: int + timestamp
+    # is a DATATYPE_MISMATCH on Spark 4.x, and the type-generic claim
+    # (timestamps, dates, strings) only holds on the pure-comparison path
+    end = prev_max if gap == 0 else prev_max + gap
     brk = F.when(
-        prev_max.isNull() | (F.col(from_col) > prev_max + gap), 1
+        prev_max.isNull() | (F.col(from_col) > end), 1
     ).otherwise(0)
     island = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
     return (

@@ -8,6 +8,7 @@ import itertools
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from ferenda_spark.operators.graph import triangle_count
 from ferenda_spark.operators.temporal import fact_versions, facts_as_of
@@ -213,3 +214,30 @@ def test_coalesce_random_vs_brute(spark):
     rows = list(set(rows))
     assert _coalesce_rows(spark, rows) == _brute(rows)
     assert _coalesce_rows(spark, rows, gap=3) == _brute(rows, gap=3)
+
+
+def test_coalesce_timestamp_bounds_gap_zero(spark):
+    """gap=0 must work on TIMESTAMP bounds (regression: `prev_max + 0`
+    was an int-plus-timestamp DATATYPE_MISMATCH on Spark 4.x)."""
+    from ferenda_spark.operators.temporal import coalesce_intervals
+
+    df = spark.createDataFrame(
+        [
+            ("e", "p", "v", "2026-01-01 00:00:00", "2026-01-03 00:00:00"),
+            ("e", "p", "v", "2026-01-02 00:00:00", "2026-01-05 00:00:00"),
+            ("e", "p", "v", "2026-01-06 00:00:00", "2026-01-07 00:00:00"),
+        ],
+        "subj string, pred string, value string, f string, t string",
+    ).select(
+        "subj", "pred", "value",
+        F.to_timestamp("f").alias("valid_from"),
+        F.to_timestamp("t").alias("valid_to"),
+    )
+    out = sorted(
+        (str(r.valid_from), str(r.valid_to), r.n_merged)
+        for r in coalesce_intervals(df).collect()
+    )
+    assert out == [
+        ("2026-01-01 00:00:00", "2026-01-05 00:00:00", 2),
+        ("2026-01-06 00:00:00", "2026-01-07 00:00:00", 1),
+    ]

@@ -67,3 +67,17 @@ def test_new_nodes_enter_uniform_and_mass_normalized(spark):
     assert 99 not in got
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     assert got[3] > 0  # new node seeded at 1/N (then normalized)
+
+
+def test_warm_start_duplicate_init_rows_are_merged(spark):
+    """Duplicate node rows in init_ranks must not fan out the rank
+    vector through the join (regression for the round-4 advice)."""
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0)])
+    base = pagerank(e, n_iter=5)
+    doubled = base.unionByName(base)  # every node's prior twice
+    clean = _ranks(pagerank(e, n_iter=3, init_ranks=base))
+    dup = _ranks(pagerank(e, n_iter=3, init_ranks=doubled))
+    assert set(dup) == set(clean)
+    for k, v in clean.items():
+        assert dup[k] == pytest.approx(v, abs=1e-12)
+    assert sum(dup.values()) == pytest.approx(1.0, abs=1e-9)

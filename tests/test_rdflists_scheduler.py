@@ -160,3 +160,29 @@ def test_allocate_crawl_budget(spark):
     assert out["h1"][1] == pytest.approx(0.6)
     # budgets never exceed total even with the head host capped
     assert sum(b for _, _, b in out.values()) <= 10000
+
+
+def test_allocate_crawl_budget_degenerate_scores(spark):
+    """All-zero scores → shares/budgets 0 (not NULL); negative inputs
+    are clamped to score 0 rather than eating other hosts' shares."""
+    import pytest
+
+    from ferenda_spark.operators.scheduler import allocate_crawl_budget
+
+    ranks = spark.createDataFrame(
+        [("h1", 0.0), ("h2", 0.0)], "host string, rank double")
+    quality = spark.createDataFrame(
+        [("h1", 1.0), ("h2", 0.5)], "host string, mean_quality double")
+    out = {r.host: (r.score, r.share, r.budget)
+           for r in allocate_crawl_budget(ranks, quality, 1000).collect()}
+    assert out == {"h1": (0.0, 0.0, 0), "h2": (0.0, 0.0, 0)}
+
+    ranks2 = spark.createDataFrame(
+        [("h1", -0.4), ("h2", 0.6)], "host string, rank double")
+    out2 = {r.host: (r.score, r.share, r.budget)
+            for r in allocate_crawl_budget(
+                ranks2, quality, 1000, max_share=1.0).collect()}
+    assert out2["h1"] == (0.0, 0.0, 0)          # clamped, not negative
+    assert out2["h2"][0] == pytest.approx(0.3)
+    assert out2["h2"][1] == pytest.approx(1.0)  # sole positive host
+    assert out2["h2"][2] == 1000
