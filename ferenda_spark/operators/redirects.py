@@ -52,8 +52,13 @@ def resolve_redirects(
     )
     srcs = e.select(F.col("url").alias("nxt")).distinct()
 
-    # state: url → (cur endpoint, exact hops so far, done?)
-    cad = _RoundCadence()
+    # state: url → (cur endpoint, exact hops so far, done?).
+    # interval=1: the done-probe below is an action EVERY round, so each
+    # round is materialized anyway — a >1 cadence window amortizes nothing
+    # and costs extra (measured 1.6x on long chains: rdf_list_flatten
+    # 5.9s at interval=4 vs 3.6s at interval=1, sf0.1; probe-per-round
+    # loops pin interval=1, fixed-round loops keep the default window)
+    cad = _RoundCadence(interval=1)
     cur = (
         e.join(srcs, "nxt", "left_semi")
         .select("url", F.col("nxt").alias("cur"), F.lit(1).alias("hops"),
