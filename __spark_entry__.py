@@ -1893,6 +1893,33 @@ def _q_media_real_decode(spark, sf_dir):
     )
 
 
+def _q_media_real_decode_jpeg(spark, sf_dir):
+    """Multimodal REAL JPEG decode (round-5, closes round-4 missing #2):
+    every payload is a genuine baseline JFIF (functions/jpeg.py::
+    encode_jpeg — grayscale/RGB, 4:4:4 and 4:2:0 subsampling, restart
+    intervals), mode='real' runs the stdlib Huffman + dequant +
+    vectorized-IDCT decoder inside the Arrow-batched UDF, and the two
+    deterministic corruption slots (truncated scan at media_id % 8 == 3,
+    SOF0→SOF2 flip at media_id % 16 == 9) surface as errors-as-data rows.
+    Rows-only probe (no SQL replay of a JPEG codec); pinned at 48 rows
+    with width/height/n_features/is_error projected out so the pin
+    catches a silent decode regression, not just a row-count one."""
+    from ferenda_spark.operators.multimodal import (
+        extract_media_features,
+        synthetic_jpeg_media,
+    )
+
+    feats = extract_media_features(
+        synthetic_jpeg_media(spark, 48), mode="real")
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.size("features").alias("n_features"),
+        F.col("decode_error").isNotNull().alias("is_error"),
+    )
+
+
 def _q_docx_struct_triples(spark, sf_dir):
     """S5 + T2 integrated (round-3): DOCX heading styles drive the styled
     Section/Subsection FSM (fsm.parse_styled_structure) through
@@ -6510,6 +6537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "media_features": _q_media_features,
         "media_real_decode": _q_media_real_decode,
+        "media_real_decode_jpeg": _q_media_real_decode_jpeg,
         "curation_pipeline": _q_curation_pipeline,
         "kg_xhtml": _q_kg_xhtml,
         "toc_html_pages": _q_toc_html_pages,

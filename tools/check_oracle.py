@@ -49,6 +49,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
     "bpe_token_stats":     {"sf0.001": 5,     "sf0.01": 5},
     "media_features":      {"sf0.001": 64,    "sf0.01": 64},
     "media_real_decode":   {"sf0.001": 48,    "sf0.01": 48},
+    "media_real_decode_jpeg": {"sf0.001": 48, "sf0.01": 48},
     "curation_pipeline":   {"sf0.001": 89,    "sf0.01": 89},
     "kg_xhtml":            {"sf0.001": 100,   "sf0.01": 100},
     "toc_html_pages":      {"sf0.001": 44,    "sf0.01": 45},
