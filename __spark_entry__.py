@@ -647,6 +647,51 @@ def _q_span_dedup_docs(spark, sf_dir):
     )
 
 
+def _q_span_dedup_stride1(spark, sf_dir):
+    """ExactSubstr ``stride=1`` equivalence (round-5, closes round-4
+    next-round #4): the approximate-mode knob at stride=1 must be the
+    exact path bit-for-bit, replayed against the SAME DuckDB oracle as
+    span_dedup_docs. Guards the winnowing refactor of span_postings:
+    any deviation the selection pass introduces into the exact route
+    value-hash-mismatches here."""
+    from ferenda_spark.operators.spandedup import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = remove_duplicate_spans(d, "text", "doc_id", length=4, stride=1)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "n_dup_windows",
+        "n_spans",
+        "n_removed",
+        F.md5(F.col("text")).alias("cleaned_md5"),
+    )
+
+
+def _q_span_dedup_winnow(spark, sf_dir):
+    """Winnowed approximate span dedup (round-5): stride=3 selects the
+    content-minimal gram per 3-window (Schleimer et al. 2003), the 100 TB
+    posting-bound mode with the deterministic ≥ L+stride−1 detection
+    guarantee. Rows-only (a SQL replay of winnowing would re-implement
+    the operator); pinned rows + per-doc span aggregates so selection
+    drift (not just row-count drift) breaks the pin. Only docs with ≥1
+    detected span emit."""
+    from ferenda_spark.operators.spandedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = duplicate_spans(d, "text", "doc_id", length=4, stride=3)
+    return (
+        spans.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start")).alias("span_toks"),
+            F.sum("n_windows").alias("n_sel_windows"),
+        )
+        .select(F.col("id").alias("doc_id"), "n_spans", "span_toks",
+                "n_sel_windows")
+    )
+
+
 _SPAN_DEDUP_ORACLE = r"""
     WITH toks AS (
         SELECT doc_id,
@@ -6396,6 +6441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": _q_url_canonical_dedup,
         "line_dedup_docs": _q_line_dedup_docs,
         "span_dedup_docs": _q_span_dedup_docs,
+        "span_dedup_stride1": _q_span_dedup_stride1,
+        "span_dedup_winnow": _q_span_dedup_winnow,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_components": _q_dedup_components,
         "corpus_hash_split": _q_corpus_hash_split,
@@ -6763,6 +6810,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_dedup": _URL_CANONICAL_ORACLE,
         "line_dedup_docs": _LINE_DEDUP_ORACLE,
         "span_dedup_docs": _SPAN_DEDUP_ORACLE,
+        "span_dedup_stride1": _SPAN_DEDUP_ORACLE,
         "dedup_jaccard_pairs": _JACCARD_PAIRS_CTE + """
             SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs
         """,

@@ -35,9 +35,32 @@ Design targets 100 TB:
   kept text from array slices — O(n_tokens + n_spans) per doc, fully
   JVM-side (no per-token exists() probe, no Python).
 - Production knobs the paper also documents: raise ``min_count`` to keep
-  n-plicated boilerplate below a threshold, and (not implemented, noted
-  for the 100 TB path) stride-sample postings for an approximate mode
-  that bounds the posting list at 1/stride of the corpus.
+  n-plicated boilerplate below a threshold, and ``stride`` for the
+  approximate mode that bounds the posting list for the 100 TB path
+  (see below).
+
+Approximate mode (``stride`` > 1) — winnowing, not position-stride:
+
+The obvious "keep every s-th position" sampling has NO detection
+guarantee: occurrence A at offset p1 and occurrence B at offset p2 of
+the same run only share a sampled gram when p1 ≡ p2 (mod s), so a
+misaligned duplicate of ANY length can be missed entirely. The mode
+implemented here is winnowing (Schleimer, Wilkerson & Aiken, SIGMOD
+2003 — public): within every window of ``stride`` consecutive gram
+positions, select the gram with the minimal (fp, pos) struct; the
+posting list is the distinct selections. Because the minimal fp inside
+a window that lies fully within a duplicated run is determined by the
+run's CONTENT alone, both occurrences emit a posting with that same fp
+— giving the deterministic guarantee the stride knob was specified to
+have: **every duplicated run of length ≥ length + stride − 1 tokens is
+detected**, at an expected posting density of 2/(stride+1) (the
+winnowing paper's bound; ~1/s of the corpus for the documented knob).
+Shorter duplicates may be missed, and detected spans under-approximate
+the true run by < stride tokens at each edge (only selected windows
+mark). Selection is a per-doc higher-order-function walk over the
+already-built window array — map-only, no extra shuffle; the O(n·s)
+slice work is JVM-side codegen. Keep ``stride ≤ length`` so selected
+windows inside one run still overlap and merge into a single island.
 
 Tokens are whitespace tokens per the pipeline-wide definition
 (``functions.textstats.tokens``); cleaned text is the kept tokens
@@ -60,27 +83,62 @@ def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def span_postings(
-    df: DataFrame, text_col: str, id_col: str, *, length: int = 50
+    df: DataFrame, text_col: str, id_col: str, *,
+    length: int = 50, stride: int = 1
 ) -> DataFrame:
-    """Every L-token window as ``(id, pos, fp)`` — pos is the 0-based
-    token index of the window start, fp the xxhash64 of the
-    space-joined gram. Docs shorter than ``length`` emit nothing (they
-    cannot contain a duplicated span of that length)."""
+    """L-token windows as ``(id, pos, fp)`` — pos is the 0-based token
+    index of the window start, fp the xxhash64 of the space-joined gram.
+    Docs shorter than ``length`` emit nothing (they cannot contain a
+    duplicated span of that length).
+
+    ``stride`` = 1 emits EVERY window (exact mode). ``stride`` > 1 emits
+    the winnowing selection: the minimal (fp, pos) entry of each window
+    of ``stride`` consecutive positions, deduplicated — ~2/(stride+1) of
+    the windows, with every duplicated run ≥ length + stride − 1 tokens
+    guaranteed to keep matching fps in all its occurrences (module
+    docstring). Docs with fewer than ``stride`` windows clamp to one
+    whole-doc window so every doc ≥ ``length`` tokens still posts."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1: {stride}")
     t = _tokenized(df, text_col, id_col)
     n = F.size("toks")
-    idx = F.sequence(F.lit(0), n - length)
+    # greatest(...,0): for docs shorter than `length` the raw bound goes
+    # negative and sequence() turns DESCENDING (0, -1, …) → slice start 0
+    # blows up. Those rows are filtered below, but Catalyst pushes the
+    # explode's non-empty predicate into the same Filter and may evaluate
+    # this expression on short docs before the length guard — the clamp
+    # makes the expression total (one harmless short-gram window that the
+    # filter then drops) instead of relying on conjunct order.
+    idx = F.sequence(F.lit(0), F.greatest(n - length, F.lit(0)))
+    # fp FIRST: array_min's struct ordering must compare fingerprints
+    # before positions for the winnowing selection to be content-driven
     win = F.transform(
         idx,
         lambda i: F.struct(
-            i.alias("pos"),
             F.xxhash64(
                 F.concat_ws(" ", F.slice("toks", i + 1, length))
             ).alias("fp"),
+            i.alias("pos"),
         ),
     )
+    # materialize the window array once per row before the winnowing
+    # transform walks it — referencing the raw `win` expression inside
+    # the selection lambda would embed (and re-evaluate) the whole
+    # gram-hashing subtree per selection window
+    t = t.filter(n >= length).select("id", win.alias("_win"))
+    w = F.col("_win")
+    if stride > 1:
+        sel_idx = F.sequence(
+            F.lit(0), F.greatest(F.size(w) - stride, F.lit(0))
+        )
+        w = F.array_distinct(
+            F.transform(
+                sel_idx,
+                lambda i: F.array_min(F.slice(F.col("_win"), i + 1, stride)),
+            )
+        )
     return (
-        t.filter(n >= length)
-        .select("id", F.explode(win).alias("w"))
+        t.select("id", F.explode(w).alias("w"))
         .select("id", "w.pos", "w.fp")
     )
 
@@ -93,10 +151,15 @@ def duplicate_spans(
     length: int = 50,
     min_count: int = 2,
     keep_first: bool = False,
+    stride: int = 1,
 ) -> DataFrame:
     """Merged duplicated spans per doc: ``(id, span_start, span_end,
     n_windows)`` with token-index bounds, ``span_end`` exclusive.
     Overlapping AND exactly-adjacent windows merge into one span.
+    ``stride`` > 1 switches to the winnowed approximate posting list
+    (module docstring): only runs ≥ length + stride − 1 are guaranteed
+    detected, spans shrink by < stride tokens per edge, and
+    ``n_windows`` counts SELECTED windows only.
 
     A window is duplicated when its gram's total occurrence count
     (across AND within docs — intra-doc repetition counts, matching the
@@ -107,7 +170,8 @@ def duplicate_spans(
     OTHER grams' non-canonical occurrences, so it does not guarantee one
     full surviving copy of a long run (the paper's keep-one variant has
     the same property)."""
-    posts = span_postings(df, text_col, id_col, length=length)
+    posts = span_postings(df, text_col, id_col,
+                          length=length, stride=stride)
     counts = posts.groupBy("fp").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct("id", "pos")).alias("first_occ"),
@@ -146,6 +210,7 @@ def remove_duplicate_spans(
     length: int = 50,
     min_count: int = 2,
     keep_first: bool = False,
+    stride: int = 1,
 ) -> DataFrame:
     """Cut every duplicated span out of every doc: ``(id, n_tokens,
     n_dup_windows, n_spans, n_removed, text)`` — text is the kept tokens
@@ -157,6 +222,7 @@ def remove_duplicate_spans(
     spans = duplicate_spans(
         df, text_col, id_col,
         length=length, min_count=min_count, keep_first=keep_first,
+        stride=stride,
     )
     per_doc = spans.groupBy("id").agg(
         F.sort_array(

@@ -175,3 +175,92 @@ def test_min_count_threshold(spark):
 def test_matches_reference_on_random_corpora(spark, docs, L, keep_first):
     corpus = {i: " ".join(ws) for i, ws in enumerate(docs)}
     _check(spark, corpus, L=L, keep_first=keep_first)
+
+
+# --- winnowed approximate mode (stride > 1) ------------------------------
+
+def test_stride1_identical_to_exact(spark):
+    import random
+
+    rng = random.Random(11)
+    corpus = {
+        i: " ".join(rng.choice("abcdef") for _ in range(rng.randint(0, 30)))
+        for i in range(10)
+    }
+    exact = sorted(
+        tuple(r) for r in remove_duplicate_spans(
+            _df(spark, corpus), "text", "id", length=3).collect())
+    s1 = sorted(
+        tuple(r) for r in remove_duplicate_spans(
+            _df(spark, corpus), "text", "id", length=3, stride=1).collect())
+    assert s1 == exact
+
+
+def test_winnow_guarantee_misaligned_runs(spark):
+    """The deterministic winnowing guarantee: EVERY duplicated run of
+    length >= L + stride - 1 is detected, at arbitrary (mod-stride
+    misaligned) offsets in both documents — the case plain position-
+    stride sampling misses. 30 random plants, zero misses allowed."""
+    import random
+
+    L, stride = 5, 4
+    run_len = L + stride - 1  # exactly the guarantee threshold
+    rng = random.Random(23)
+    for trial in range(30):
+        run = [f"dup{trial}x{k}" for k in range(run_len)]
+        # unique filler so nothing else duplicates
+        def filler(tag, n):
+            return [f"f{trial}{tag}{j}" for j in range(n)]
+        off_a = rng.randint(0, 17)
+        off_b = rng.randint(0, 17)
+        corpus = {
+            0: " ".join(filler("a", off_a) + run + filler("pa", 9)),
+            1: " ".join(filler("b", off_b) + run + filler("pb", 9)),
+        }
+        spans = duplicate_spans(
+            _df(spark, corpus), "text", "id",
+            length=L, stride=stride).collect()
+        by_id = {}
+        for r in spans:
+            by_id.setdefault(r["id"], []).append(
+                (r["span_start"], r["span_end"]))
+        assert 0 in by_id and 1 in by_id, (
+            f"trial {trial}: run missed (offsets {off_a}/{off_b})")
+        # detected span lies inside the true run, short by < stride
+        # tokens per edge
+        for i, off in ((0, off_a), (1, off_b)):
+            (s, e), = by_id[i]
+            assert off <= s < off + stride
+            assert off + run_len - (stride - 1) <= e <= off + run_len
+
+
+def test_winnow_posting_density(spark):
+    """Winnowing selects ~2/(stride+1) of the windows (Schleimer et al.
+    bound on random content); assert well under the exact count and
+    above the 1/stride floor."""
+    import random
+
+    rng = random.Random(5)
+    text = " ".join(
+        rng.choice([f"w{j}" for j in range(5000)]) for _ in range(4000))
+    df = _df(spark, {0: text})
+    n_exact = span_postings(df, "text", "id", length=8).count()
+    stride = 6
+    n_win = span_postings(df, "text", "id", length=8, stride=stride).count()
+    frac = n_win / n_exact
+    assert 1.0 / stride * 0.8 < frac < 2.5 / (stride + 1)
+
+
+def test_winnow_short_doc_clamps_to_one_posting(spark):
+    """Docs with fewer windows than the stride still post (one whole-doc
+    selection), so exact whole-short-doc duplicates remain detectable."""
+    corpus = {0: "p q r s t", 1: "p q r s t"}
+    spans = duplicate_spans(
+        _df(spark, corpus), "text", "id", length=4, stride=8).collect()
+    assert {r["id"] for r in spans} == {0, 1}
+
+
+def test_stride_zero_rejected(spark):
+    with pytest.raises(ValueError, match="stride"):
+        span_postings(_df(spark, {0: "a b c"}), "text", "id",
+                      length=2, stride=0)
