@@ -1413,6 +1413,56 @@ def _q_kg_triples(spark, sf_dir):
     )
 
 
+def _q_kg_fused_pipeline(spark, sf_dir):
+    """Opt-in fusion stage on the resumable pipeline path (round-5,
+    closes round-4 next-round #7): run_pipeline(harvest_structured=True,
+    fuse=True) over a 40-doc corpus whose pages carry JSON-LD claims
+    with a planted conflict (1/3 of hosts assert 'minority' for the
+    shared subject), then read the `fused` stage table back. Rows-only
+    (the stage composes harvest + trust fixed point + partitioned stage
+    write — the pieces are individually oracle-backed via
+    `fact_fusion`); pinned rows, with obj/n_sources/n_candidates and
+    6-decimal confidence projected so a resolution flip breaks the pin,
+    not just a count change."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+
+    from ferenda_spark.plans.pipeline import run_pipeline
+    from ferenda_spark.sources.corpus import dictionary_df, generate_corpus
+
+    claim_val = F.when(
+        F.crc32(F.col("url")) % 3 == 0, F.lit("minority")
+    ).otherwise(F.lit("majority"))
+    extra = F.encode(
+        F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@id": "e:topic", "claim": "'),
+            claim_val,
+            F.lit('"}</script>'),
+        ),
+        "UTF-8",
+    )
+    corpus = generate_corpus(spark, 40).withColumn(
+        "html", F.concat(F.col("html"), extra)
+    )
+    _dirtag = _hashlib.sha256(
+        _os.path.abspath(sf_dir.rstrip("/")).encode()).hexdigest()[:16]
+    out = f"/tmp/ferenda_spark_fusedpipe_q_{_dirtag}"
+    _shutil.rmtree(out, ignore_errors=True)
+    paths = run_pipeline(
+        spark, corpus, dictionary_df(spark), out, n_parts=4,
+        with_lsh=False, harvest_structured=True, fuse=True,
+    )
+    return (
+        spark.read.parquet(paths["fused"])
+        .select(
+            "subj", "pred", "obj", "n_sources", "n_candidates",
+            F.round("confidence", 6).alias("confidence"),
+        )
+    )
+
+
 def _q_kg_entity_links(spark, sf_dir):
     """Tiered entity linking incl. MinHash-LSH tier (not SQL-expressible)."""
     from ferenda_spark.operators.linking import link_mentions
@@ -5189,7 +5239,8 @@ _FACT_FUSION_ORACLE = _fusion_oracle_head() + """
 
 
 _FUSION_TRUST_ORACLE = _fusion_oracle_head() + """
-    SELECT source, round(trust, 6) AS trust FROM trust2"""
+    SELECT source, CAST(round(CAST(trust AS DOUBLE), 6) AS DOUBLE)
+        AS trust FROM trust2"""
 
 
 def _cocite_edges_df(spark, sf_dir):
@@ -6576,6 +6627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_report": _q_curation_report,
         "kg_triples": _q_kg_triples,
         "kg_entity_links": _q_kg_entity_links,
+        "kg_fused_pipeline": _q_kg_fused_pipeline,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,

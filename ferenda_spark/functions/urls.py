@@ -81,6 +81,14 @@ def _host(url: Column) -> Column:
     return F.regexp_replace(h, r"\.$", "")
 
 
+def url_host(url: Column) -> Column:
+    """Public host extractor: lowercased authority of the URL, trailing
+    dot stripped (no port normalization — use :func:`canonicalize_url`
+    for the full canon form). The identity the pipeline's fusion stage
+    and the crawl-loop operators key trust/politeness on."""
+    return _host(url)
+
+
 def _strip_port(scheme: Column, host: Column) -> Column:
     return (
         F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))

@@ -38,9 +38,19 @@ Scale shape (claims ≫ sources ≫ facts-per-key):
 - ``truncate_checkpoint`` truncates trust's lineage per round (same
   driver-stall rationale as graph.py).
 
-Float determinism: per-key double sums commute up to ~1e-15 regardless of
-partition order; consumers that need cross-engine equality round to 6
-decimals (the same grain every iterative operator in this repo uses).
+Float determinism — ``fuse_claims`` is deterministic BY CONSTRUCTION,
+not merely up to sum-order noise: trust is quantized to DECIMAL(20,12)
+every round, so all sums are exact decimal arithmetic (associative,
+partition-order independent); doubles appear only as quotients of two
+deterministic operands and are re-quantized before the next sum. This
+matters for the resolver: mathematically tied candidates are routine
+(symmetric source counts), their beliefs are small-denominator
+rationals that can terminate exactly ON a rounding boundary, so no
+round-the-double sort key is stable — exact arithmetic is the only fix
+that makes the argmax's obj tiebreak fire identically on every
+partitioning. Consumers still round to 6 decimals for cross-engine
+equality (the repo-wide grain); the SQL spelling in
+:func:`fusion_unrolled_sql` replays the same decimal pipeline.
 """
 
 from __future__ import annotations
@@ -51,6 +61,10 @@ from pyspark.sql import functions as F
 from ferenda_spark.checkpoint import (
     truncate_checkpoint as _truncate_checkpoint,
 )
+
+#: quantization type for the trust fixed point: sums over this type are
+#: exact in both Spark and DuckDB (module docstring, float determinism)
+_TRUST_DEC = "decimal(20,12)"
 
 
 def fuse_claims(
@@ -77,12 +91,22 @@ def fuse_claims(
     # extra pass over the claims whose only purpose is cache warming
     c = c.persist()
 
-    trust = c.select("source").distinct().withColumn("trust", F.lit(1.0))
+    # Deterministic-by-construction arithmetic (module docstring): trust
+    # lives in DECIMAL(20,12), so every SUM is exact and partition-order
+    # independent; doubles appear only as quotients of two deterministic
+    # operands, and each quotient is re-quantized to the decimal grain
+    # before the next sum. A raw-double pipeline let partial-aggregation
+    # order pick the winner between mathematically tied candidates
+    # (observed flaking in test_partitioning_invariance: tied beliefs
+    # whose decimal expansion terminates ON a rounding boundary).
+    trust = c.select("source").distinct().withColumn(
+        "trust", F.lit(1.0).cast(_TRUST_DEC)
+    )
     conf = None
     for _ in range(n_iter):
         supported = c.join(trust, "source")
         belief = supported.groupBy("subj", "pred", "obj").agg(
-            F.sum("trust").alias("belief"),
+            F.sum("trust").alias("belief"),  # exact decimal sum
             F.count("*").alias("n_sources"),
         )
         norm = belief.groupBy("subj", "pred").agg(
@@ -91,15 +115,35 @@ def fuse_claims(
         )
         conf = belief.join(norm, ["subj", "pred"]).select(
             "subj", "pred", "obj", "n_sources", "n_candidates",
-            (F.col("belief") / F.col("total")).alias("confidence"),
+            # double division of two DETERMINISTIC decimal operands —
+            # deterministic, and identical IEEE math in DuckDB's replay
+            (
+                F.col("belief").cast("double")
+                / F.col("total").cast("double")
+            ).alias("confidence"),
         )
         new_trust = (
             c.join(conf, ["subj", "pred", "obj"])
             .groupBy("source")
-            .agg(F.avg("confidence").alias("trust"))
+            .agg(
+                # re-quantize each confidence to the decimal grain so
+                # this sum is exact again (avg over raw doubles would
+                # reintroduce partial-aggregation-order noise)
+                F.sum(
+                    F.round(F.col("confidence"), 12).cast(_TRUST_DEC)
+                ).alias("sc"),
+                F.count(F.lit(1)).alias("nc"),
+            )
+            .select(
+                "source",
+                F.round(F.col("sc").cast("double") / F.col("nc"), 12)
+                .cast(_TRUST_DEC).alias("trust"),
+            )
         )
         trust = _truncate_checkpoint(new_trust)
 
+    # confidence is deterministic, so a true tie compares EQUAL and falls
+    # through to the obj ordering on every partitioning / parallelism
     w = Window.partitionBy("subj", "pred").orderBy(
         F.col("confidence").desc(), F.col("obj").asc()
     )
@@ -110,6 +154,7 @@ def fuse_claims(
         .select("subj", "pred", "obj", "confidence", "n_sources",
                 "n_candidates")
     )
+    trust = trust.select("source", F.col("trust").cast("double").alias("trust"))
     # safe to free only AFTER resolved is materialized: a lazy return
     # would silently recompute the claims distinct on first action
     c.unpersist()
@@ -127,7 +172,8 @@ def fusion_unrolled_sql(claims_cte: str, n_iter: int = 2) -> str:
     parts = [
         f"claims_raw AS ({claims_cte})",
         "claims AS (SELECT DISTINCT source, subj, pred, obj FROM claims_raw)",
-        "trust0 AS (SELECT DISTINCT source, CAST(1.0 AS DOUBLE) AS trust FROM claims)",
+        "trust0 AS (SELECT DISTINCT source,"
+        " CAST(1.0 AS DECIMAL(20,12)) AS trust FROM claims)",
     ]
     for k in range(1, n_iter + 1):
         parts.append(f"""
@@ -144,11 +190,16 @@ def fusion_unrolled_sql(claims_cte: str, n_iter: int = 2) -> str:
         parts.append(f"""
         conf{k} AS (
             SELECT b.subj, b.pred, b.obj, b.n_sources, n.n_candidates,
-                   b.belief / n.total AS confidence
+                   CAST(b.belief AS DOUBLE) / CAST(n.total AS DOUBLE)
+                       AS confidence
             FROM belief{k} b JOIN norm{k} n USING (subj, pred))""")
         parts.append(f"""
         trust{k} AS (
-            SELECT c.source, avg(f.confidence) AS trust
+            SELECT c.source,
+                   CAST(round(
+                       CAST(sum(CAST(round(f.confidence, 12)
+                                     AS DECIMAL(20,12))) AS DOUBLE)
+                       / count(*), 12) AS DECIMAL(20,12)) AS trust
             FROM claims c
             JOIN conf{k} f USING (subj, pred, obj)
             GROUP BY c.source)""")

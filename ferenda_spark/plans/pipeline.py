@@ -69,6 +69,8 @@ def run_pipeline(
     shapes: DataFrame | None = None,
     enrich_extra_triples: DataFrame | None = None,
     describe_dataset: bool = False,
+    fuse: bool = False,
+    fuse_iters: int = 3,
 ) -> dict[str, str]:
     """Run (or resume) the full DAG; returns stage-table paths.
 
@@ -328,6 +330,59 @@ def run_pipeline(
             paths["lineage"],
         )
         ledger.mark_parts("enrich", [-1], run_id=run_id)
+
+    # --------------------------------------- fact fusion (opt-in, round-5)
+    # conflict resolution between PUBLISHERS: the structured harvest's
+    # publisher-asserted claims, keyed by harvesting host, run the
+    # fuse_claims trust fixed point (operators/fusion.py) and land as two
+    # stage tables on the same lineage/ledger path as every other stage —
+    # `fused` (one resolved value per (subj, pred), with confidence and
+    # source counts) and `source_trust` (the per-host reliability the
+    # crawl loop's budget allocator can consume next cycle). Reruns
+    # whole, like enrich: the trust fixed point is global (every claim
+    # feeds every source's trust), so partition-granular resume cannot
+    # decompose it; the incremental path at 10^12 docs is
+    # fusion.fold_claims over the claim delta, mirroring dedup_store.
+    if fuse:
+        if "structured" not in paths:
+            raise ValueError(
+                "fuse=True requires harvest_structured=True: the fusion "
+                "stage resolves conflicts between publisher-asserted "
+                "claims, which come from the structured harvest"
+            )
+        from ferenda_spark.functions.urls import url_host
+        from ferenda_spark.operators.fusion import fuse_claims
+
+        paths["fused"] = _p(out_dir, "fused")
+        paths["source_trust"] = _p(out_dir, "source_trust")
+        _t0f = _time.monotonic()
+        st_tbl = catalog.read_table(spark, paths["structured"])
+        claims = st_tbl.select(
+            url_host(F.col("src")).alias("source"), "subj", "pred", "obj"
+        )
+        resolved, trust = fuse_claims(claims, n_iter=fuse_iters)
+        # fused facts carry no single source page; partition on the
+        # subject's domain hash so the layout matches the triple tables
+        write_stage_partitioned(
+            resolved.withColumn(
+                "part_key", part_key_col(F.col("subj"), n_parts)
+            ),
+            paths["fused"],
+        )
+        catalog.write_table(trust, paths["source_trust"])
+        catalog.append_table(
+            _whole_stage_lineage(
+                spark,
+                stage="fuse",
+                n_in=st_tbl.count(),
+                n_out=catalog.read_table(spark, paths["fused"]).count(),
+                bytes_in=_table_bytes(spark, paths["structured"]),
+                wall_ms=int((_time.monotonic() - _t0f) * 1000),
+                run_id=run_id,
+            ),
+            paths["lineage"],
+        )
+        ledger.mark_parts("fuse", [-1], run_id=run_id)
 
     # ------------------------------------- VoID self-description (opt-in)
     # dataset statistics AS triples (operators/void_stats.py) over the

@@ -106,3 +106,66 @@ def test_void_stage(spark, tmp_path):
     lin = spark.read.parquet(paths["lineage"]).filter("stage = 'void'")
     r = lin.collect()[0]
     assert r["n_in"] > 0 and r["n_out"] > 0 and r["wall_ms"] is not None
+
+
+def test_fuse_stage_tables(spark, tmp_path):
+    """Opt-in fusion stage: structured harvest claims → resolved facts +
+    per-host trust as stage tables, with lineage + ledger rows. The
+    corpus plants a CONFLICT: ~1/3 of pages assert claim='minority' for
+    the shared subject, the rest 'majority' — fusion must resolve to the
+    majority value."""
+    out = str(tmp_path / "kg")
+    claim_val = F.when(
+        F.crc32(F.col("url")) % 3 == 0, F.lit("minority")
+    ).otherwise(F.lit("majority"))
+    extra = F.encode(
+        F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@id": "e:topic", "claim": "'),
+            claim_val,
+            F.lit('"}</script>'),
+        ),
+        "UTF-8",
+    )
+    corpus = generate_corpus(spark, 30).withColumn(
+        "html", F.concat(F.col("html"), extra)
+    )
+    paths = run_pipeline(
+        spark, corpus, dictionary_df(spark), out, n_parts=4,
+        with_lsh=False, harvest_structured=True, fuse=True,
+    )
+    fused = spark.read.parquet(paths["fused"])
+    # exactly one resolved value per (subj, pred)
+    assert fused.groupBy("subj", "pred").count().filter(
+        "count > 1").count() == 0
+    assert fused.count() > 0
+    win = fused.filter(
+        (F.col("subj") == "e:topic") & (F.col("pred") == "claim")
+    ).collect()
+    assert len(win) == 1
+    assert win[0]["obj"] == "majority"
+    assert win[0]["n_candidates"] == 2
+    assert 0.5 < win[0]["confidence"] <= 1.0
+    assert fused.filter("part_key IS NULL").count() == 0
+
+    trust = spark.read.parquet(paths["source_trust"])
+    tvals = [r["trust"] for r in trust.collect()]
+    assert len(tvals) > 0 and all(0.0 <= t <= 1.0 for t in tvals)
+    # sources are hosts, not full URLs
+    assert trust.filter(F.col("source").contains("/")).count() == 0
+
+    lin = spark.read.parquet(paths["lineage"]).filter("stage = 'fuse'")
+    rows = lin.collect()
+    assert len(rows) == 1
+    assert rows[0]["n_in"] > 0 and rows[0]["n_out"] == fused.count()
+    assert rows[0]["bytes_in"] > 0 and rows[0]["wall_ms"] >= 0
+
+
+def test_fuse_requires_structured_harvest(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="harvest_structured"):
+        run_pipeline(
+            spark, generate_corpus(spark, 5), dictionary_df(spark),
+            str(tmp_path / "kg2"), n_parts=2, with_lsh=False, fuse=True,
+        )

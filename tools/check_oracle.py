@@ -55,6 +55,7 @@ EXPECTED_ROWS: dict[str, dict[str, int]] = {
     "toc_html_pages":      {"sf0.001": 44,    "sf0.01": 45},
     "kg_patched_parse":    {"sf0.001": 60,    "sf0.01": 60},
     "span_dedup_winnow":   {"sf0.001": 211,   "sf0.01": 229},
+    "kg_fused_pipeline":   {"sf0.001": 1,     "sf0.01": 1},
 }
 
 
