@@ -308,6 +308,18 @@ def main() -> None:
          .collect()][0],
     )))
 
+    # salsa: closed-form (no iteration) — the leg evidences that the
+    # bipartite-component decomposition (one CC run on the hub/auth view)
+    # dominates and the scoring itself is two degree aggregations
+    from ferenda_spark.operators.graph_analytics import salsa
+
+    timed("salsa", lambda: dict(zip(
+        ("n_nodes", "sum_auth"),
+        [(r["n"], round(r["s"], 6)) for r in salsa(edges)
+         .agg(F.count("*").alias("n"), F.sum("auth").alias("s"))
+         .collect()][0],
+    )))
+
     # pagerank / hits: force full materialization with a 1-row global agg
     timed("pagerank", lambda: dict(zip(
         ("n_nodes", "sum_rank"),
