@@ -122,6 +122,13 @@ BENCH_QUERIES = [
     "dedup_cluster_audit",
     "feature_propagation",
     "crawl_budget",
+    # round-5 additions (kg_fused_pipeline deliberately NOT benched: it
+    # runs a whole disk-writing pipeline — correctness lives in
+    # CHECK_ORACLE, and the bench line stays lean like curation_pipeline)
+    "media_real_decode_jpeg",   # stdlib baseline-JPEG decode path
+    "span_dedup_winnow",        # winnowed approximate ExactSubstr
+    "salsa_hosts",              # closed-form SALSA
+    "hyperball_centrality",     # HLL-sketch centralities
 ]
 
 # Per-query time = best of N runs: the box is a shared VM and single runs

@@ -5,7 +5,7 @@ The capstone composition existed only as an sf0.01 driver query
 with event-log shuffle attribution, and proves the determinism the
 north_rule's two-cluster-size criterion needs: the per-host budgets are
 BIT-IDENTICAL across parallelism levels (run once under
-SPARK_GRAFT_CPUS=2 and once =8; the printed budget_sha256 must match).
+SPARK_GRAFT_CPUS=2 and once =8; the printed budget_digest must match).
 
 Stages (each its own job group):
 
@@ -54,6 +54,7 @@ def main() -> None:
     spark = (
         SparkSession.builder.appName("ferenda_crawl_job")
         .master(f"local[{cpus}]")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -107,6 +107,7 @@ def main() -> None:
     spark = (
         SparkSession.builder.appName("ferenda_text_job")
         .master(f"local[{cpus}]")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
