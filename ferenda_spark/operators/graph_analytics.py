@@ -794,9 +794,12 @@ def betweenness_sample(
         .join(sw, (F.col("seed") == F.col("seed_w")) & (e["b"] == sw["w"]))
         .where(F.col("dw") == F.col("dv") + 1)
         .select("seed", "v", "w", "dv", "sigma_v", "sigma_w")
+        # persist WITHOUT priming (the hyperball idiom): backward round 1
+        # is p's only first consumer, so its job materializes the cache —
+        # an explicit count() here would be one whole extra pass over the
+        # DAG-edge join
         .persist()
     )
-    p.count()
 
     bcad = _RoundCadence()
     delta = bcad.seed(

@@ -78,9 +78,10 @@ def spread_labels(
             "a", "b",
             (1.0 / F.sqrt(F.col("d") * F.col("db"))).alias("w"),
         )
+        # persist without priming: round 1's propagation join is the
+        # single first consumer and materializes the cache itself
         .persist()
     )
-    w.count()
 
     y = (
         seeds.select(F.col(node).alias("node"), F.col(label).alias("label"))

@@ -57,10 +57,11 @@ detected**, at an expected posting density of 2/(stride+1) (the
 winnowing paper's bound; ~1/s of the corpus for the documented knob).
 Shorter duplicates may be missed, and detected spans under-approximate
 the true run by < stride tokens at each edge (only selected windows
-mark). Selection is a per-doc higher-order-function walk over the
-already-built window array — map-only, no extra shuffle; the O(n·s)
-slice work is JVM-side codegen. Keep ``stride ≤ length`` so selected
-windows inside one run still overlap and merge into a single island.
+mark). Selection is ONE doc-keyed window pass (min(struct(fp,pos)) over
+a [current, +stride-1] frame, then distinct) — a single extra shuffle
+of the skinny (id, pos, fp) postings, which the count shuffle was going
+to move anyway. Keep ``stride ≤ length`` so selected windows inside one
+run still overlap and merge into a single island.
 
 Tokens are whitespace tokens per the pipeline-wide definition
 (``functions.textstats.tokens``); cleaned text is the kept tokens
@@ -102,44 +103,61 @@ def span_postings(
         raise ValueError(f"stride must be >= 1: {stride}")
     t = _tokenized(df, text_col, id_col)
     n = F.size("toks")
-    # greatest(...,0): for docs shorter than `length` the raw bound goes
-    # negative and sequence() turns DESCENDING (0, -1, …) → slice start 0
-    # blows up. Those rows are filtered below, but Catalyst pushes the
-    # explode's non-empty predicate into the same Filter and may evaluate
-    # this expression on short docs before the length guard — the clamp
-    # makes the expression total (one harmless short-gram window that the
-    # filter then drops) instead of relying on conjunct order.
-    idx = F.sequence(F.lit(0), F.greatest(n - length, F.lit(0)))
-    # fp FIRST: array_min's struct ordering must compare fingerprints
-    # before positions for the winnowing selection to be content-driven
-    win = F.transform(
-        idx,
-        lambda i: F.struct(
+    # Explode the CHEAP index sequence first and hash each gram per
+    # OUTPUT row, after the Generate. Building the full window array in
+    # one projection and exploding it reads nicer, but Catalyst's
+    # InferFiltersFromGenerate then synthesizes `size(win) > 0 AND
+    # isnotnull(win)` predicates that each re-embed the whole
+    # gram-hashing transform — the 1M-doc span_job leg measured the
+    # posting construction running ~3x (every gram concat+hashed three
+    # times). With the sequence as the generator input, the inferred
+    # predicates cost two ints and the expensive slice+concat+xxhash64
+    # runs exactly once per posting, fused into the post-Generate
+    # projection by whole-stage codegen (toks never crosses an exchange).
+    posts = (
+        t.filter(n >= length)
+        .select(
+            "id",
+            "toks",
+            (n - length).alias("_maxq"),  # = n_windows - 1
+            F.explode(F.sequence(F.lit(0), n - length)).alias("pos"),
+        )
+        .select(
+            "id",
+            "_maxq",
+            "pos",
             F.xxhash64(
-                F.concat_ws(" ", F.slice("toks", i + 1, length))
+                F.concat_ws(
+                    " ", F.slice("toks", F.col("pos") + 1, F.lit(length))
+                )
             ).alias("fp"),
-            i.alias("pos"),
-        ),
+        )
     )
-    # materialize the window array once per row before the winnowing
-    # transform walks it — referencing the raw `win` expression inside
-    # the selection lambda would embed (and re-evaluate) the whole
-    # gram-hashing subtree per selection window
-    t = t.filter(n >= length).select("id", win.alias("_win"))
-    w = F.col("_win")
-    if stride > 1:
-        sel_idx = F.sequence(
-            F.lit(0), F.greatest(F.size(w) - stride, F.lit(0))
-        )
-        w = F.array_distinct(
-            F.transform(
-                sel_idx,
-                lambda i: F.array_min(F.slice(F.col("_win"), i + 1, stride)),
-            )
-        )
+    if stride == 1:
+        return posts.select("id", "pos", "fp")
+    # winnowing selection as ONE doc-keyed window pass: each valid window
+    # start q contributes min(struct(fp, pos)) over [q, q+stride-1]
+    # (frame truncates at the partition end, which IS the short-doc
+    # clamp: a doc with fewer than `stride` windows keeps q=0 selecting
+    # over the whole doc). fp leads the struct so selection is
+    # content-driven; distinct = the union of per-window minima.
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, stride - 1)
+    )
     return (
-        t.select("id", F.explode(w).alias("w"))
-        .select("id", "w.pos", "w.fp")
+        posts.withColumn("_wmin", F.min(F.struct("fp", "pos")).over(w))
+        .where(
+            (F.col("pos") <= F.col("_maxq") - (stride - 1))
+            | (F.col("pos") == 0)
+        )
+        .select(
+            "id",
+            F.col("_wmin.pos").alias("pos"),
+            F.col("_wmin.fp").alias("fp"),
+        )
+        .distinct()
     )
 
 
