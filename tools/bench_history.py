@@ -54,7 +54,10 @@ def main() -> None:
             cells.append(f"{v:.2f}" if v is not None else "—")
         lines.append(f"| {q} | " + " | ".join(cells) + " |")
     totals = "| **total** | " + " | ".join(
-        f"{d['value']:.2f}" for _, d in runs
+        # partial legs (e.g. the quiet-box adjudication files) carry no
+        # precomputed total — sum their per-query walls instead
+        f"{d.get('value', sum(d['queries'].values())):.2f}"
+        for _, d in runs
     ) + " |"
     lines.append(totals)
 
