@@ -289,3 +289,27 @@ def test_coalesce_intervals_single_exchange(spark):
     plan = _plan(coalesce_intervals(df))
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "Exchange SinglePartition" not in plan
+
+
+def test_span_postings_hashes_each_gram_once(spark):
+    """The gram-hashing expression must appear in the Generate's OUTPUT
+    side only — never inside a Filter. Regression pin for the 1M-doc
+    finding: exploding a prebuilt window array let Catalyst's
+    InferFiltersFromGenerate synthesize size()/isnotnull predicates that
+    re-embedded the whole gram-hashing transform, tripling the posting
+    construction (operators/spandedup.py docstring)."""
+    import re
+
+    from ferenda_spark.operators.spandedup import span_postings
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h i j")], "id long, text string")
+    for stride in (1, 3):
+        plan = _plan(span_postings(df, "text", "id", length=3,
+                                   stride=stride))
+        for line in plan.splitlines():
+            if re.search(r"^\s*(\+-|:-)?\s*\*?\(?\d*\)?\s*Filter", line):
+                assert "xxhash64" not in line, line
+        # and the hash exists exactly once in the whole plan (the
+        # posting projection) — duplication anywhere is the bug
+        assert plan.count("xxhash64") == 1, plan
